@@ -1,0 +1,254 @@
+"""NSNet2 noise-suppression network, implemented natively in JAX.
+
+The reference executes ``data/nsnet2-20ms-baseline.onnx`` through ONNX
+Runtime's C API (``src/NSNet2.zig:53-112,220``); here the network is a pure
+JAX function whose recurrence runs under ``jax.lax.scan`` so it fuses into
+the surrounding pipeline and batches over (stream, channel) on TPU.
+
+Architecture (the public Microsoft DNS-Challenge NSNet2 baseline,
+"Data augmentation and loss normalization for deep noise suppression",
+Braun & Tashev 2020):
+
+    input [*, T, 161] log-power spectrum
+    -> Dense 161->400
+    -> GRU 400->400
+    -> GRU 400->400
+    -> Dense 400->600 + ReLU
+    -> Dense 600->600 + ReLU
+    -> Dense 600->161 + sigmoid     (spectral gain mask in (0, 1))
+
+Weights can be loaded from the original ONNX file via
+``formula_vad_tpu.models.onnx_import`` (the reference repo's copy is an
+absent LFS blob, so random-init and ``.npz`` paths are also provided).
+
+Important parity detail: the reference performs a *stateless* ONNX Runtime
+run per 0.5 s chunk — the GRU starts from h=0 every chunk and is warmed up
+by 4 carried-over context frames (``artifact_mitigation_window``,
+NSNet2.zig:16,186-203).  ``apply`` therefore always scans from zero state;
+an explicitly-carried variant (``apply_streaming``) is provided for the
+low-latency 20 ms-hop mode (BASELINE.json config 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+N_BINS = 161
+HIDDEN = 400
+FF1 = 600
+FF2 = 600
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _dense(x, w, b):
+    return jnp.matmul(x, w, precision=_HIGHEST) + b
+
+
+@dataclasses.dataclass(frozen=True)
+class GRUParams:
+    """Single-layer GRU weights, PyTorch/ONNX gate order (z, r, n).
+
+    wi: [in, 3*hidden]   input kernel  (columns ordered z | r | n)
+    wh: [hidden, 3*hidden] recurrent kernel
+    bi: [3*hidden]       input bias
+    bh: [3*hidden]       recurrent bias
+    linear_before_reset: ONNX GRU attribute; PyTorch exports use 1:
+      n = tanh(Wn x + bWn + r * (Rn h + bRn))
+    """
+
+    wi: Any
+    wh: Any
+    bi: Any
+    bh: Any
+    linear_before_reset: int = 1
+
+
+def gru_cell(p: GRUParams, h, x):
+    """One GRU step. x: [..., in], h: [..., hidden] -> h'."""
+    gi = _dense(x, p.wi, p.bi)  # [..., 3H]
+    z_i, r_i, n_i = jnp.split(gi, 3, axis=-1)
+    if p.linear_before_reset:
+        gh = _dense(h, p.wh, p.bh)
+        z_h, r_h, n_h = jnp.split(gh, 3, axis=-1)
+        z = jax.nn.sigmoid(z_i + z_h)
+        r = jax.nn.sigmoid(r_i + r_h)
+        n = jnp.tanh(n_i + r * n_h)
+    else:
+        wh_z, wh_r, wh_n = jnp.split(p.wh, 3, axis=-1)
+        bh_z, bh_r, bh_n = jnp.split(p.bh, 3, axis=-1)
+        z = jax.nn.sigmoid(z_i + jnp.matmul(h, wh_z, precision=_HIGHEST) + bh_z)
+        r = jax.nn.sigmoid(r_i + jnp.matmul(h, wh_r, precision=_HIGHEST) + bh_r)
+        n = jnp.tanh(n_i + jnp.matmul(r * h, wh_n, precision=_HIGHEST) + bh_n)
+    return (1.0 - z) * n + z * h
+
+
+@dataclasses.dataclass(frozen=True)
+class NSNet2Params:
+    fc_in_w: Any  # [161, 400]
+    fc_in_b: Any  # [400]
+    gru1: GRUParams
+    gru2: GRUParams
+    ff1_w: Any  # [400, 600]
+    ff1_b: Any
+    ff2_w: Any  # [600, 600]
+    ff2_b: Any
+    out_w: Any  # [600, 161]
+    out_b: Any
+
+
+jax.tree_util.register_dataclass(
+    GRUParams,
+    data_fields=["wi", "wh", "bi", "bh"],
+    meta_fields=["linear_before_reset"],
+)
+jax.tree_util.register_dataclass(
+    NSNet2Params,
+    data_fields=[
+        "fc_in_w", "fc_in_b", "gru1", "gru2",
+        "ff1_w", "ff1_b", "ff2_w", "ff2_b", "out_w", "out_b",
+    ],
+    meta_fields=[],
+)
+
+
+def init_params(key: jax.Array, dtype=jnp.float32) -> NSNet2Params:
+    """Random (Glorot-uniform) initialization — used when no trained weights
+    are available (the reference repo's ONNX blob is an absent LFS object,
+    /root/reference/.MISSING_LARGE_BLOBS:1) and for training from scratch."""
+    ks = jax.random.split(key, 16)
+
+    def glorot(k, shape):
+        fan_in, fan_out = shape[0], shape[-1]
+        lim = np.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(k, shape, dtype, -lim, lim)
+
+    def gru(k1, k2, k3, k4, in_dim):
+        return GRUParams(
+            wi=glorot(k1, (in_dim, 3 * HIDDEN)),
+            wh=glorot(k2, (HIDDEN, 3 * HIDDEN)),
+            bi=jnp.zeros((3 * HIDDEN,), dtype),
+            bh=jnp.zeros((3 * HIDDEN,), dtype),
+        )
+
+    return NSNet2Params(
+        fc_in_w=glorot(ks[0], (N_BINS, HIDDEN)),
+        fc_in_b=jnp.zeros((HIDDEN,), dtype),
+        gru1=gru(ks[1], ks[2], ks[3], ks[4], HIDDEN),
+        gru2=gru(ks[5], ks[6], ks[7], ks[8], HIDDEN),
+        ff1_w=glorot(ks[9], (HIDDEN, FF1)),
+        ff1_b=jnp.zeros((FF1,), dtype),
+        ff2_w=glorot(ks[10], (FF1, FF2)),
+        ff2_b=jnp.zeros((FF2,), dtype),
+        out_w=glorot(ks[11], (FF2, N_BINS)),
+        out_b=jnp.zeros((N_BINS,), dtype),
+    )
+
+
+def zero_state(batch_shape=(), dtype=jnp.float32):
+    return (
+        jnp.zeros(batch_shape + (HIDDEN,), dtype),
+        jnp.zeros(batch_shape + (HIDDEN,), dtype),
+    )
+
+
+def apply_streaming(params: NSNet2Params, state, features: jnp.ndarray):
+    """Run the network over a feature sequence with explicit GRU state.
+
+    Args:
+      params: weights.
+      state: (h1, h2) each [..., 400].
+      features: [..., T, 161] log-power features, time axis second-to-last.
+    Returns:
+      (new_state, gains [..., T, 161]).
+
+    The time recurrence is a ``lax.scan``; the pointwise dense layers before
+    and after the GRUs are applied to the whole sequence at once so they run
+    as large MXU matmuls rather than per-step ops.
+    """
+    x = _dense(features, params.fc_in_w, params.fc_in_b)  # [..., T, 400]
+    # scan over time: move T to the front.
+    xt = jnp.moveaxis(x, -2, 0)  # [T, ..., 400]
+
+    def step(carry, x_t):
+        h1, h2 = carry
+        h1 = gru_cell(params.gru1, h1, x_t)
+        h2 = gru_cell(params.gru2, h2, h1)
+        return (h1, h2), h2
+
+    (h1, h2), ys = jax.lax.scan(step, state, xt)
+    y = jnp.moveaxis(ys, 0, -2)  # [..., T, 400]
+    y = jax.nn.relu(_dense(y, params.ff1_w, params.ff1_b))
+    y = jax.nn.relu(_dense(y, params.ff2_w, params.ff2_b))
+    gains = jax.nn.sigmoid(_dense(y, params.out_w, params.out_b))
+    return (h1, h2), gains
+
+
+def apply(params: NSNet2Params, features: jnp.ndarray) -> jnp.ndarray:
+    """Stateless run from h=0 (matches ONNX Runtime per-chunk semantics).
+
+    features: [..., T, 161] -> gains [..., T, 161].
+    """
+    batch_shape = features.shape[:-2]
+    _, gains = apply_streaming(params, zero_state(batch_shape, features.dtype), features)
+    return gains
+
+
+# ---------------------------------------------------------------------------
+# Weight (de)serialization
+# ---------------------------------------------------------------------------
+
+
+def save_npz(path: str, params: NSNet2Params) -> None:
+    flat = {
+        "fc_in_w": params.fc_in_w, "fc_in_b": params.fc_in_b,
+        "ff1_w": params.ff1_w, "ff1_b": params.ff1_b,
+        "ff2_w": params.ff2_w, "ff2_b": params.ff2_b,
+        "out_w": params.out_w, "out_b": params.out_b,
+    }
+    for name, g in (("gru1", params.gru1), ("gru2", params.gru2)):
+        flat[f"{name}_wi"] = g.wi
+        flat[f"{name}_wh"] = g.wh
+        flat[f"{name}_bi"] = g.bi
+        flat[f"{name}_bh"] = g.bh
+        flat[f"{name}_lbr"] = np.int32(g.linear_before_reset)
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_npz(path: str) -> NSNet2Params:
+    z = np.load(path)
+
+    def gru(name):
+        return GRUParams(
+            wi=jnp.asarray(z[f"{name}_wi"]),
+            wh=jnp.asarray(z[f"{name}_wh"]),
+            bi=jnp.asarray(z[f"{name}_bi"]),
+            bh=jnp.asarray(z[f"{name}_bh"]),
+            linear_before_reset=int(z[f"{name}_lbr"]),
+        )
+
+    return NSNet2Params(
+        fc_in_w=jnp.asarray(z["fc_in_w"]), fc_in_b=jnp.asarray(z["fc_in_b"]),
+        gru1=gru("gru1"), gru2=gru("gru2"),
+        ff1_w=jnp.asarray(z["ff1_w"]), ff1_b=jnp.asarray(z["ff1_b"]),
+        ff2_w=jnp.asarray(z["ff2_w"]), ff2_b=jnp.asarray(z["ff2_b"]),
+        out_w=jnp.asarray(z["out_w"]), out_b=jnp.asarray(z["out_b"]),
+    )
+
+
+def load(path: str | None, *, seed: int = 0) -> NSNet2Params:
+    """Load weights from .onnx / .npz, or random-init when path is None."""
+    if path is None:
+        return init_params(jax.random.PRNGKey(seed))
+    if path.endswith(".npz"):
+        return load_npz(path)
+    if path.endswith(".onnx"):
+        from . import onnx_import
+
+        return onnx_import.load_nsnet2_onnx(path)
+    raise ValueError(f"unsupported NSNet2 weight format: {path}")

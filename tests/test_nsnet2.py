@@ -1,0 +1,107 @@
+"""NSNet2 model tests: GRU numerics vs torch, ONNX import round-trip,
+streaming-vs-stateless equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from formula_vad_tpu.models import nsnet2, onnx_import
+
+
+@pytest.fixture(scope="module")
+def params():
+    return nsnet2.init_params(jax.random.PRNGKey(42))
+
+
+class TestGRU:
+    def test_matches_torch_gru(self, params):
+        """Our GRU cell (linear_before_reset=1) must match torch.nn.GRU."""
+        torch = pytest.importorskip("torch")
+        p = params.gru1
+        hidden = nsnet2.HIDDEN
+        g = torch.nn.GRU(hidden, hidden, batch_first=False)
+        # torch gate order is (r, z, n); ONNX/ours is (z, r, n).
+        wi = np.asarray(p.wi)  # [in, 3H] cols z|r|n
+        wh = np.asarray(p.wh)
+        bi = np.asarray(p.bi)
+        bh = np.asarray(p.bh)
+
+        def to_torch_order(m, axis):
+            z, r, n = np.split(m, 3, axis=axis)
+            return np.concatenate([r, z, n], axis=axis)
+
+        with torch.no_grad():
+            g.weight_ih_l0.copy_(torch.tensor(to_torch_order(wi, 1).T))
+            g.weight_hh_l0.copy_(torch.tensor(to_torch_order(wh, 1).T))
+            g.bias_ih_l0.copy_(torch.tensor(to_torch_order(bi, 0)))
+            g.bias_hh_l0.copy_(torch.tensor(to_torch_order(bh, 0)))
+
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((7, 1, hidden)).astype(np.float32)
+        with torch.no_grad():
+            y_torch, _ = g(torch.tensor(x))
+        y_torch = y_torch.numpy()[:, 0]
+
+        h = jnp.zeros(hidden)
+        ours = []
+        for t in range(7):
+            h = nsnet2.gru_cell(p, h, jnp.asarray(x[t, 0]))
+            ours.append(np.asarray(h))
+        np.testing.assert_allclose(np.stack(ours), y_torch, atol=1e-4)
+
+
+class TestApply:
+    def test_output_shape_and_range(self, params):
+        feats = jnp.asarray(np.random.default_rng(1).standard_normal((54, 161)), jnp.float32)
+        gains = nsnet2.apply(params, feats)
+        assert gains.shape == (54, 161)
+        g = np.asarray(gains)
+        assert (g > 0).all() and (g < 1).all()  # sigmoid output
+
+    def test_batched_matches_single(self, params):
+        rng = np.random.default_rng(2)
+        feats = rng.standard_normal((3, 10, 161)).astype(np.float32)
+        batched = np.asarray(nsnet2.apply(params, jnp.asarray(feats)))
+        for i in range(3):
+            single = np.asarray(nsnet2.apply(params, jnp.asarray(feats[i])))
+            np.testing.assert_allclose(batched[i], single, atol=1e-5)
+
+    def test_streaming_continuation(self, params):
+        """apply_streaming chunked == one long stateless run."""
+        rng = np.random.default_rng(3)
+        feats = rng.standard_normal((20, 161)).astype(np.float32)
+        full = np.asarray(nsnet2.apply(params, jnp.asarray(feats)))
+        state = nsnet2.zero_state()
+        outs = []
+        for i in range(0, 20, 5):
+            state, g = nsnet2.apply_streaming(params, state, jnp.asarray(feats[i : i + 5]))
+            outs.append(np.asarray(g))
+        np.testing.assert_allclose(np.concatenate(outs), full, atol=1e-5)
+
+
+class TestOnnxImport:
+    def test_round_trip(self, params, tmp_path):
+        """Serialize params to a real ONNX protobuf and re-import them."""
+        blob = onnx_import.build_test_onnx(params)
+        path = tmp_path / "nsnet2.onnx"
+        path.write_bytes(blob)
+        loaded = nsnet2.load(str(path))
+
+        feats = jnp.asarray(np.random.default_rng(4).standard_normal((6, 161)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(nsnet2.apply(loaded, feats)),
+            np.asarray(nsnet2.apply(params, feats)),
+            atol=1e-6,
+        )
+
+    def test_npz_round_trip(self, params, tmp_path):
+        path = str(tmp_path / "w.npz")
+        nsnet2.save_npz(path, params)
+        loaded = nsnet2.load_npz(path)
+        feats = jnp.asarray(np.random.default_rng(5).standard_normal((4, 161)), jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(nsnet2.apply(loaded, feats)),
+            np.asarray(nsnet2.apply(params, feats)),
+            atol=0,
+        )
