@@ -1,0 +1,278 @@
+"""The full VAD compute step: one pure function per 0.5 s pipeline chunk.
+
+Composes the stages the reference chains as stateful objects
+(``src/AudioPipeline/VADPipeline.zig:144-237``):
+
+    chunk[C, 24000] --(volume analysis)--> stereo ratio
+        --(NSNet2 denoise, per channel)--> denoised[C, 24000]
+        --(1024-pt no-overlap magnitude windows)--> bins[C, n_win, 513]
+        --(speech-band volume + FSM scan)--> per-window events/segments
+
+into ``chunk_step(carry, chunk) -> (carry, ChunkOutput)``: a jit-able,
+vmap-able, scan-able pure function. Window accumulation across chunk
+boundaries (the reference's SegmentWriter re-chunking) is handled with a
+static-shape carry buffer and validity masks: each 24000-sample chunk
+completes either 23 or 24 windows of 1024 samples.
+
+Batch usage: ``vmap(chunk_step)`` over a leading stream axis, then
+``lax.scan`` over time, then ``jit`` with sharding over the stream axis —
+that is the entire TPU parallelization story for inference (the reference
+uses one OS thread per stream, simulator.zig:221-232).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VADConfig, VADMachineConfig
+from ..models import nsnet2
+from ..ops import dft, stft, volume, windows
+from . import denoiser, fsm
+
+
+class VADStatics(NamedTuple):
+    sample_rate: int
+    n_channels: int
+    fft_size: int
+    chunk_size: int  # denoiser chunk at pipeline rate (24000 @ 48k)
+    max_windows: int  # max complete FFT windows per chunk (24 for defaults)
+    min_bin: int  # speech band lower bin (inclusive)
+    max_bin: int  # speech band upper bin (inclusive)
+    norm_factor: float  # magnitude normalization (1/512 for hann-periodic 1024)
+    downsample_rate: int
+    fsm: fsm.FSMStatics
+
+
+def statics_from_config(
+    vad_config: VADConfig,
+    sample_rate: int = 48000,
+    n_channels: int = 2,
+    machine_config: VADMachineConfig | None = None,
+) -> VADStatics:
+    if sample_rate != 48000:
+        # The reference rejects any other rate (VADPipeline.zig:55-58).
+        raise ValueError("only 48000 Hz input is supported")
+    fft_size = vad_config.fft_size
+    chunk = 24000
+    cfg = machine_config if machine_config is not None else vad_config.vad_machine_config
+    w = windows.hann_periodic(fft_size)
+    nf = float(windows.window_norm_factor(w) / np.float32(fft_size))
+    return VADStatics(
+        sample_rate=sample_rate,
+        n_channels=n_channels,
+        fft_size=fft_size,
+        chunk_size=chunk,
+        max_windows=chunk // fft_size + 1,
+        min_bin=dft.freq_to_bin(cfg.speech_min_freq, fft_size, sample_rate),
+        max_bin=dft.freq_to_bin(cfg.speech_max_freq, fft_size, sample_rate),
+        norm_factor=nf,
+        downsample_rate=sample_rate // 16000,
+        fsm=fsm.statics_from_config(cfg, sample_rate, fft_size),
+    )
+
+
+def init_carry(st: VADStatics, dtype=jnp.float32) -> dict[str, Any]:
+    return {
+        "denoiser": denoiser.init_carry(st.n_channels, dtype),
+        "fft_buf": jnp.zeros((st.n_channels, st.fft_size), dtype),  # right-aligned tail
+        "fft_fill": jnp.int32(0),
+        "prev_ratio": jnp.asarray(0.0, dtype),
+        "win_base": jnp.int32(0),  # global index of the next completed window
+        "fsm": fsm.init_carry(st.fsm, dtype),
+    }
+
+
+class ChunkOutput(NamedTuple):
+    windows: fsm.WindowOutput  # per-window-slot FSM outputs, [max_windows]
+    window_valid: jnp.ndarray  # [max_windows] bool
+    denoised: jnp.ndarray  # [C, chunk] denoised audio (for recording)
+
+
+def _accumulate_windows(st: VADStatics, carry, denoised):
+    """Re-chunk denoised audio into fft_size windows across chunk boundaries.
+
+    Returns (new_buf, new_fill, frames [C, max_windows, fft_size],
+             n_windows, window_indices [max_windows], valid [max_windows]).
+    """
+    fft_size = st.fft_size
+    fill = carry["fft_fill"]
+    ext = jnp.concatenate([carry["fft_buf"], denoised], axis=-1)  # [C, fft+chunk]
+    start = fft_size - fill  # first valid sample in ext
+    n_windows = (fill + st.chunk_size) // fft_size
+
+    w_range = jnp.arange(st.max_windows, dtype=jnp.int32)
+    idx = start + w_range[:, None] * fft_size + jnp.arange(fft_size, dtype=jnp.int32)[None, :]
+    # Clamp so padded (invalid) window slots gather in-bounds garbage.
+    idx = jnp.clip(idx, 0, ext.shape[-1] - 1)
+    frames = ext[..., idx]  # [C, max_windows, fft_size]
+
+    valid = w_range < n_windows
+    win_indices = carry["win_base"] + w_range
+    new_fill = fill + st.chunk_size - n_windows * fft_size
+    new_buf = ext[..., -fft_size:]
+    return new_buf, new_fill, frames, n_windows, win_indices, valid
+
+
+_WINDOW_CACHE: dict[int, np.ndarray] = {}
+
+
+def _hann(fft_size: int) -> np.ndarray:
+    if fft_size not in _WINDOW_CACHE:
+        _WINDOW_CACHE[fft_size] = windows.hann_periodic(fft_size)
+    return _WINDOW_CACHE[fft_size]
+
+
+def chunk_step(
+    params: nsnet2.NSNet2Params,
+    st: VADStatics,
+    carry: dict[str, Any],
+    chunk: jnp.ndarray,
+    chunk_valid: jnp.ndarray | bool = True,
+) -> tuple[dict[str, Any], ChunkOutput]:
+    """Process one pipeline chunk for one stream.
+
+    Args:
+      chunk: [n_channels, chunk_size] original audio.
+      chunk_valid: False for padding chunks (ragged batch tails): the carry is
+        frozen and all outputs are masked invalid.
+    Returns:
+      (new_carry, ChunkOutput)
+    """
+    chunk_valid = jnp.asarray(chunk_valid)
+
+    # 1. Stereo volume analysis on the original audio
+    #    (BufferedVolumeAnalyzer.zig:48-69).
+    cur_ratio, _vmin, _vmax = volume.volume_analysis(chunk)
+
+    # 2. NSNet2 denoise per channel (BufferedDenoiser.zig:105-110).
+    den_carry, denoised = denoiser.denoise_chunk(
+        params, carry["denoiser"], chunk, st.downsample_rate
+    )
+
+    # 3. Re-chunk into 1024-pt windows; magnitude bins with 1/512 norm
+    #    (BufferedFFT.zig:129-181).
+    fill = carry["fft_fill"]
+    new_buf, new_fill, frames, n_windows, win_indices, valid = _accumulate_windows(
+        st, carry, denoised
+    )
+    mags = stft.magnitude_windows(frames, _hann(st.fft_size), st.fft_size, st.norm_factor)
+
+    # 4. Speech-band volume: SUM of magnitude bins in [min_bin, max_bin]
+    #    (BufferedFFT.zig:183-202 "averageVolumeInBand" actually sums), then
+    #    min over channels (VADMachine.zig:153-166).
+    band = jnp.sum(mags[..., st.min_bin : st.max_bin + 1], axis=-1)  # [C, max_windows]
+    min_vol = jnp.min(band, axis=0)  # [max_windows]
+
+    # 5. Per-window weighted volume ratio: window 0 may straddle the previous
+    #    chunk (VADMetadata sample-count weighting, VADMetadata.zig:29-60).
+    f32fill = fill.astype(jnp.float32)
+    w0_ratio = (f32fill * carry["prev_ratio"] + (st.fft_size - f32fill) * cur_ratio) / np.float32(
+        st.fft_size
+    )
+    ratios = jnp.where(jnp.arange(st.max_windows) == 0, w0_ratio, cur_ratio)
+
+    # 6. FSM scan over the window slots (VADMachine.zig:138-239).
+    fsm_carry, win_out = fsm.scan_windows(
+        st.fsm, carry["fsm"], min_vol, ratios, win_indices, valid & chunk_valid
+    )
+
+    new_carry = {
+        "denoiser": den_carry,
+        "fft_buf": new_buf,
+        "fft_fill": new_fill,
+        "prev_ratio": cur_ratio,
+        "win_base": carry["win_base"] + n_windows,
+        "fsm": fsm_carry,
+    }
+    # Freeze everything on invalid chunks (the fsm carry is already frozen
+    # per-window via `valid`, but denoiser/fft state must freeze too).
+    new_carry = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(chunk_valid, new, old), new_carry, carry
+    )
+
+    out = ChunkOutput(
+        windows=win_out,
+        window_valid=valid & chunk_valid,
+        denoised=denoised,
+    )
+    return new_carry, out
+
+
+# ---------------------------------------------------------------------------
+# Whole-stream processing (scan over chunks)
+# ---------------------------------------------------------------------------
+
+
+def process_stream(
+    params: nsnet2.NSNet2Params,
+    st: VADStatics,
+    audio: jnp.ndarray,
+    carry: dict[str, Any] | None = None,
+    chunk_valids: jnp.ndarray | None = None,
+    collect_denoised: bool = False,
+):
+    """Run the VAD over a whole stream.
+
+    Args:
+      audio: [C, T] with T a multiple of chunk_size (callers truncate the tail,
+        matching the reference which never processes a partial denoiser chunk,
+        VADPipeline.zig:149-151).
+      chunk_valids: optional [T // chunk_size] bool mask for padded chunks.
+      collect_denoised: also return the full denoised audio (memory-heavy).
+    Returns:
+      (final_carry, ChunkOutput stacked over chunks) — windows fields have
+      shape [n_chunks, max_windows].
+    """
+    c, t = audio.shape
+    n_chunks = t // st.chunk_size
+    chunks = audio[:, : n_chunks * st.chunk_size].reshape(c, n_chunks, st.chunk_size)
+    chunks = jnp.moveaxis(chunks, 1, 0)  # [n_chunks, C, chunk]
+    if carry is None:
+        carry = init_carry(st)
+    if chunk_valids is None:
+        chunk_valids = jnp.ones((n_chunks,), bool)
+
+    def body(cr, xs):
+        ch, cv = xs
+        cr, out = chunk_step(params, st, cr, ch, cv)
+        if not collect_denoised:
+            out = out._replace(denoised=jnp.zeros((0,), out.denoised.dtype))
+        return cr, out
+
+    return jax.lax.scan(body, carry, (chunks, chunk_valids))
+
+
+def segments_from_outputs(
+    st: VADStatics, outputs: ChunkOutput
+) -> list[dict]:
+    """Host-side: convert stacked ChunkOutput into speech segments.
+
+    Applies the +/-2 s recording margins (VADMachine.zig:312-325) to produce
+    ``sample_from``/``sample_to`` like VADPipeline.SpeechSegment
+    (VADPipeline.zig:28-33).
+    """
+    # The +/-2 s margin is hardcoded in the reference regardless of config
+    # (VADMachine.zig:312-325).
+    margin = VADMachineConfig().recording_margin_samples(st.sample_rate)
+    win = np.asarray(outputs.windows.seg_valid).reshape(-1)
+    starts = np.asarray(outputs.windows.seg_start_win).reshape(-1)
+    ends = np.asarray(outputs.windows.seg_end_win).reshape(-1)
+    ratios = np.asarray(outputs.windows.seg_ratio).reshape(-1)
+    mets = np.asarray(outputs.windows.seg_met_sec).reshape(-1)
+    segs = []
+    for i in np.nonzero(win)[0]:
+        s = int(starts[i]) * st.fft_size
+        e = int(ends[i]) * st.fft_size
+        segs.append(
+            {
+                "sample_from": max(0, s - margin),
+                "sample_to": e + margin,
+                "avg_channel_vol_ratio": float(ratios[i]),
+                "vad_met_sec": float(mets[i]),
+            }
+        )
+    return segs

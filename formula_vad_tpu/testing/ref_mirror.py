@@ -1,0 +1,295 @@
+"""Sequential numpy mirror of the reference pipeline semantics.
+
+This module re-states the Zig reference's exact per-sample/per-frame behavior
+(``/root/reference/src``) as slow, obvious, sequential numpy code.  It exists
+purely as a test oracle: the JAX pipeline must produce *segment-identical*
+VAD output against this mirror on synthetic audio (the audio fixtures and the
+NSNet2 ONNX blob used for the published metrics are not distributed with the
+reference repo, so the mirror — run with the same weights as the JAX path —
+is the strongest available parity check; see SURVEY.md §4).
+
+Everything here follows the reference control flow literally:
+chunk loop -> per-channel NSNet2 denoise (NSNet2.zig:161-237) ->
+SegmentWriter re-chunking into 1024-pt windows (BufferedFFT.zig:129-160) ->
+RollingAverage pushes in f64 (RollingAverage.zig) -> 4-state FSM
+(VADMachine.zig:189-233).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import VADMachineConfig
+from ..models import nsnet2 as nsnet2_jax
+from ..ops import windows
+
+
+class RollingAverage:
+    """RollingAverage.zig: f64 ring buffer, full recompute per push."""
+
+    def __init__(self, count: int, initial: float | None):
+        self.data = np.zeros(count, np.float64)
+        self.write_idx = 0
+        self.written = 0
+        self.last_avg: float | None = None
+        if initial is not None:
+            self.data[:] = initial
+            self.written = count
+            self.avg()
+
+    def push(self, sample: float) -> float:
+        self.data[self.write_idx] = np.float32(sample)
+        self.write_idx = (self.write_idx + 1) % len(self.data)
+        self.written = min(self.written + 1, len(self.data))
+        return self.avg()
+
+    def avg(self) -> float:
+        scalar = 1.0 / self.written
+        acc = 0.0
+        for i in range(self.written):
+            acc += self.data[i] * scalar
+        self.last_avg = acc
+        return acc
+
+
+def nsnet2_forward_np(params, feats: np.ndarray) -> np.ndarray:
+    """Run the NSNet2 network in float32 numpy (stateless, h0=0)."""
+    import jax.numpy as jnp
+
+    return np.asarray(nsnet2_jax.apply(params, jnp.asarray(feats)))
+
+
+class NSNet2Mirror:
+    """Per-channel chunked denoiser state (NSNet2.zig)."""
+
+    N_FFT, N_HOP, CHUNK = 320, 160, 8000
+    CTX = 4
+
+    def __init__(self, params, downsample_rate: int = 3):
+        self.params = params
+        self.rate = downsample_rate
+        self.window = windows.sqrt_hann_symmetric(self.N_FFT)
+        self.in_buf = np.zeros(self.CHUNK + self.N_HOP, np.float32)
+        self.out_buf = np.zeros(self.CHUNK + self.N_HOP, np.float32)
+        self.feat_ctx = np.zeros((self.CTX, 161), np.float32)
+        self.last_sample = np.float32(0.0)
+
+    def denoise(self, samples48: np.ndarray) -> np.ndarray:
+        assert len(samples48) == self.CHUNK * self.rate
+        # carry overlaps
+        self.in_buf[: self.N_HOP] = self.in_buf[self.CHUNK :]
+        self.out_buf[: self.N_HOP] = self.out_buf[self.CHUNK :]
+        self.out_buf[self.N_HOP :] = 0.0
+        # downsample (decimation)
+        self.in_buf[self.N_HOP :] = samples48[:: self.rate]
+        # spectrogram: 50 frames, hop 160
+        n_frames = 50
+        spec = np.zeros((n_frames, 161), np.complex64)
+        for f in range(n_frames):
+            frame = self.in_buf[f * self.N_HOP : f * self.N_HOP + self.N_FFT]
+            spec[f] = np.fft.rfft((frame * self.window).astype(np.float32))
+        feats = np.log10(
+            np.maximum((spec.real**2 + spec.imag**2).astype(np.float32), np.float32(1e-12))
+        ).astype(np.float32)
+        model_in = np.concatenate([self.feat_ctx, feats], axis=0)  # [54, 161]
+        gains = nsnet2_forward_np(self.params, model_in)[self.CTX :]  # [50, 161]
+        self.feat_ctx = feats[-self.CTX :].copy()
+        g = np.clip(gains, -80.0, 1.0)
+        spec *= g
+        # inverse + windowed overlap-add with 1/n_fft on the unnormalized
+        # inverse => irfft * window in normalized terms.
+        for f in range(n_frames):
+            inv = np.fft.irfft(spec[f], n=self.N_FFT).astype(np.float32) * self.window
+            self.out_buf[f * self.N_HOP : f * self.N_HOP + self.N_FFT] += inv
+        completed = self.out_buf[: self.CHUNK]
+        # lerp upsample with carried last sample (resample.zig:32-65)
+        out = np.zeros(self.CHUNK * self.rate, np.float32)
+        prev = self.last_sample
+        r = self.rate
+        for i in range(self.CHUNK):
+            cur = completed[i]
+            for j in range(r - 1):
+                frac = np.float32((j + 1) / r)
+                out[i * r + j] = prev + (cur - prev) * frac
+            out[i * r + r - 1] = cur
+            prev = cur
+        self.last_sample = completed[-1]
+        return out
+
+
+class VADMachineMirror:
+    """VADMachine.zig FSM + rolling averages, window-sequential."""
+
+    def __init__(self, cfg: VADMachineConfig, sample_rate: int, fft_size: int):
+        self.cfg = cfg
+        self.sample_rate = sample_rate
+        self.fft_size = fft_size
+        self.long = RollingAverage(
+            cfg.long_term_window(sample_rate, fft_size), cfg.initial_long_term_avg
+        )
+        self.short = RollingAverage(cfg.short_term_window(sample_rate, fft_size), None)
+        self.ratio = RollingAverage(cfg.channel_ratio_window(sample_rate, fft_size), None)
+        self.state = "closed"
+        self.start_idx: int | None = None
+        self.end_idx: int | None = None
+        self.seg_ratio_sum = np.float32(0)
+        self.seg_ratio_cnt = 0
+        self.met_sec = np.float32(0)
+        self.segments: list[dict] = []
+        self.events: list[tuple[str, int]] = []
+
+    def run(self, index: int, min_volume: float, volume_ratio: float) -> None:
+        cfg = self.cfg
+        sr = self.sample_rate
+        min_consecutive = cfg.min_consecutive_samples_to_open(sr)
+        max_gap = cfg.max_gap_samples(sr)
+        short = self.short.push(min_volume)
+        ratio = self.ratio.push(volume_ratio)
+        base = self.long.last_avg
+        if base is None:
+            base = cfg.initial_long_term_avg if cfg.initial_long_term_avg is not None else short
+        threshold = base * np.float32(cfg.speech_threshold_factor)
+        met = (short > threshold) and (ratio > cfg.channel_vol_ratio_threshold)
+        if not met:
+            self.long.push(min_volume)
+
+        from_state = self.state
+        if self.state == "closed":
+            if met:
+                self.state = "opening"
+                self.start_idx = index
+        elif self.state == "opening":
+            if met and (index - self.start_idx) >= min_consecutive:
+                self.state = "open"
+                self.events.append(("started", self._offset_start(self.start_idx)))
+            elif not met:
+                self.state = "closed"
+        elif self.state == "open":
+            if not met:
+                self.state = "closing"
+                self.end_idx = index
+        elif self.state == "closing":
+            if met:
+                self.state = "open"
+            elif (index - self.end_idx) >= max_gap:
+                self.state = "closed"
+                self._on_speech_end()
+
+        input_len_sec = np.float32(self.fft_size) / np.float32(sr)
+        if from_state == "closed" and self.state == "opening":
+            self.seg_ratio_sum = np.float32(volume_ratio)
+            self.seg_ratio_cnt = 1
+            self.met_sec = input_len_sec
+        elif from_state == "open":
+            self.seg_ratio_sum = np.float32(self.seg_ratio_sum + np.float32(volume_ratio))
+            self.seg_ratio_cnt += 1
+            if met:
+                self.met_sec = np.float32(self.met_sec + input_len_sec)
+
+    def _offset_start(self, idx: int) -> int:
+        margin = self.cfg.recording_margin_samples(self.sample_rate)
+        return idx - min(margin, idx)
+
+    def _offset_end(self, idx: int) -> int:
+        return idx + self.cfg.recording_margin_samples(self.sample_rate)
+
+    def _on_speech_end(self) -> None:
+        length_sec = np.float32(self.end_idx - self.start_idx) / np.float32(self.sample_rate)
+        if length_sec >= np.float32(self.cfg.min_vad_duration_sec):
+            self.segments.append(
+                {
+                    "sample_from": self._offset_start(self.start_idx),
+                    "sample_to": self._offset_end(self.end_idx),
+                    "avg_channel_vol_ratio": float(
+                        np.float32(self.seg_ratio_sum / np.float32(self.seg_ratio_cnt))
+                    ),
+                    "vad_met_sec": float(self.met_sec),
+                }
+            )
+            self.events.append(("completed", self._offset_end(self.end_idx)))
+        else:
+            self.events.append(("aborted", 0))
+
+
+class PipelineMirror:
+    """Full sequential pipeline: AudioPipeline + VADPipeline + BufferedFFT."""
+
+    def __init__(
+        self,
+        params,
+        cfg: VADMachineConfig | None = None,
+        sample_rate: int = 48000,
+        n_channels: int = 2,
+        fft_size: int = 1024,
+    ):
+        cfg = cfg or VADMachineConfig()
+        self.sample_rate = sample_rate
+        self.n_channels = n_channels
+        self.fft_size = fft_size
+        self.chunk = 24000
+        self.denoisers = [NSNet2Mirror(params, sample_rate // 16000) for _ in range(n_channels)]
+        self.machine = VADMachineMirror(cfg, sample_rate, fft_size)
+        self.fft_window = windows.hann_periodic(fft_size)
+        self.norm = np.float32(windows.window_norm_factor(self.fft_window) / np.float32(fft_size))
+        self.min_bin = int(np.round(cfg.speech_min_freq / (sample_rate / fft_size)))
+        self.max_bin = int(np.round(cfg.speech_max_freq / (sample_rate / fft_size)))
+        # FFT accumulation buffer + weighted metadata accumulator
+        self.fft_buf = np.zeros((n_channels, fft_size), np.float32)
+        self.fft_fill = 0
+        self.fft_index = 0  # start sample index of the current buffer
+        self.meta_sum = 0.0
+        self.meta_weight = 0.0
+        self.denoised_log: list[np.ndarray] = []
+
+    def push_chunk(self, chunk: np.ndarray) -> None:
+        """chunk: [n_channels, 24000] original audio."""
+        assert chunk.shape == (self.n_channels, self.chunk)
+        # volume analysis (f32 sequential RMS is within float tolerance of
+        # vectorized; BufferedVolumeAnalyzer.zig:48-69)
+        vols = [
+            np.sqrt(np.mean(chunk[c].astype(np.float32) ** 2, dtype=np.float32))
+            for c in range(self.n_channels)
+        ]
+        vmin, vmax = min(1.0, min(vols)), max(0.0, max(vols))
+        ratio = 0.0 if vmax == 0 else np.float32(vmin / vmax)
+        denoised = np.stack(
+            [self.denoisers[c].denoise(chunk[c]) for c in range(self.n_channels)]
+        )
+        self.denoised_log.append(denoised)
+        # BufferedFFT.write loop with VADMetadata weighting
+        offset = 0
+        remaining = self.chunk
+        while remaining > 0:
+            n_write = min(self.fft_size - self.fft_fill, remaining)
+            self.fft_buf[:, self.fft_fill : self.fft_fill + n_write] = denoised[
+                :, offset : offset + n_write
+            ]
+            self.meta_sum += float(ratio) * n_write
+            self.meta_weight += n_write
+            self.fft_fill += n_write
+            offset += n_write
+            remaining -= n_write
+            if self.fft_fill == self.fft_size:
+                self._run_window()
+                self.fft_fill = 0
+                self.fft_index += self.fft_size
+
+    def _run_window(self) -> None:
+        band_vols = []
+        for c in range(self.n_channels):
+            x = self.fft_buf[c] * self.fft_window
+            mags = np.abs(np.fft.rfft(x)).astype(np.float32) * self.norm
+            band_vols.append(np.sum(mags[self.min_bin : self.max_bin + 1], dtype=np.float32))
+        min_vol = min(band_vols)
+        w_ratio = self.meta_sum / self.meta_weight
+        self.meta_sum = 0.0
+        self.meta_weight = 0.0
+        self.machine.run(self.fft_index, min_vol, w_ratio)
+
+    def run(self, audio: np.ndarray) -> list[dict]:
+        """audio: [n_channels, T]; only full 24000-sample chunks are processed
+        (VADPipeline.zig:149-151)."""
+        n_chunks = audio.shape[1] // self.chunk
+        for k in range(n_chunks):
+            self.push_chunk(audio[:, k * self.chunk : (k + 1) * self.chunk])
+        return self.machine.segments
