@@ -1,0 +1,88 @@
+"""AudioBuffer / AudioSource — in-memory and streaming audio containers.
+
+Mirrors ``src/audio_utils/AudioBuffer.zig`` (deinterleaved PCM with a
+``global_start_frame_number`` stamp) and ``src/audio_utils/AudioSource.zig``
+(a stream|buffer union with uniform accessors).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Union
+
+import numpy as np
+
+from . import wav
+
+
+@dataclasses.dataclass
+class AudioBuffer:
+    channel_pcm: np.ndarray  # [n_channels, n_frames] float32, planar
+    sample_rate: int
+    global_start_frame_number: Optional[int] = None
+
+    @property
+    def n_channels(self) -> int:
+        return self.channel_pcm.shape[0]
+
+    @property
+    def length(self) -> int:
+        return self.channel_pcm.shape[1]
+
+    @property
+    def duration_seconds(self) -> float:
+        return self.length / self.sample_rate
+
+    @classmethod
+    def load_from_file(cls, path: str) -> "AudioBuffer":
+        data, rate = wav.read_wav(path)
+        return cls(channel_pcm=data, sample_rate=rate)
+
+    def save_to_file(self, path: str, fmt: str = "float32") -> None:
+        wav.write_wav(path, self.channel_pcm, self.sample_rate, fmt)
+
+
+class AudioSource:
+    """stream | buffer union (AudioSource.zig:6-39)."""
+
+    def __init__(self, source: Union[wav.WavStream, AudioBuffer]):
+        self._source = source
+
+    @classmethod
+    def open_stream(cls, path: str) -> "AudioSource":
+        return cls(wav.WavStream(path))
+
+    @classmethod
+    def preload(cls, path: str) -> "AudioSource":
+        return cls(AudioBuffer.load_from_file(path))
+
+    @property
+    def is_stream(self) -> bool:
+        return isinstance(self._source, wav.WavStream)
+
+    @property
+    def sample_rate(self) -> int:
+        return self._source.sample_rate
+
+    @property
+    def n_channels(self) -> int:
+        return self._source.n_channels
+
+    def duration_seconds(self) -> float:
+        if isinstance(self._source, AudioBuffer):
+            return self._source.duration_seconds
+        return self._source.duration_seconds()
+
+    def read_all(self) -> np.ndarray:
+        if isinstance(self._source, AudioBuffer):
+            return self._source.channel_pcm
+        return self._source.read(self._source.n_frames)
+
+    def read(self, max_frames: int) -> np.ndarray:
+        if isinstance(self._source, AudioBuffer):
+            raise TypeError("preloaded source has no incremental read; use read_all")
+        return self._source.read(max_frames)
+
+    def close(self) -> None:
+        if isinstance(self._source, wav.WavStream):
+            self._source.close()

