@@ -1,0 +1,190 @@
+"""Long-running stdin/stdout JSON daemon — the ``formula-vad`` executable
+(src/main.zig:88-419).
+
+Protocol (newline-delimited JSON):
+
+* stdin commands: ``{"action": "segment", "file_path": ..., "playhead_timestamp_ms": ...}``
+  pushes a decoded audio file into the pipeline;
+  ``{"action": "skip_segment"}`` pushes silence of the previous segment's
+  length to keep sample indices continuous (main.zig:283-301).
+* stdout events: ``{"action": "recording", "name", "file_path",
+  "playhead_timestamp_ms", "duration_ms", "speech_duration_ms"}`` when a
+  speech clip has been saved (main.zig:45-52, 328-408), and
+  ``{"action": "error", "message", "fatal"}`` for errors (main.zig:54-59).
+
+Recordings are written as ``{start_frame}-original.wav`` /
+``{start_frame}-denoised.wav`` (float32 WAV, like the reference's daemon
+mode). Hardcoded: 48 kHz stereo, 10 s ring buffers (main.zig:135-142).
+
+Usage: python -m formula_vad_tpu.apps.daemon -o OUTDIR -n NAME [--denoiser MODEL]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from ..config import PipelineConfig, VADConfig
+from ..io_.audio import AudioBuffer
+from ..models import nsnet2
+from ..pipeline.pipeline import AudioPipeline, Callbacks
+
+
+class Daemon:
+    def __init__(self, name: str, out_dir: str, denoiser_path: str | None,
+                 stdout=None):
+        self.name = name
+        self.out_dir = out_dir
+        self.stdout = stdout or sys.stdout
+        self.correlated_sample_index = 0
+        self.correlated_timestamp_ms = 0
+        self.last_segment_length = 0
+        config = PipelineConfig(
+            sample_rate=48000,
+            n_channels=2,
+            buffer_length=48000 * 10,
+            vad_config=VADConfig(denoiser_model_path=denoiser_path),
+        )
+        self.pipeline = AudioPipeline(
+            config,
+            params=nsnet2.load(denoiser_path),
+            callbacks=Callbacks(
+                on_original_recording=lambda b: self._on_recording(b, "original"),
+                on_denoised_recording=lambda b: self._on_recording(b, "denoised"),
+            ),
+        )
+
+    # ---- output ------------------------------------------------------------
+
+    def _emit(self, obj: dict) -> None:
+        self.stdout.write(json.dumps(obj) + "\n")
+        self.stdout.flush()
+
+    def report_error(self, message: str, fatal: bool) -> None:
+        self._emit({"action": "error", "message": message, "fatal": fatal})
+
+    def _on_recording(self, buf: AudioBuffer, kind: str) -> None:
+        filename = f"{buf.global_start_frame_number}-{kind}.wav"
+        path = os.path.join(self.out_dir, filename)
+        try:
+            buf.save_to_file(path)
+        except OSError as e:
+            self.report_error(f"Error saving audio file: {e}. Path: {path}", False)
+            return
+        # Only original recordings are announced (main.zig:367-370).
+        if kind != "original":
+            return
+        duration_ms = int(buf.duration_seconds * 1000)
+        samples_since = buf.global_start_frame_number - self.correlated_sample_index
+        ms_since = (1000 * samples_since) // buf.sample_rate if samples_since >= 0 else -(
+            (1000 * -samples_since) // buf.sample_rate
+        )
+        self._emit(
+            {
+                "action": "recording",
+                "name": self.name,
+                "file_path": path,
+                "playhead_timestamp_ms": self.correlated_timestamp_ms + ms_since,
+                "duration_ms": duration_ms,
+                # Approximate, like the reference (main.zig:394).
+                "speech_duration_ms": duration_ms - min(duration_ms, 3500),
+            }
+        )
+
+    # ---- commands ----------------------------------------------------------
+
+    def process_line(self, line: str) -> None:
+        line = line.strip()
+        if not line:
+            return
+        try:
+            cmd = json.loads(line)
+        except json.JSONDecodeError as e:
+            self.report_error(f"Error parsing command JSON: {e}. Line: {line}", False)
+            return
+        action = cmd.get("action")
+        if action == "segment":
+            self._process_segment(cmd)
+        elif action == "skip_segment":
+            self._process_skip()
+        else:
+            self.report_error(f"Unknown action: {action}", False)
+
+    def _process_segment(self, cmd: dict) -> None:
+        file_path = cmd.get("file_path")
+        playhead = cmd.get("playhead_timestamp_ms")
+        if file_path is None:
+            self.report_error(f"Missing file_path in command: {cmd}", False)
+            return
+        if playhead is None:
+            self.report_error(f"Missing playhead_timestamp_ms in command: {cmd}", False)
+            return
+        try:
+            buffer = AudioBuffer.load_from_file(file_path)
+        except (OSError, ValueError) as e:
+            self.report_error(f"Error loading audio file: {e}. Command: {cmd}", False)
+            return
+        if buffer.n_channels != self.pipeline.config.n_channels:
+            self.report_error(
+                f"Audio file has {buffer.n_channels} channels, but pipeline has "
+                f"{self.pipeline.config.n_channels} channels. Command: {cmd}",
+                False,
+            )
+            # Possibly transient: keep continuity (main.zig:242-257).
+            self._process_skip()
+            return
+        if buffer.sample_rate != self.pipeline.config.sample_rate:
+            self.report_error(
+                f"Audio file has SR of {buffer.sample_rate}, but pipeline has SR of "
+                f"{self.pipeline.config.sample_rate}. Command: {cmd}",
+                True,
+            )
+            raise SystemExit(1)  # fatal (main.zig:259-270)
+        first_idx = self.pipeline.push_samples(buffer.channel_pcm)
+        self.correlated_sample_index = first_idx
+        self.correlated_timestamp_ms = playhead
+        self.last_segment_length = buffer.length
+
+    def _process_skip(self) -> None:
+        silence = np.zeros(
+            (self.pipeline.config.n_channels, self.last_segment_length), np.float32
+        )
+        self.pipeline.push_samples(silence)
+
+    def run(self, stdin=None) -> int:
+        stdin = stdin or sys.stdin
+        for line in stdin:
+            self.process_line(line)
+        return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Formula-VAD streaming daemon.")
+    ap.add_argument("-o", "--outdir", required=True, help="Output directory")
+    ap.add_argument("-n", "--name", required=True, help="Instance name for logging")
+    ap.add_argument("--denoiser", default=None, help="Path to denoiser model (.onnx or .npz)")
+    args = ap.parse_args(argv)
+
+    if not os.path.isdir(args.outdir) or not os.access(args.outdir, os.W_OK):
+        sys.stdout.write(
+            json.dumps(
+                {
+                    "action": "error",
+                    "message": f"Output directory {args.outdir} isn't writeable",
+                    "fatal": True,
+                }
+            )
+            + "\n"
+        )
+        return 2
+
+    daemon = Daemon(args.name, args.outdir, args.denoiser)
+    return daemon.run()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,195 @@
+"""Batch evaluation harness — the ``simulator`` executable
+(src/simulator.zig:89-143).
+
+Reads a plan JSON (``{"instances": [{name, audio_path, ref_path}],
+"config": {...}}``), runs the VAD over every recording, scores against the
+Audacity reference labels, writes per-instance Audacity txts + report.txt
+into a timestamped output directory, and prints the report.
+
+Where the reference spawns one OS thread per recording
+(simulator.zig:221-232), this app batches all streams into one device batch
+and runs them in a single sharded program (``parallel.runner.BatchRunner``).
+Set ``"batch_streams": false`` in the plan config to instead run streams
+sequentially through the host streaming pipeline (which also saves per-
+segment audio clips, like the reference's OGG recordings — we write WAV:
+no Vorbis encoder exists in this environment).
+
+Usage: python -m formula_vad_tpu.apps.simulator -i plan.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from ..config import SIMULATOR_STAT_CONFIG, SimConfig, StatConfig, sim_config_from_dict
+from ..eval import SpeechSegment, formats, init_and_run, report
+from ..io_ import AudioSource
+from ..io_.wav import write_wav
+from ..models import nsnet2
+from ..parallel.runner import BatchRunner
+from ..pipeline.pipeline import AudioPipeline, Callbacks
+from ..config import PipelineConfig
+
+F32 = np.float32
+
+
+@dataclasses.dataclass
+class Instance:
+    name: str
+    audio_path: str
+    ref_path: str
+    out_dir: str | None = None
+    reference_segments: list | None = None
+    vad_segments: list | None = None  # raw dicts from the pipeline
+    evaluator: object | None = None
+
+
+def load_plan(plan_path: str):
+    base = os.path.dirname(os.path.abspath(plan_path)) or "."
+    with open(plan_path) as f:
+        plan = json.load(f)
+    config = sim_config_from_dict(plan.get("config", {}))
+    instances = [
+        Instance(
+            name=inst["name"],
+            audio_path=os.path.join(base, inst["audio_path"]),
+            ref_path=os.path.join(base, inst["ref_path"]),
+        )
+        for inst in plan["instances"]
+    ]
+    return instances, config, base, plan
+
+
+def vad_segments_to_eval(segments: list[dict], sample_rate: int) -> list[SpeechSegment]:
+    """Convert pipeline segments to evaluation segments with the reference's
+    f32 seconds conversion and debug annotation (SimulationInstance.zig:227-255)."""
+    out = []
+    for s in segments:
+        out.append(
+            SpeechSegment(
+                from_sec=float(F32(s["sample_from"]) / F32(sample_rate)),
+                to_sec=float(F32(s["sample_to"]) / F32(sample_rate)),
+                side="vad",
+                debug_info=f"vr:{s['avg_channel_vol_ratio']:.2f} vad:{s['vad_met_sec']:.1f}s",
+            )
+        )
+    return out
+
+
+def run_batched(instances: list[Instance], config: SimConfig) -> None:
+    params = nsnet2.load(config.vad_config.denoiser_model_path)
+    runner = BatchRunner(params, config.vad_config)
+    audios = []
+    lengths = []
+    for inst in instances:
+        src = AudioSource.preload(inst.audio_path)
+        if src.sample_rate != 48000:
+            raise ValueError(f"{inst.name}: sample rate {src.sample_rate} != 48000")
+        audio = src.read_all()
+        audios.append(audio)
+        lengths.append(audio.shape[1])
+    max_t = max(lengths)
+    chunk = runner.st.chunk_size
+    max_t = ((max_t + chunk - 1) // chunk) * chunk
+    n_ch = audios[0].shape[0]
+    batch = np.zeros((len(audios), n_ch, max_t), np.float32)
+    for i, a in enumerate(audios):
+        batch[i, :, : a.shape[1]] = a
+    results = runner.run(batch, lengths)
+    for inst, res in zip(instances, results):
+        inst.vad_segments = res.segments
+
+
+def run_streaming(instances: list[Instance], config: SimConfig) -> None:
+    """Sequential per-stream run through the host pipeline; saves clips."""
+    params = nsnet2.load(config.vad_config.denoiser_model_path)
+    for inst in instances:
+        callbacks = Callbacks()
+        if inst.out_dir:
+            def on_rec(buf, kind):
+                path = os.path.join(inst.out_dir, f"{buf.global_start_frame_number}-{kind}.wav")
+                write_wav(path, buf.channel_pcm, buf.sample_rate)
+
+            callbacks = Callbacks(
+                on_original_recording=lambda b: on_rec(b, "original"),
+                on_denoised_recording=lambda b: on_rec(b, "denoised"),
+            )
+        src = AudioSource.open_stream(inst.audio_path)
+        pipe = AudioPipeline(
+            PipelineConfig(
+                sample_rate=src.sample_rate,
+                n_channels=src.n_channels,
+                vad_config=config.vad_config,
+            ),
+            params=params,
+            callbacks=callbacks,
+        )
+        while True:
+            frames = src.read(config.audio_read_frame_count)
+            if frames.shape[1] == 0:
+                break
+            pipe.push_samples(frames)
+        src.close()
+        inst.vad_segments = pipe.segments
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Run the VAD simulation plan.")
+    ap.add_argument("-i", "--input", required=True, help="Simulation plan (path to JSON)")
+    args = ap.parse_args(argv)
+
+    instances, config, base, plan_raw = load_plan(args.input)
+
+    # Timestamped output dir + plan copy (simulator.zig:156-176).
+    resolved_out = None
+    if config.output_dir:
+        resolved_out = os.path.join(base, config.output_dir, str(int(time.time())))
+        os.makedirs(resolved_out, exist_ok=True)
+        with open(os.path.join(resolved_out, "plan.json"), "w") as f:
+            json.dump(plan_raw, f, indent=2)
+        for inst in instances:
+            inst.out_dir = os.path.join(resolved_out, inst.name)
+            os.makedirs(inst.out_dir, exist_ok=True)
+
+    for inst in instances:
+        with open(inst.ref_path) as f:
+            inst.reference_segments = formats.parse_audacity_segments(f.read(), side="ref")
+
+    if config.batch_streams:
+        run_batched(instances, config)
+    else:
+        run_streaming(instances, config)
+
+    evaluators = []
+    for inst in instances:
+        vad_segs = vad_segments_to_eval(inst.vad_segments or [], 48000)
+        inst.evaluator = init_and_run(vad_segs, inst.reference_segments)
+        evaluators.append(inst.evaluator)
+        if resolved_out:
+            txt = formats.serialize_evaluator_to_audacity_txt(inst.evaluator)
+            with open(os.path.join(resolved_out, f"{inst.name}-audacity.txt"), "w") as f:
+                f.write(txt)
+
+    stat_config = StatConfig(
+        ignore_shorter_than_sec=config.vad_config.vad_machine_config.min_vad_duration_sec,
+        extrude_start=SIMULATOR_STAT_CONFIG.extrude_start,
+        extrude_end=SIMULATOR_STAT_CONFIG.extrude_end,
+        fill_gaps=SIMULATOR_STAT_CONFIG.fill_gaps,
+    )
+    txt = report.simulation_report([i.name for i in instances], evaluators, stat_config)
+    sys.stdout.write(txt)
+    if resolved_out:
+        with open(os.path.join(resolved_out, "report.txt"), "w") as f:
+            f.write(txt)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,144 @@
+"""Batched multi-stream VAD runner.
+
+Replaces the reference simulator's thread-per-recording model
+(simulator.zig:221-232, one OS thread and one full pipeline per stream) with
+the TPU-native formulation: all streams form a batch axis that is vmapped
+inside one program and sharded across the device mesh with ``jit``; XLA
+inserts any needed collectives (there are none on the hot path — streams are
+independent, exactly why this maps so well to data parallelism).
+
+Ragged stream lengths are handled by right-padding audio to a common chunk
+count and masking padded chunks (the FSM carry freezes on invalid chunks, so
+rolling averages and state are unaffected — SURVEY.md §7 "hard parts" #4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VADConfig, VADMachineConfig
+from ..models import nsnet2
+from ..pipeline import fsm, vad
+from . import mesh as mesh_lib
+
+
+@dataclasses.dataclass
+class StreamResult:
+    """Per-stream result: list of segments (dicts with sample_from/sample_to/
+    avg_channel_vol_ratio/vad_met_sec), plus per-alt-config segment lists."""
+
+    segments: list[dict]
+    alt_segments: list[list[dict]] = dataclasses.field(default_factory=list)
+
+
+class BatchRunner:
+    """Compile-once, run-many batched VAD over a device mesh."""
+
+    def __init__(
+        self,
+        params: nsnet2.NSNet2Params,
+        vad_config: VADConfig | None = None,
+        n_channels: int = 2,
+        sample_rate: int = 48000,
+        mesh=None,
+        use_mesh: bool = True,
+    ):
+        vad_config = vad_config or VADConfig()
+        self.params = params
+        self.st = vad.statics_from_config(vad_config, sample_rate, n_channels)
+        self.alt_configs: Sequence[VADMachineConfig] = tuple(
+            vad_config.alt_vad_machine_configs or ()
+        )
+        self.alt_params: Optional[fsm.FSMParams] = (
+            vad.stack_machine_params(self.st, self.alt_configs) if self.alt_configs else None
+        )
+        self.mesh = mesh if mesh is not None else (mesh_lib.data_mesh() if use_mesh else None)
+        self._fn = None
+
+    # -- compiled batched function ------------------------------------------
+
+    def _build(self):
+        st = self.st
+        params = self.params
+        alt_params = self.alt_params
+
+        def one_stream(audio, chunk_valids):
+            carry, outs = vad.process_stream(params, st, audio, chunk_valids=chunk_valids)
+            alt_outs = None
+            if alt_params is not None:
+                _, alt_outs = vad.process_stream(
+                    params, st, audio, chunk_valids=chunk_valids, fsm_params=alt_params
+                )
+            return outs, alt_outs
+
+        fn = jax.vmap(one_stream)
+        if self.mesh is not None:
+            sh = mesh_lib.batch_sharding(self.mesh)
+            fn = jax.jit(fn, in_shardings=(sh, sh))
+        else:
+            fn = jax.jit(fn)
+        return fn
+
+    def run(
+        self, audio_batch: np.ndarray, lengths: Optional[Sequence[int]] = None
+    ) -> list[StreamResult]:
+        """Run the batched VAD.
+
+        Args:
+          audio_batch: [B, C, T] float32 (padded to common T).
+          lengths: true per-stream sample counts (default: all T).
+        Returns:
+          one StreamResult per stream (padding streams excluded by caller).
+        """
+        b, c, t = audio_batch.shape
+        chunk = self.st.chunk_size
+        n_chunks = t // chunk
+        if n_chunks == 0:
+            return [StreamResult(segments=[]) for _ in range(b)]
+        if lengths is None:
+            lengths = [t] * b
+        # Only full chunks are processed (VADPipeline.zig:149-151).
+        valid_chunks = np.asarray([l // chunk for l in lengths], np.int32)
+        chunk_valids = np.arange(n_chunks)[None, :] < valid_chunks[:, None]
+
+        # Pad the batch to a multiple of the mesh data axis.
+        b_pad = mesh_lib.pad_batch(b, self.mesh) if self.mesh is not None else b
+        if b_pad != b:
+            pad = b_pad - b
+            audio_batch = np.concatenate(
+                [audio_batch, np.zeros((pad, c, t), audio_batch.dtype)], axis=0
+            )
+            chunk_valids = np.concatenate([chunk_valids, np.zeros((pad, n_chunks), bool)], axis=0)
+
+        if self._fn is None:
+            self._fn = self._build()
+        audio_dev = jnp.asarray(audio_batch[:, :, : n_chunks * chunk])
+        outs, alt_outs = self._fn(audio_dev, jnp.asarray(chunk_valids))
+        outs = jax.device_get(outs)
+        alt_outs = jax.device_get(alt_outs) if alt_outs is not None else None
+
+        results = []
+        for i in range(b):
+            stream_out = jax.tree_util.tree_map(lambda x: x[i], outs)
+            segs = vad.segments_from_outputs(self.st, stream_out)
+            alt_segs = []
+            if alt_outs is not None:
+                for k in range(len(self.alt_configs)):
+                    # FSM outputs carry the machine axis K last; window_valid
+                    # and denoised don't (they're machine-independent).
+                    alt_windows = jax.tree_util.tree_map(
+                        lambda x: x[i][:, :, k], alt_outs.windows
+                    )
+                    alt_stream = vad.ChunkOutput(
+                        windows=alt_windows,
+                        window_valid=alt_outs.window_valid[i],
+                        denoised=alt_outs.denoised[i],
+                    )
+                    alt_segs.append(vad.segments_from_outputs(self.st, alt_stream))
+            results.append(StreamResult(segments=segs, alt_segments=alt_segs))
+        return results[:b]

@@ -2,9 +2,11 @@
 
 Re-implements the reference's VADMachine (``src/AudioPipeline/VADMachine.zig``)
 — rolling averages + 4-state hysteresis FSM — as pure tensor ops so it can be
-vmapped over streams (data parallelism) *and* over alternative configs (the
-reference's ``alt_vad_machine_configs`` parameter-sweep mechanism,
-VADPipeline.zig:111-123, becomes a second vmap axis here).
+vmapped over streams (data parallelism) *and* over alternative configurations:
+the reference's ``alt_vad_machine_configs`` parameter-sweep mechanism
+(VADPipeline.zig:111-123) runs K state machines over one shared FFT stream,
+which here is a second vmap axis over ``FSMParams`` (the dynamic thresholds)
+while ``FSMShape`` (ring-buffer sizes — static shapes) stays shared.
 
 State layout notes:
 
@@ -16,7 +18,7 @@ State layout notes:
   golden tests confirm segment-identical decisions vs the f64 mirror.
 * Time is quantized to FFT windows (1024 samples); all FSM indices are window
   counts (int32) so multi-hour streams can't overflow; sample numbers are
-  reconstructed as ``win * 1024`` on the host.
+  reconstructed as ``win * fft_size`` on the host.
 * The long-term average freezes while the threshold is met
   (VADMachine.zig:176-178), which couples each window's average update to the
   FSM decision — inherently sequential, hence the scan.
@@ -39,61 +41,72 @@ CLOSED, OPENING, OPEN, CLOSING = 0, 1, 2, 3
 EV_NONE, EV_STARTED, EV_COMPLETED, EV_ABORTED = 0, 1, 2, 3
 
 
-class FSMStatics(NamedTuple):
-    """Static (python-level) parameters derived from a VADMachineConfig."""
+class FSMShape(NamedTuple):
+    """Static (python-level) structure derived from a VADMachineConfig:
+    anything that determines array shapes or compile-time branches."""
 
     long_window: int
     short_window: int
     ratio_window: int
-    initial_long_term_avg: float | None
-    threshold_factor: float
-    ratio_threshold: float
-    min_consecutive_samples: int
-    max_gap_samples: int
-    min_duration_sec: float
-    window_sec: float  # fft_size / sample_rate
+    has_initial_avg: bool
     fft_size: int
     sample_rate: int
+    window_sec: float  # fft_size / sample_rate, as f32
+
+
+class FSMParams(NamedTuple):
+    """Dynamic (traced) thresholds — a pytree, vmappable for config sweeps."""
+
+    threshold_factor: jnp.ndarray  # f32
+    ratio_threshold: jnp.ndarray  # f32
+    min_consecutive_samples: jnp.ndarray  # i32
+    max_gap_samples: jnp.ndarray  # i32
+    min_duration_sec: jnp.ndarray  # f32
+    initial_long_term_avg: jnp.ndarray  # f32 (only used by init_carry)
 
 
 def statics_from_config(
     cfg: VADMachineConfig, sample_rate: int, fft_size: int
-) -> FSMStatics:
-    return FSMStatics(
+) -> tuple[FSMShape, FSMParams]:
+    shape = FSMShape(
         long_window=cfg.long_term_window(sample_rate, fft_size),
         short_window=cfg.short_term_window(sample_rate, fft_size),
         ratio_window=cfg.channel_ratio_window(sample_rate, fft_size),
-        initial_long_term_avg=cfg.initial_long_term_avg,
-        threshold_factor=float(np.float32(cfg.speech_threshold_factor)),
-        ratio_threshold=float(np.float32(cfg.channel_vol_ratio_threshold)),
-        min_consecutive_samples=cfg.min_consecutive_samples_to_open(sample_rate),
-        max_gap_samples=cfg.max_gap_samples(sample_rate),
-        min_duration_sec=float(np.float32(cfg.min_vad_duration_sec)),
-        window_sec=float(np.float32(fft_size) / np.float32(sample_rate)),
+        has_initial_avg=cfg.initial_long_term_avg is not None,
         fft_size=fft_size,
         sample_rate=sample_rate,
+        window_sec=float(np.float32(fft_size) / np.float32(sample_rate)),
     )
+    params = FSMParams(
+        threshold_factor=jnp.float32(cfg.speech_threshold_factor),
+        ratio_threshold=jnp.float32(cfg.channel_vol_ratio_threshold),
+        min_consecutive_samples=jnp.int32(cfg.min_consecutive_samples_to_open(sample_rate)),
+        max_gap_samples=jnp.int32(cfg.max_gap_samples(sample_rate)),
+        min_duration_sec=jnp.float32(cfg.min_vad_duration_sec),
+        initial_long_term_avg=jnp.float32(cfg.initial_long_term_avg or 0.0),
+    )
+    return shape, params
 
 
-def init_carry(st: FSMStatics, dtype=jnp.float32) -> dict[str, Any]:
-    init_avg = st.initial_long_term_avg
-    if init_avg is not None:
-        long_buf = jnp.full((st.long_window,), np.float32(init_avg), dtype)
-        long_cnt = jnp.int32(st.long_window)
-        long_last = jnp.asarray(np.float32(init_avg), dtype)
+def init_carry(shape: FSMShape, params: FSMParams, dtype=jnp.float32) -> dict[str, Any]:
+    if shape.has_initial_avg:
+        init_avg = params.initial_long_term_avg.astype(dtype)
+        long_buf = jnp.full((shape.long_window,), 1.0, dtype) * init_avg
+        long_cnt = jnp.int32(shape.long_window)
+        long_last = init_avg
     else:
-        long_buf = jnp.zeros((st.long_window,), dtype)
+        long_buf = jnp.zeros((shape.long_window,), dtype)
         long_cnt = jnp.int32(0)
-        long_last = jnp.asarray(np.float32(0), dtype)
+        long_last = jnp.asarray(0.0, dtype)
     return {
         "long_buf": long_buf,
         "long_idx": jnp.int32(0),
         "long_cnt": long_cnt,
         "long_last": long_last,
-        "short_buf": jnp.zeros((st.short_window,), dtype),
+        "short_buf": jnp.zeros((shape.short_window,), dtype),
         "short_idx": jnp.int32(0),
         "short_cnt": jnp.int32(0),
-        "ratio_buf": jnp.zeros((st.ratio_window,), dtype),
+        "ratio_buf": jnp.zeros((shape.ratio_window,), dtype),
         "ratio_idx": jnp.int32(0),
         "ratio_cnt": jnp.int32(0),
         "state": jnp.int32(CLOSED),
@@ -132,7 +145,8 @@ def _ring_push(buf, idx, cnt, value, window):
 
 
 def step_window(
-    st: FSMStatics,
+    shape: FSMShape,
+    params: FSMParams,
     carry: dict[str, Any],
     min_volume: jnp.ndarray,
     volume_ratio: jnp.ndarray,
@@ -151,27 +165,27 @@ def step_window(
     c = dict(carry)
 
     short_buf, short_idx, short_cnt, short_avg = _ring_push(
-        c["short_buf"], c["short_idx"], c["short_cnt"], min_volume, st.short_window
+        c["short_buf"], c["short_idx"], c["short_cnt"], min_volume, shape.short_window
     )
     ratio_buf, ratio_idx, ratio_cnt, ratio_avg = _ring_push(
-        c["ratio_buf"], c["ratio_idx"], c["ratio_cnt"], volume_ratio, st.ratio_window
+        c["ratio_buf"], c["ratio_idx"], c["ratio_cnt"], volume_ratio, shape.ratio_window
     )
 
     # threshold_base = long_term.last_avg orelse initial orelse short_term
-    # (VADMachine.zig:169). With the default config the initial value is set,
-    # so last_avg always exists; the no-initial fallback is the short-term avg.
-    if st.initial_long_term_avg is not None:
+    # (VADMachine.zig:169). With an initial value, last_avg always exists;
+    # the no-initial fallback is the short-term average.
+    if shape.has_initial_avg:
         base = c["long_last"]
     else:
         base = jnp.where(c["long_cnt"] > 0, c["long_last"], short_avg)
 
-    threshold = base * np.float32(st.threshold_factor)
-    met = (short_avg > threshold) & (ratio_avg > np.float32(st.ratio_threshold))
+    threshold = base * params.threshold_factor
+    met = (short_avg > threshold) & (ratio_avg > params.ratio_threshold)
 
     # Long-term average only advances when the threshold is NOT met
     # (VADMachine.zig:176-178).
     long_buf2, long_idx2, long_cnt2, long_avg2 = _ring_push(
-        c["long_buf"], c["long_idx"], c["long_cnt"], min_volume, st.long_window
+        c["long_buf"], c["long_idx"], c["long_cnt"], min_volume, shape.long_window
     )
     push_long = jnp.logical_not(met)
     long_buf = jnp.where(push_long, long_buf2, c["long_buf"])
@@ -189,11 +203,11 @@ def step_window(
     is_open = state == OPEN
     is_closing = state == CLOSING
 
-    fftsz = jnp.int32(st.fft_size)
+    fftsz = jnp.int32(shape.fft_size)
     samples_since_open = (win_idx - start_win) * fftsz
     samples_since_close = (win_idx - end_win) * fftsz
-    opening_duration_met = samples_since_open >= jnp.int32(st.min_consecutive_samples)
-    closing_duration_met = samples_since_close >= jnp.int32(st.max_gap_samples)
+    opening_duration_met = samples_since_open >= params.min_consecutive_samples
+    closing_duration_met = samples_since_close >= params.max_gap_samples
 
     # closed -> opening
     t_closed_opening = is_closed & met
@@ -220,9 +234,9 @@ def step_window(
     # ---- speech end (VADMachine.zig:265-309) -------------------------------
     # Float multiply (not int32) so multi-hour segments can't overflow.
     length_sec = (
-        (end_win - start_win).astype(jnp.float32) * np.float32(st.fft_size)
-    ) / np.float32(st.sample_rate)
-    duration_met = length_sec >= np.float32(st.min_duration_sec)
+        (end_win - start_win).astype(jnp.float32) * np.float32(shape.fft_size)
+    ) / np.float32(shape.sample_rate)
+    duration_met = length_sec >= params.min_duration_sec
     seg_emitted = t_closing_closed & duration_met
     avg_ratio = c["seg_ratio_sum"] / jnp.maximum(c["seg_ratio_cnt"], 1).astype(jnp.float32)
 
@@ -235,7 +249,7 @@ def step_window(
     ).astype(jnp.int32)
 
     # ---- per-segment stats (trackSpeechStats, VADMachine.zig:241-263) ------
-    win_sec = np.float32(st.window_sec)
+    win_sec = np.float32(shape.window_sec)
     seg_ratio_sum = c["seg_ratio_sum"]
     seg_ratio_cnt = c["seg_ratio_cnt"]
     met_sec = c["met_sec"]
@@ -285,17 +299,28 @@ def step_window(
 
 
 def scan_windows(
-    st: FSMStatics,
+    shape: FSMShape,
+    params: FSMParams,
     carry: dict[str, Any],
     min_volumes: jnp.ndarray,
     volume_ratios: jnp.ndarray,
     win_indices: jnp.ndarray,
     valids: jnp.ndarray,
 ) -> tuple[dict[str, Any], WindowOutput]:
-    """Scan the FSM over a chunk's window slots (leading axis)."""
+    """Scan the FSM over a chunk's window slots (leading axis).
+
+    If ``params``/``carry`` carry a leading machine axis K (alt-config sweep),
+    the scan body vmaps over it: K state machines consume the same window
+    stream, exactly like VADPipeline.zig:232-236 but data-parallel.
+    """
+    n_machines = np.ndim(params.threshold_factor) and params.threshold_factor.shape[0]
 
     def body(c, xs):
         mv, vr, wi, va = xs
-        return step_window(st, c, mv, vr, wi, va)
+        if n_machines:
+            return jax.vmap(
+                lambda p, cc: step_window(shape, p, cc, mv, vr, wi, va)
+            )(params, c)
+        return step_window(shape, params, c, mv, vr, wi, va)
 
     return jax.lax.scan(body, carry, (min_volumes, volume_ratios, win_indices, valids))

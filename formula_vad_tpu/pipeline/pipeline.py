@@ -1,0 +1,260 @@
+"""Host-side streaming AudioPipeline.
+
+The online/daemon counterpart of the batch runner: wraps the pure device
+``chunk_step`` with host state — pending-sample buffering, ring buffers of
+original and denoised audio, and ring-aware recorders — mirroring the
+reference's ``src/AudioPipeline.zig`` + ``MRBRecorder.zig`` + ``Recorder.zig``:
+
+* ``push_samples`` accepts arbitrary-length planar PCM and runs the device
+  step once per complete 24000-sample chunk (the reference's half-capacity
+  write-then-process cadence, AudioPipeline.zig:118-143, collapses to this
+  because the VAD consumes whole denoiser chunks).
+* Recording ``started`` events may point up to 2 s into the past (the start
+  margin) — served from the ring buffer; ``completed`` events point 2 s into
+  the future — finalization is deferred until enough samples arrive
+  (MRBRecorder.zig:88-112,172-203).
+* Finalized recordings select the quietest channel (least engine noise,
+  Recorder.zig:113-128) and emit a mono AudioBuffer stamped with the global
+  start frame, via callbacks (AudioPipeline.zig:14-18,193-209).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..io_.audio import AudioBuffer
+from ..models import nsnet2
+from . import fsm, vad
+
+
+class RingBuffer:
+    """N-channel ring buffer with monotonic absolute indexing
+    (structures/MultiRingBuffer.zig)."""
+
+    def __init__(self, n_channels: int, capacity: int):
+        self.data = np.zeros((n_channels, capacity), np.float32)
+        self.capacity = capacity
+        self.total_written = 0
+
+    def write(self, samples: np.ndarray) -> None:
+        n = samples.shape[1]
+        if n >= self.capacity:
+            self.data[:] = samples[:, -self.capacity :]
+            self.total_written += n
+            return
+        pos = self.total_written % self.capacity
+        end = pos + n
+        if end <= self.capacity:
+            self.data[:, pos:end] = samples
+        else:
+            k = self.capacity - pos
+            self.data[:, pos:] = samples[:, :k]
+            self.data[:, : end - self.capacity] = samples[:, k:]
+        self.total_written += n
+
+    def read(self, abs_from: int, abs_to: int) -> np.ndarray:
+        """Read [abs_from, abs_to) by absolute sample index (must be resident)."""
+        if abs_from < self.total_written - self.capacity or abs_to > self.total_written:
+            raise IndexError(
+                f"range [{abs_from}, {abs_to}) not resident "
+                f"(written {self.total_written}, capacity {self.capacity})"
+            )
+        idx = np.arange(abs_from, abs_to) % self.capacity
+        return self.data[:, idx]
+
+
+class StreamRecorder:
+    """Ring-aware recorder with deferred finalization (MRBRecorder.zig)."""
+
+    def __init__(self, ring: RingBuffer, sample_rate: int):
+        self.ring = ring
+        self.sample_rate = sample_rate
+        self.recording = False
+        self.start_index = 0
+        self.buffer: Optional[np.ndarray] = None  # [C, n] accumulated
+        self.stop_at: Optional[int] = None
+        self.keep = True
+
+    def start(self, from_sample: int) -> None:
+        from_sample = max(from_sample, self.ring.total_written - self.ring.capacity)
+        self.recording = True
+        self.start_index = from_sample
+        self.buffer = self.ring.read(from_sample, self.ring.total_written)
+        self.stop_at = None
+
+    def on_new_samples(self, samples: np.ndarray) -> Optional[AudioBuffer]:
+        """Called after each ring write; appends and maybe finalizes."""
+        if not self.recording:
+            return None
+        self.buffer = np.concatenate([self.buffer, samples], axis=1)
+        if self.stop_at is not None and self.ring.total_written >= self.stop_at:
+            return self._finalize()
+        return None
+
+    def stop(self, to_sample: int, keep: bool) -> Optional[AudioBuffer]:
+        """Request stop at a (possibly future) absolute index."""
+        if not self.recording:
+            return None
+        self.keep = keep
+        if not keep:
+            self.recording = False
+            self.buffer = None
+            return None
+        if self.ring.total_written >= to_sample:
+            self.stop_at = to_sample
+            return self._finalize()
+        self.stop_at = to_sample  # deferred (MRBRecorder.zig:88-112)
+        return None
+
+    def _finalize(self) -> Optional[AudioBuffer]:
+        n_keep = self.stop_at - self.start_index
+        data = self.buffer[:, :n_keep]
+        self.recording = False
+        self.buffer = None
+        # Quietest channel = least engine noise (Recorder.zig:113-128).
+        rms = np.sqrt(np.mean(data.astype(np.float32) ** 2, axis=1))
+        best = int(np.argmin(rms))
+        return AudioBuffer(
+            channel_pcm=data[best : best + 1].copy(),
+            sample_rate=self.sample_rate,
+            global_start_frame_number=self.start_index,
+        )
+
+
+@dataclasses.dataclass
+class Callbacks:
+    """AudioPipeline.Callbacks (AudioPipeline.zig:14-18)."""
+
+    on_original_recording: Optional[Callable[[AudioBuffer], None]] = None
+    on_denoised_recording: Optional[Callable[[AudioBuffer], None]] = None
+    on_segment: Optional[Callable[[dict], None]] = None  # extension: segment events
+
+
+class AudioPipeline:
+    """Streaming host pipeline for one audio stream."""
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        params: Optional[nsnet2.NSNet2Params] = None,
+        callbacks: Optional[Callbacks] = None,
+    ):
+        self.config = config
+        self.callbacks = callbacks or Callbacks()
+        self.params = params if params is not None else nsnet2.load(
+            config.vad_config.denoiser_model_path
+        )
+        self.st = vad.statics_from_config(
+            config.vad_config, config.sample_rate, config.n_channels
+        )
+        self.chunk_size = self.st.chunk_size
+        cap = config.resolved_buffer_length
+        self.original_ring = RingBuffer(config.n_channels, cap)
+        self.denoised_ring = RingBuffer(config.n_channels, cap)
+        self.original_recorder = StreamRecorder(self.original_ring, config.sample_rate)
+        self.denoised_recorder = StreamRecorder(self.denoised_ring, config.sample_rate)
+        # Samples consumed by the VAD so far (VADPipeline.pipeline_read_count).
+        self._read_count = 0
+        self._carry = vad.init_carry(self.st)
+        self._step = jax.jit(
+            lambda carry, chunk: vad.chunk_step(self.params, self.st, carry, chunk)
+        )
+        self.segments: list[dict] = []
+        self._margin = 2 * config.sample_rate
+
+    @property
+    def total_write_count(self) -> int:
+        return self.original_ring.total_written
+
+    def push_samples(self, channel_pcm: np.ndarray) -> int:
+        """Push planar [C, n] samples; runs the device step per full unread
+        chunk. All samples land in the original ring immediately (the
+        reference writes in capacity/2 slabs then processes,
+        AudioPipeline.zig:118-143; the VAD's read count trails behind).
+        Returns the absolute index of the first pushed sample."""
+        channel_pcm = np.asarray(channel_pcm, np.float32)
+        if channel_pcm.shape[0] != self.config.n_channels:
+            raise ValueError(
+                f"expected {self.config.n_channels} channels, got {channel_pcm.shape[0]}"
+            )
+        first_index = self.original_ring.total_written
+        # Write in slabs no larger than half the ring so the VAD never falls
+        # a full ring behind the writer (the reference's write cadence).
+        slab = self.original_ring.capacity // 2
+        pos = 0
+        n = channel_pcm.shape[1]
+        while pos < n:
+            part = channel_pcm[:, pos : pos + slab]
+            pos += part.shape[1]
+            self._write_and_record(
+                self.original_ring, self.original_recorder, part, "original"
+            )
+            self._maybe_run_pipeline()
+        return first_index
+
+    def _maybe_run_pipeline(self) -> None:
+        if self.config.skip_processing:
+            self._read_count = self.original_ring.total_written
+            return
+        while self.original_ring.total_written - self._read_count >= self.chunk_size:
+            chunk = self.original_ring.read(self._read_count, self._read_count + self.chunk_size)
+            self._read_count += self.chunk_size
+            self._process_chunk(chunk)
+
+    def _process_chunk(self, chunk: np.ndarray) -> None:
+        self._carry, out = self._step(self._carry, jnp.asarray(chunk))
+        denoised = np.asarray(out.denoised)
+        # The denoised ring is written before event handling so started-
+        # recordings can read their pre-roll.
+        self._write_and_record(self.denoised_ring, self.denoised_recorder, denoised, "denoised")
+
+        events = np.asarray(out.windows.event)
+        payloads = np.asarray(out.windows.event_win)
+        valid = np.asarray(out.window_valid)
+        seg_valid = np.asarray(out.windows.seg_valid)
+        for w in range(events.shape[0]):
+            if not valid[w]:
+                continue
+            ev = int(events[w])
+            if ev == fsm.EV_STARTED:
+                start = max(0, int(payloads[w]) * self.st.fft_size - self._margin)
+                self.original_recorder.start(start)
+                self.denoised_recorder.start(start)
+            elif ev == fsm.EV_COMPLETED:
+                stop = int(payloads[w]) * self.st.fft_size + self._margin
+                self._emit(self.original_recorder.stop(stop, True), "original")
+                self._emit(self.denoised_recorder.stop(stop, True), "denoised")
+                if seg_valid[w]:
+                    seg_out = jax.tree_util.tree_map(lambda x: np.asarray(x)[None, w], out.windows)
+                    seg = vad.segments_from_outputs(
+                        self.st, vad.ChunkOutput(seg_out, None, None)
+                    )
+                    if seg:
+                        self.segments.append(seg[0])
+                        if self.callbacks.on_segment:
+                            self.callbacks.on_segment(seg[0])
+            elif ev == fsm.EV_ABORTED:
+                self.original_recorder.stop(0, False)
+                self.denoised_recorder.stop(0, False)
+
+    def _write_and_record(self, ring, recorder, samples, kind) -> None:
+        ring.write(samples)
+        buf = recorder.on_new_samples(samples)
+        self._emit(buf, kind)
+
+    def _emit(self, buf: Optional[AudioBuffer], kind: str) -> None:
+        if buf is None:
+            return
+        cb = (
+            self.callbacks.on_original_recording
+            if kind == "original"
+            else self.callbacks.on_denoised_recording
+        )
+        if cb:
+            cb(buf)

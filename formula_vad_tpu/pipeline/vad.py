@@ -17,12 +17,14 @@ completes either 23 or 24 windows of 1024 samples.
 Batch usage: ``vmap(chunk_step)`` over a leading stream axis, then
 ``lax.scan`` over time, then ``jit`` with sharding over the stream axis —
 that is the entire TPU parallelization story for inference (the reference
-uses one OS thread per stream, simulator.zig:221-232).
+uses one OS thread per stream, simulator.zig:221-232).  An additional
+machine axis K on the FSM runs the reference's ``alt_vad_machine_configs``
+parameter sweep over a single shared denoise/FFT stream.
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Sequence
+from typing import Any, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +46,8 @@ class VADStatics(NamedTuple):
     max_bin: int  # speech band upper bin (inclusive)
     norm_factor: float  # magnitude normalization (1/512 for hann-periodic 1024)
     downsample_rate: int
-    fsm: fsm.FSMStatics
+    fsm_shape: fsm.FSMShape
+    fsm_params: fsm.FSMParams  # default machine parameters (pytree of scalars)
 
 
 def statics_from_config(
@@ -61,6 +64,7 @@ def statics_from_config(
     cfg = machine_config if machine_config is not None else vad_config.vad_machine_config
     w = windows.hann_periodic(fft_size)
     nf = float(windows.window_norm_factor(w) / np.float32(fft_size))
+    shape, params = fsm.statics_from_config(cfg, sample_rate, fft_size)
     return VADStatics(
         sample_rate=sample_rate,
         n_channels=n_channels,
@@ -71,23 +75,57 @@ def statics_from_config(
         max_bin=dft.freq_to_bin(cfg.speech_max_freq, fft_size, sample_rate),
         norm_factor=nf,
         downsample_rate=sample_rate // 16000,
-        fsm=fsm.statics_from_config(cfg, sample_rate, fft_size),
+        fsm_shape=shape,
+        fsm_params=params,
     )
 
 
-def init_carry(st: VADStatics, dtype=jnp.float32) -> dict[str, Any]:
+def stack_machine_params(
+    st: VADStatics, configs: Sequence[VADMachineConfig]
+) -> fsm.FSMParams:
+    """Stack K machine configs into one FSMParams with a leading K axis.
+
+    All configs must share ring-buffer window sizes and speech band (the
+    static shape); thresholds/durations may vary — this is the vmap form of
+    the reference's alt_vad_machine_configs sweep.
+    """
+    all_params = []
+    for cfg in configs:
+        shape, params = fsm.statics_from_config(cfg, st.sample_rate, st.fft_size)
+        if shape != st.fsm_shape:
+            raise ValueError(
+                "alt machine config changes ring-buffer sizes; run it as a "
+                f"separate group (got {shape}, expected {st.fsm_shape})"
+            )
+        if (
+            dft.freq_to_bin(cfg.speech_min_freq, st.fft_size, st.sample_rate) != st.min_bin
+            or dft.freq_to_bin(cfg.speech_max_freq, st.fft_size, st.sample_rate) != st.max_bin
+        ):
+            raise ValueError("alt machine config changes the speech band")
+        all_params.append(params)
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *all_params)
+
+
+def init_carry(
+    st: VADStatics, fsm_params: Optional[fsm.FSMParams] = None, dtype=jnp.float32
+) -> dict[str, Any]:
+    p = fsm_params if fsm_params is not None else st.fsm_params
+    if np.ndim(p.threshold_factor) == 1:
+        fsm_carry = jax.vmap(lambda pp: fsm.init_carry(st.fsm_shape, pp, dtype))(p)
+    else:
+        fsm_carry = fsm.init_carry(st.fsm_shape, p, dtype)
     return {
         "denoiser": denoiser.init_carry(st.n_channels, dtype),
         "fft_buf": jnp.zeros((st.n_channels, st.fft_size), dtype),  # right-aligned tail
         "fft_fill": jnp.int32(0),
         "prev_ratio": jnp.asarray(0.0, dtype),
         "win_base": jnp.int32(0),  # global index of the next completed window
-        "fsm": fsm.init_carry(st.fsm, dtype),
+        "fsm": fsm_carry,
     }
 
 
 class ChunkOutput(NamedTuple):
-    windows: fsm.WindowOutput  # per-window-slot FSM outputs, [max_windows]
+    windows: fsm.WindowOutput  # per-window-slot FSM outputs, [max_windows] (+K axis if sweeping)
     window_valid: jnp.ndarray  # [max_windows] bool
     denoised: jnp.ndarray  # [C, chunk] denoised audio (for recording)
 
@@ -132,6 +170,7 @@ def chunk_step(
     carry: dict[str, Any],
     chunk: jnp.ndarray,
     chunk_valid: jnp.ndarray | bool = True,
+    fsm_params: Optional[fsm.FSMParams] = None,
 ) -> tuple[dict[str, Any], ChunkOutput]:
     """Process one pipeline chunk for one stream.
 
@@ -139,10 +178,13 @@ def chunk_step(
       chunk: [n_channels, chunk_size] original audio.
       chunk_valid: False for padding chunks (ragged batch tails): the carry is
         frozen and all outputs are masked invalid.
+      fsm_params: override machine parameters; a leading K axis runs K state
+        machines over the shared stream (carry["fsm"] must carry the K axis).
     Returns:
       (new_carry, ChunkOutput)
     """
     chunk_valid = jnp.asarray(chunk_valid)
+    fsm_p = fsm_params if fsm_params is not None else st.fsm_params
 
     # 1. Stereo volume analysis on the original audio
     #    (BufferedVolumeAnalyzer.zig:48-69).
@@ -177,7 +219,7 @@ def chunk_step(
 
     # 6. FSM scan over the window slots (VADMachine.zig:138-239).
     fsm_carry, win_out = fsm.scan_windows(
-        st.fsm, carry["fsm"], min_vol, ratios, win_indices, valid & chunk_valid
+        st.fsm_shape, fsm_p, carry["fsm"], min_vol, ratios, win_indices, valid & chunk_valid
     )
 
     new_carry = {
@@ -214,6 +256,7 @@ def process_stream(
     carry: dict[str, Any] | None = None,
     chunk_valids: jnp.ndarray | None = None,
     collect_denoised: bool = False,
+    fsm_params: Optional[fsm.FSMParams] = None,
 ):
     """Run the VAD over a whole stream.
 
@@ -225,20 +268,20 @@ def process_stream(
       collect_denoised: also return the full denoised audio (memory-heavy).
     Returns:
       (final_carry, ChunkOutput stacked over chunks) — windows fields have
-      shape [n_chunks, max_windows].
+      shape [n_chunks, max_windows] (or [n_chunks, max_windows, K]).
     """
     c, t = audio.shape
     n_chunks = t // st.chunk_size
     chunks = audio[:, : n_chunks * st.chunk_size].reshape(c, n_chunks, st.chunk_size)
     chunks = jnp.moveaxis(chunks, 1, 0)  # [n_chunks, C, chunk]
     if carry is None:
-        carry = init_carry(st)
+        carry = init_carry(st, fsm_params)
     if chunk_valids is None:
         chunk_valids = jnp.ones((n_chunks,), bool)
 
     def body(cr, xs):
         ch, cv = xs
-        cr, out = chunk_step(params, st, cr, ch, cv)
+        cr, out = chunk_step(params, st, cr, ch, cv, fsm_params)
         if not collect_denoised:
             out = out._replace(denoised=jnp.zeros((0,), out.denoised.dtype))
         return cr, out
@@ -246,9 +289,7 @@ def process_stream(
     return jax.lax.scan(body, carry, (chunks, chunk_valids))
 
 
-def segments_from_outputs(
-    st: VADStatics, outputs: ChunkOutput
-) -> list[dict]:
+def segments_from_outputs(st: VADStatics, outputs: ChunkOutput) -> list[dict]:
     """Host-side: convert stacked ChunkOutput into speech segments.
 
     Applies the +/-2 s recording margins (VADMachine.zig:312-325) to produce

@@ -64,7 +64,7 @@ class TestFSMParity:
             long_term_speech_avg_sec=3.0,
         )
         sr, fft = 48000, 1024
-        st = jfsm.statics_from_config(cfg, sr, fft)
+        shape, fsm_params = jfsm.statics_from_config(cfg, sr, fft)
         mirror = VADMachineMirror(cfg, sr, fft)
 
         rng = np.random.default_rng(2)
@@ -76,9 +76,10 @@ class TestFSMParity:
             vols[a:b] = 0.3
             ratios[a:b] = 0.9
 
-        carry = jfsm.init_carry(st)
+        carry = jfsm.init_carry(shape, fsm_params)
         carry, outs = jfsm.scan_windows(
-            st,
+            shape,
+            fsm_params,
             carry,
             jnp.asarray(vols, jnp.float32),
             jnp.asarray(ratios, jnp.float32),
