@@ -1,0 +1,79 @@
+"""Benchmark: aggregate real-time factor of the batched VAD pipeline.
+
+Runs the full per-chunk compute (NSNet2 denoise on both channels, 1024-pt
+magnitude windows, band volume, FSM scan) for a batch of 21 streams — the
+2023 Miami Race plan shape (BASELINE.md) — on whatever accelerator JAX
+gives us (the real TPU chip under the driver), and reports
+
+    {"metric": "realtime_factor", "value": <audio-sec processed per wall-sec>,
+     "unit": "audio_sec/sec/chip", "vs_baseline": value / 5000}
+
+vs_baseline is against the BASELINE.json north-star target of >= 5000x
+aggregate real-time per v5e chip (the reference publishes no throughput
+numbers of its own — SURVEY.md §6).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main() -> None:
+    from formula_vad_tpu.config import VADConfig
+    from formula_vad_tpu.models import nsnet2
+    from formula_vad_tpu.pipeline import vad
+
+    n_streams = int(os.environ.get("BENCH_STREAMS", "21"))
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "40"))  # 20 s per stream per call
+    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+
+    params = nsnet2.load(None)
+    st = vad.statics_from_config(VADConfig())
+    chunk_sec = st.chunk_size / st.sample_rate
+
+    def one_stream(audio):
+        carry, outs = vad.process_stream(params, st, audio)
+        # Return only the tiny event tensors (keeps the hot loop on-device).
+        return outs.windows.event, outs.windows.seg_valid
+
+    fn = jax.jit(jax.vmap(one_stream))
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        0.02 * rng.standard_normal((n_streams, 2, n_chunks * st.chunk_size)),
+        jnp.float32,
+    )
+
+    # Warmup / compile.
+    ev, sv = fn(audio)
+    jax.block_until_ready(ev)
+
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        ev, sv = fn(audio)
+    jax.block_until_ready(ev)
+    dt = time.perf_counter() - t0
+
+    audio_sec = n_streams * n_chunks * chunk_sec * n_iters
+    rtf = audio_sec / dt
+    print(
+        json.dumps(
+            {
+                "metric": "realtime_factor",
+                "value": round(rtf, 1),
+                "unit": "audio_sec/sec/chip",
+                "vs_baseline": round(rtf / 5000.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
