@@ -38,10 +38,12 @@ def main() -> None:
     st = vad.statics_from_config(VADConfig())
     chunk_sec = st.chunk_size / st.sample_rate
 
+    from formula_vad_tpu.pipeline import offline
+
     def one_stream(audio):
-        carry, outs = vad.process_stream(params, st, audio)
+        win_out, valid, _ = offline.process_stream_offline(params, st, audio)
         # Return only the tiny event tensors (keeps the hot loop on-device).
-        return outs.windows.event, outs.windows.seg_valid
+        return win_out.event, win_out.seg_valid
 
     fn = jax.jit(jax.vmap(one_stream))
 

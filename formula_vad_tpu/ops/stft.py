@@ -14,6 +14,8 @@ applied to the unnormalized inverse), which nets out to
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,9 +27,19 @@ def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
     """Slice ``x[..., T]`` into overlapping frames [..., n_frames, n_fft].
 
     n_frames = (T - n_fft) // hop + 1 (no padding).
+
+    For the 50%-overlap case (hop == n_fft/2, the NSNet2 layout) the frames
+    are built from two shifted reshapes instead of a gather — XLA lowers
+    large gathers to slow scalar loops on TPU, while reshape+concat is pure
+    data movement.
     """
     t = x.shape[-1]
     n_frames = (t - n_fft) // hop + 1
+    if n_fft == 2 * hop and t % hop == 0:
+        segs = x.reshape(x.shape[:-1] + (t // hop, hop))
+        first = segs[..., :-1, :]
+        second = segs[..., 1:, :]
+        return jnp.concatenate([first, second], axis=-1)[..., :n_frames, :]
     idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
     return x[..., idx]
 
@@ -39,8 +51,110 @@ def stft(
     hop: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Windowed forward STFT: x[..., T] -> (re, im) each [..., n_frames, n_bins]."""
-    frames = frame_signal(x, n_fft, hop) * jnp.asarray(window)
-    return dft.rdft(frames, n_fft)
+    return stft_frames(frame_signal(x, n_fft, hop), window, n_fft)
+
+
+def stft_frames(
+    frames: jnp.ndarray, window: np.ndarray, n_fft: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed forward DFT on pre-gathered frames [..., n_fft]."""
+    return dft.rdft(frames * jnp.asarray(window), n_fft)
+
+
+@functools.lru_cache(maxsize=None)
+def _segmat_basis(window_key: int, n_fft: int, decimate: int) -> np.ndarray:
+    """Combined (decimate + window + rDFT) basis for the half-overlap STFT.
+
+    For hop = n_fft/2, frame f = [seg_f | seg_{f+1}] where seg_s is the s-th
+    non-overlapping hop-sized block. The windowed rDFT then splits into two
+    matmuls on the segment tensor:
+        X[f] = seg_f @ T + seg_{f+1} @ B
+    with T/B the window-scaled top/bottom halves of the DFT basis. With
+    decimation folded in, the basis rows live at 48 kHz stride so the matmul
+    consumes the raw audio directly — no strided slice, no frame gather, no
+    intermediate 2x-sized frame tensor. Output columns: [re | im] x [T | B].
+    """
+    window = _SEGMAT_WINDOWS[window_key]
+    cos_m, sin_m = dft.rdft_matrices(n_fft)
+    hop = n_fft // 2
+    n_bins = n_fft // 2 + 1
+    wc = window[:, None] * cos_m
+    ws = window[:, None] * sin_m
+    top = np.concatenate([wc[:hop], ws[:hop]], axis=1)  # [hop, 2*bins]
+    bot = np.concatenate([wc[hop:], ws[hop:]], axis=1)
+    basis = np.zeros((hop * decimate, 4 * n_bins), np.float32)
+    basis[0::decimate, : 2 * n_bins] = top
+    basis[0::decimate, 2 * n_bins :] = bot
+    return basis
+
+
+_SEGMAT_WINDOWS: dict[int, np.ndarray] = {}
+
+
+def stft_segmat(
+    x: jnp.ndarray, window: np.ndarray, n_fft: int, decimate: int = 1
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Half-overlap windowed STFT as one big MXU matmul, with optional
+    decimation folded into the basis.
+
+    Args:
+      x: [..., T] audio at the *input* rate; T must be a multiple of
+        hop*decimate. The signal is implicitly zero-padded with one leading
+        hop (the streaming input-tail chain's zero init).
+    Returns:
+      (re, im) each [..., T/(hop*decimate), n_bins]: frame f covers decimated
+      samples [f*hop - hop, f*hop + hop).
+    """
+    hop = n_fft // 2
+    n_bins = n_fft // 2 + 1
+    key = hash(window.tobytes())
+    _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
+    basis = jnp.asarray(_segmat_basis(key, n_fft, decimate))
+    seg = hop * decimate
+    t = x.shape[-1]
+    assert t % seg == 0
+    segs = jnp.concatenate(
+        [jnp.zeros(x.shape[:-1] + (seg,), x.dtype), x], axis=-1
+    ).reshape(x.shape[:-1] + (t // seg + 1, seg))
+    prod = jnp.matmul(segs, basis, precision=jax.lax.Precision.HIGHEST)
+    z = prod[..., :-1, : 2 * n_bins] + prod[..., 1:, 2 * n_bins :]
+    return z[..., :n_bins], z[..., n_bins : 2 * n_bins]
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_segmat_basis(window_key: int, n_fft: int) -> np.ndarray:
+    """Inverse basis for ``istft_segmat``: [2*n_bins, n_fft] mapping
+    [re | im] -> windowed time frame (kissfft 1/n_fft normalization folded),
+    with columns [0:hop] the frame's top half, [hop:] the bottom half."""
+    window = _SEGMAT_WINDOWS[window_key]
+    cos_i, sin_i = dft.irdft_matrices(n_fft)
+    scale = window.astype(np.float64) / n_fft
+    top_bot = np.concatenate([cos_i * scale, -sin_i * scale], axis=0)  # [2*bins, n_fft]
+    return top_bot.astype(np.float32)
+
+
+def istft_segmat(
+    re: jnp.ndarray, im: jnp.ndarray, window: np.ndarray, n_fft: int
+) -> jnp.ndarray:
+    """Half-overlap windowed iSTFT+OLA as one MXU matmul plus a shift-add.
+
+    Inverse of ``stft_segmat`` (without decimation): output stream segment s
+    (hop samples) = top half of frame s + bottom half of frame s-1.
+    Returns [..., (n_frames+1)*hop]: the final hop is the dangling OLA tail.
+    """
+    hop = n_fft // 2
+    n_bins = n_fft // 2 + 1
+    key = hash(window.tobytes())
+    _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
+    inv = jnp.asarray(_inv_segmat_basis(key, n_fft))
+    z = jnp.concatenate([re, im], axis=-1)  # [..., n_frames, 2*bins]
+    prod = jnp.matmul(z, inv, precision=jax.lax.Precision.HIGHEST)  # [..., F, n_fft]
+    top = prod[..., :hop]
+    bot = prod[..., hop:]
+    lead = prod.shape[:-2]
+    zero = jnp.zeros(lead + (1, hop), prod.dtype)
+    segs = jnp.concatenate([top, zero], axis=-2) + jnp.concatenate([zero, bot], axis=-2)
+    return segs.reshape(lead + (-1,))
 
 
 def istft_overlap_add(

@@ -23,7 +23,7 @@ import numpy as np
 
 from ..config import VADConfig, VADMachineConfig
 from ..models import nsnet2
-from ..pipeline import fsm, vad
+from ..pipeline import fsm, offline, vad
 from . import mesh as mesh_lib
 
 
@@ -47,9 +47,11 @@ class BatchRunner:
         sample_rate: int = 48000,
         mesh=None,
         use_mesh: bool = True,
+        use_offline: bool = True,
     ):
         vad_config = vad_config or VADConfig()
         self.params = params
+        self.use_offline = use_offline
         self.st = vad.statics_from_config(vad_config, sample_rate, n_channels)
         self.alt_configs: Sequence[VADMachineConfig] = tuple(
             vad_config.alt_vad_machine_configs or ()
@@ -67,14 +69,35 @@ class BatchRunner:
         params = self.params
         alt_params = self.alt_params
 
-        def one_stream(audio, chunk_valids):
-            carry, outs = vad.process_stream(params, st, audio, chunk_valids=chunk_valids)
-            alt_outs = None
-            if alt_params is not None:
-                _, alt_outs = vad.process_stream(
-                    params, st, audio, chunk_valids=chunk_valids, fsm_params=alt_params
+        if self.use_offline:
+            # Chunk-parallel path (pipeline/offline.py): one FSM scan over
+            # windows, everything else batched over chunks.
+            def one_stream(audio, chunk_valids):
+                n_valid = jnp.sum(chunk_valids.astype(jnp.int32))
+                win_out, valid, _ = offline.process_stream_offline(
+                    params, st, audio, n_valid_chunks=n_valid
                 )
-            return outs, alt_outs
+                outs = vad.ChunkOutput(windows=win_out, window_valid=valid, denoised=None)
+                alt_outs = None
+                if alt_params is not None:
+                    alt_win, alt_valid, _ = offline.process_stream_offline(
+                        params, st, audio, n_valid_chunks=n_valid, fsm_params=alt_params
+                    )
+                    alt_outs = vad.ChunkOutput(
+                        windows=alt_win, window_valid=alt_valid, denoised=None
+                    )
+                return outs, alt_outs
+
+        else:
+
+            def one_stream(audio, chunk_valids):
+                carry, outs = vad.process_stream(params, st, audio, chunk_valids=chunk_valids)
+                alt_outs = None
+                if alt_params is not None:
+                    _, alt_outs = vad.process_stream(
+                        params, st, audio, chunk_valids=chunk_valids, fsm_params=alt_params
+                    )
+                return outs, alt_outs
 
         fn = jax.vmap(one_stream)
         if self.mesh is not None:
@@ -132,12 +155,10 @@ class BatchRunner:
                     # FSM outputs carry the machine axis K last; window_valid
                     # and denoised don't (they're machine-independent).
                     alt_windows = jax.tree_util.tree_map(
-                        lambda x: x[i][:, :, k], alt_outs.windows
+                        lambda x: x[i][..., k], alt_outs.windows
                     )
                     alt_stream = vad.ChunkOutput(
-                        windows=alt_windows,
-                        window_valid=alt_outs.window_valid[i],
-                        denoised=alt_outs.denoised[i],
+                        windows=alt_windows, window_valid=None, denoised=None
                     )
                     alt_segs.append(vad.segments_from_outputs(self.st, alt_stream))
             results.append(StreamResult(segments=segs, alt_segments=alt_segs))

@@ -1,0 +1,186 @@
+"""Offline (whole-stream) VAD path: chunk-parallel formulation.
+
+The scan-based ``vad.process_stream`` mirrors the reference's streaming
+recurrence chunk by chunk; its sequential depth is O(n_chunks * 54 GRU steps)
+— fine for online latency, wasteful for offline batch scoring.
+
+This module exploits a structural property of the reference pipeline
+(SURVEY.md call stack 3.2): the NSNet2 ONNX session is run *statelessly* per
+chunk (h0 = 0 every 0.5 s chunk, NSNet2.zig:220 — ONNX Runtime holds no GRU
+state between runs), and every carried buffer in the chunk chain is a pure
+function of the input audio or a strictly local overlap:
+
+* the 160-sample input tail     -> global framing at hop 160 over the whole
+                                   downsampled stream (zero-padded head)
+* the 4-frame feature context   -> a gather of the previous chunk's feature
+                                   rows from the global feature tensor
+* the 160-sample OLA output tail-> global overlap-add over all frames (the
+                                   per-chunk tail chaining IS the global OLA)
+* the upsampler's last sample   -> a 1-sample shift of the global stream
+* the 1024-pt window fill       -> global non-overlapping windowing
+
+Therefore everything except the speech-state machine is computed for ALL
+chunks at once: the GRU still scans its 54 frames, but batched over
+(streams x channels x chunks) rows — turning tiny latency-bound matmuls
+into MXU-shaped ones — and the only remaining sequential program is the
+FSM scan over FFT windows (inherently serial: the long-term average
+freezes on FSM decisions, VADMachine.zig:176-178).
+
+Output is bit-identical to the scan path (asserted by tests): same frames,
+same operations, same order within each frame — only the batching changes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (
+    NSNET2_CHUNK_16K,
+    NSNET2_CONTEXT_FRAMES,
+    NSNET2_N_BINS,
+    NSNET2_N_FFT,
+    NSNET2_N_FRAMES,
+    NSNET2_N_HOP,
+)
+from ..models import nsnet2
+from ..ops import resample, stft, volume
+from . import denoiser as den_mod
+from . import fsm, vad
+
+
+def denoise_offline(
+    params: nsnet2.NSNet2Params, audio: jnp.ndarray, downsample_rate: int = 3
+) -> jnp.ndarray:
+    """Denoise a whole stream at once; identical to chaining denoise_chunk.
+
+    Args:
+      audio: [..., C, T] with T a multiple of the 24000-sample chunk.
+    Returns:
+      denoised [..., C, T].
+    """
+    t48 = audio.shape[-1]
+    chunk48 = NSNET2_CHUNK_16K * downsample_rate
+    assert t48 % chunk48 == 0, "length must be a multiple of the chunk size"
+    k = t48 // chunk48
+    lead = audio.shape[:-1]  # (..., C)
+
+    # Fused decimate+window+rDFT: one MXU matmul straight on the 48 kHz audio
+    # (stft_segmat folds the 48k->16k decimation into the DFT basis; the
+    # implicit leading zero-hop reproduces the per-chunk input-tail chain,
+    # NSNet2.zig:115-117,175-179).
+    re, im = stft.stft_segmat(
+        audio, den_mod._WINDOW, NSNET2_N_FFT, decimate=downsample_rate
+    )  # [..., K*50, 161]
+
+    feats = den_mod.compute_features(re, im)  # [..., K*50, 161]
+    # Per-chunk model input: 4 context frames + 50 current frames; context for
+    # chunk 0 is zeros (NSNet2.zig:77-79). Built from slices (not a gather):
+    # chunk k's context = frames 46..50 of chunk k-1.
+    n_model_frames = NSNET2_N_FRAMES + NSNET2_CONTEXT_FRAMES  # 54
+    main = feats.reshape(lead + (k, NSNET2_N_FRAMES, NSNET2_N_BINS))
+    prev_tail = jnp.concatenate(
+        [
+            jnp.zeros(lead + (1, NSNET2_CONTEXT_FRAMES, NSNET2_N_BINS), feats.dtype),
+            main[..., :-1, NSNET2_N_FRAMES - NSNET2_CONTEXT_FRAMES :, :],
+        ],
+        axis=-3,
+    )
+    model_in = jnp.concatenate([prev_tail, main], axis=-2)  # [..., K, 54, 161]
+
+    # Stateless GRU per chunk, batched over every leading axis * K.
+    flat = model_in.reshape((-1, n_model_frames, NSNET2_N_BINS))
+    gains = nsnet2.apply(params, flat)[:, NSNET2_CONTEXT_FRAMES:, :]  # [N, 50, 161]
+    gains = gains.reshape(lead + (k * NSNET2_N_FRAMES, NSNET2_N_BINS))
+    g = jnp.clip(gains, den_mod.GAIN_MIN, den_mod.GAIN_MAX)
+
+    # Global OLA == the per-chunk output-tail chain (see module docstring);
+    # one matmul + shift-add (istft_segmat), dangling tail dropped.
+    ola = stft.istft_segmat(re * g, im * g, den_mod._WINDOW, NSNET2_N_FFT)
+    completed = ola[..., : k * NSNET2_CHUNK_16K]
+
+    up, _ = resample.upsample(
+        completed, jnp.zeros(lead, completed.dtype), downsample_rate
+    )
+    return up
+
+
+def process_stream_offline(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    n_valid_chunks: jnp.ndarray | None = None,
+    fsm_params: Optional[fsm.FSMParams] = None,
+    collect_denoised: bool = False,
+):
+    """Whole-stream VAD with chunk-parallel denoise/FFT and one FSM scan.
+
+    Args:
+      audio: [C, T], T a multiple of chunk_size.
+      n_valid_chunks: scalar count of real (non-padding) chunks.
+    Returns:
+      (windows: fsm.WindowOutput over [n_windows], window_valid [n_windows],
+       denoised or None) — flat over windows (the scan path's
+       [n_chunks, max_windows] layout collapses here).
+    """
+    c, t = audio.shape
+    chunk = st.chunk_size
+    k = t // chunk
+    audio = audio[:, : k * chunk]
+    if n_valid_chunks is None:
+        n_valid_chunks = jnp.int32(k)
+
+    denoised = denoise_offline(params, audio, st.downsample_rate)  # [C, T]
+
+    # ---- global 1024-pt magnitude windows (BufferedFFT) --------------------
+    n_windows = (k * chunk) // st.fft_size
+    frames = denoised[:, : n_windows * st.fft_size].reshape(c, n_windows, st.fft_size)
+    mags = stft.magnitude_windows(
+        frames, vad._hann(st.fft_size), st.fft_size, st.norm_factor
+    )
+    band = jnp.sum(mags[..., st.min_bin : st.max_bin + 1], axis=-1)  # [C, W]
+    min_vol = jnp.min(band, axis=0)  # [W]
+
+    # ---- per-window weighted volume ratio ----------------------------------
+    ratio_chunk, _, _ = jax.vmap(volume.volume_analysis)(
+        audio.reshape(c, k, chunk).transpose(1, 0, 2)
+    )  # [K]
+    w = jnp.arange(n_windows)
+    w_start = w * st.fft_size
+    w_end = w_start + st.fft_size
+    c0 = w_start // chunk
+    c1 = (w_end - 1) // chunk
+    boundary = (c0 + 1) * chunk
+    n_in_c0 = jnp.minimum(boundary - w_start, st.fft_size)
+    r0 = ratio_chunk[jnp.clip(c0, 0, k - 1)]
+    r1 = ratio_chunk[jnp.clip(c1, 0, k - 1)]
+    ratios = (
+        n_in_c0.astype(jnp.float32) * r0
+        + (st.fft_size - n_in_c0).astype(jnp.float32) * r1
+    ) / np.float32(st.fft_size)
+
+    # ---- FSM scan (the only sequential program) ----------------------------
+    fsm_p = fsm_params if fsm_params is not None else st.fsm_params
+    if np.ndim(fsm_p.threshold_factor) == 1:
+        fsm_carry = jax.vmap(lambda pp: fsm.init_carry(st.fsm_shape, pp))(fsm_p)
+    else:
+        fsm_carry = fsm.init_carry(st.fsm_shape, fsm_p)
+    # Windows belonging to padding chunks are invalid. A window is valid iff
+    # it ends within the valid region (the scan path emits a window when its
+    # buffer fills during a valid chunk).
+    valid = w_end <= n_valid_chunks * chunk
+    _, win_out = fsm.scan_windows(
+        st.fsm_shape, fsm_p, fsm_carry, min_vol, ratios, w.astype(jnp.int32), valid
+    )
+    return win_out, valid, (denoised if collect_denoised else None)
+
+
+def segments_from_offline(st: vad.VADStatics, win_out: fsm.WindowOutput) -> list[dict]:
+    """Host-side segment extraction (same semantics as the scan path)."""
+    return vad.segments_from_outputs(
+        st,
+        vad.ChunkOutput(windows=win_out, window_valid=None, denoised=None),
+    )
