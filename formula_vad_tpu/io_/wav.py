@@ -107,6 +107,19 @@ def _decode_frames(raw: bytes, info: WavInfo) -> np.ndarray:
     return x.reshape(-1, n_ch)
 
 
+def _decode_planar(raw: bytes, info: WavInfo) -> np.ndarray:
+    """Decode to planar [n_channels, n_frames]; native C++ fast path when
+    the shared library is built (native/fvadio.cpp), numpy fallback."""
+    from . import native
+
+    out = native.decode_to_planar(
+        raw, info.bits_per_sample, info.format_tag, info.n_channels
+    )
+    if out is not None:
+        return out
+    return np.ascontiguousarray(_decode_frames(raw, info).T)
+
+
 class WavStream:
     """Streaming WAV reader with planar output — AudioFileStream.zig analogue
     (open/read/seek/close, interleaved->planar conversion :56-102)."""
@@ -145,8 +158,7 @@ class WavStream:
         raw = self._f.read(n * bpf)
         n_read = len(raw) // bpf
         self._frame_pos += n_read
-        frames = _decode_frames(raw[: n_read * bpf], self.info)
-        return np.ascontiguousarray(frames.T)
+        return _decode_planar(raw[: n_read * bpf], self.info)
 
     def seek_to_sample(self, frame: int) -> None:
         bpf = self.info.n_channels * (self.info.bits_per_sample // 8)

@@ -43,11 +43,11 @@ HIDDEN = 400
 FF1 = 600
 FF2 = 600
 
-_HIGHEST = jax.lax.Precision.HIGHEST
+from ..ops.precision import matmul_precision
 
 
 def _dense(x, w, b):
-    return jnp.matmul(x, w, precision=_HIGHEST) + b
+    return jnp.matmul(x, w, precision=matmul_precision()) + b
 
 
 @dataclasses.dataclass(frozen=True)
@@ -71,7 +71,15 @@ class GRUParams:
 
 def gru_cell(p: GRUParams, h, x):
     """One GRU step. x: [..., in], h: [..., hidden] -> h'."""
-    gi = _dense(x, p.wi, p.bi)  # [..., 3H]
+    return gru_cell_pre(p, h, _dense(x, p.wi, p.bi))
+
+
+def gru_cell_pre(p: GRUParams, h, gi):
+    """GRU step with the input projection precomputed (gi = x @ wi + bi).
+
+    Hoisting the input projection out of the time scan turns T tiny matmuls
+    into one MXU-shaped [.., T, in] @ [in, 3H] matmul (done by the caller).
+    """
     z_i, r_i, n_i = jnp.split(gi, 3, axis=-1)
     if p.linear_before_reset:
         gh = _dense(h, p.wh, p.bh)
@@ -82,9 +90,9 @@ def gru_cell(p: GRUParams, h, x):
     else:
         wh_z, wh_r, wh_n = jnp.split(p.wh, 3, axis=-1)
         bh_z, bh_r, bh_n = jnp.split(p.bh, 3, axis=-1)
-        z = jax.nn.sigmoid(z_i + jnp.matmul(h, wh_z, precision=_HIGHEST) + bh_z)
-        r = jax.nn.sigmoid(r_i + jnp.matmul(h, wh_r, precision=_HIGHEST) + bh_r)
-        n = jnp.tanh(n_i + jnp.matmul(r * h, wh_n, precision=_HIGHEST) + bh_n)
+        z = jax.nn.sigmoid(z_i + jnp.matmul(h, wh_z, precision=matmul_precision()) + bh_z)
+        r = jax.nn.sigmoid(r_i + jnp.matmul(h, wh_r, precision=matmul_precision()) + bh_r)
+        n = jnp.tanh(n_i + jnp.matmul(r * h, wh_n, precision=matmul_precision()) + bh_n)
     return (1.0 - z) * n + z * h
 
 
@@ -172,16 +180,18 @@ def apply_streaming(params: NSNet2Params, state, features: jnp.ndarray):
     as large MXU matmuls rather than per-step ops.
     """
     x = _dense(features, params.fc_in_w, params.fc_in_b)  # [..., T, 400]
+    # GRU1's input projection over the whole sequence: one big matmul.
+    gi1 = _dense(x, params.gru1.wi, params.gru1.bi)  # [..., T, 1200]
     # scan over time: move T to the front.
-    xt = jnp.moveaxis(x, -2, 0)  # [T, ..., 400]
+    gi1_t = jnp.moveaxis(gi1, -2, 0)  # [T, ..., 1200]
 
-    def step(carry, x_t):
+    def step(carry, gi1_t):
         h1, h2 = carry
-        h1 = gru_cell(params.gru1, h1, x_t)
+        h1 = gru_cell_pre(params.gru1, h1, gi1_t)
         h2 = gru_cell(params.gru2, h2, h1)
         return (h1, h2), h2
 
-    (h1, h2), ys = jax.lax.scan(step, state, xt)
+    (h1, h2), ys = jax.lax.scan(step, state, gi1_t)
     y = jnp.moveaxis(ys, 0, -2)  # [..., T, 400]
     y = jax.nn.relu(_dense(y, params.ff1_w, params.ff1_b))
     y = jax.nn.relu(_dense(y, params.ff2_w, params.ff2_b))

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import dft
+from .precision import matmul_precision
 
 
 def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
@@ -116,7 +117,7 @@ def stft_segmat(
     segs = jnp.concatenate(
         [jnp.zeros(x.shape[:-1] + (seg,), x.dtype), x], axis=-1
     ).reshape(x.shape[:-1] + (t // seg + 1, seg))
-    prod = jnp.matmul(segs, basis, precision=jax.lax.Precision.HIGHEST)
+    prod = jnp.matmul(segs, basis, precision=matmul_precision())
     z = prod[..., :-1, : 2 * n_bins] + prod[..., 1:, 2 * n_bins :]
     return z[..., :n_bins], z[..., n_bins : 2 * n_bins]
 
@@ -148,7 +149,7 @@ def istft_segmat(
     _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
     inv = jnp.asarray(_inv_segmat_basis(key, n_fft))
     z = jnp.concatenate([re, im], axis=-1)  # [..., n_frames, 2*bins]
-    prod = jnp.matmul(z, inv, precision=jax.lax.Precision.HIGHEST)  # [..., F, n_fft]
+    prod = jnp.matmul(z, inv, precision=matmul_precision())  # [..., F, n_fft]
     top = prod[..., :hop]
     bot = prod[..., hop:]
     lead = prod.shape[:-2]
@@ -215,3 +216,38 @@ def magnitude_windows(
     """
     re, im = dft.rdft(frames * jnp.asarray(window), n_fft)
     return dft.magnitude(re, im) * np.float32(norm_factor)
+
+
+@functools.lru_cache(maxsize=None)
+def _band_basis(window_key: int, n_fft: int, min_bin: int, max_bin: int) -> np.ndarray:
+    """Window-scaled DFT basis restricted to bins [min_bin, max_bin]:
+    [n_fft, 2*n_band] with columns [re | im]."""
+    window = _SEGMAT_WINDOWS[window_key]
+    cos_m, sin_m = dft.rdft_matrices(n_fft)
+    sel = slice(min_bin, max_bin + 1)
+    return np.concatenate(
+        [window[:, None] * cos_m[:, sel], window[:, None] * sin_m[:, sel]], axis=1
+    ).astype(np.float32)
+
+
+def band_volume_windows(
+    frames: jnp.ndarray,
+    window: np.ndarray,
+    n_fft: int,
+    norm_factor: float,
+    min_bin: int,
+    max_bin: int,
+) -> jnp.ndarray:
+    """Speech-band volume of non-overlapping windows: sum of normalized
+    magnitudes over bins [min_bin, max_bin] (BufferedFFT.zig:183-202 via
+    :162-181), computing the DFT only for the needed bins — for the default
+    500-2000 Hz band that is 33 of 513 bins, a ~15x FLOP cut on the VAD's
+    window stage.
+    Returns [...] (frames' leading shape)."""
+    key = hash(window.tobytes())
+    _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
+    basis = jnp.asarray(_band_basis(key, n_fft, min_bin, max_bin))
+    n_band = max_bin - min_bin + 1
+    prod = jnp.matmul(frames, basis, precision=matmul_precision())
+    mags = jnp.sqrt(prod[..., :n_band] ** 2 + prod[..., n_band:] ** 2)
+    return jnp.sum(mags, axis=-1) * np.float32(norm_factor)

@@ -135,13 +135,13 @@ def process_stream_offline(
 
     denoised = denoise_offline(params, audio, st.downsample_rate)  # [C, T]
 
-    # ---- global 1024-pt magnitude windows (BufferedFFT) --------------------
+    # ---- global 1024-pt windows, band-limited DFT (BufferedFFT) ------------
     n_windows = (k * chunk) // st.fft_size
     frames = denoised[:, : n_windows * st.fft_size].reshape(c, n_windows, st.fft_size)
-    mags = stft.magnitude_windows(
-        frames, vad._hann(st.fft_size), st.fft_size, st.norm_factor
-    )
-    band = jnp.sum(mags[..., st.min_bin : st.max_bin + 1], axis=-1)  # [C, W]
+    band = stft.band_volume_windows(
+        frames, vad._hann(st.fft_size), st.fft_size, st.norm_factor,
+        st.min_bin, st.max_bin,
+    )  # [C, W]
     min_vol = jnp.min(band, axis=0)  # [W]
 
     # ---- per-window weighted volume ratio ----------------------------------
