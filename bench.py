@@ -40,12 +40,16 @@ def main() -> None:
 
     from formula_vad_tpu.pipeline import offline
 
-    def one_stream(audio):
-        win_out, valid, _ = offline.process_stream_offline(params, st, audio)
+    use_pallas = jax.devices()[0].platform != "cpu"
+
+    def batch_fn(audio):
+        win_out, valid = offline.process_batch_offline(
+            params, st, audio, use_pallas_fsm=use_pallas
+        )
         # Return only the tiny event tensors (keeps the hot loop on-device).
         return win_out.event, win_out.seg_valid
 
-    fn = jax.jit(jax.vmap(one_stream))
+    fn = jax.jit(batch_fn)
 
     rng = np.random.default_rng(0)
     audio = jnp.asarray(

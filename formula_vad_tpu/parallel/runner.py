@@ -48,10 +48,16 @@ class BatchRunner:
         mesh=None,
         use_mesh: bool = True,
         use_offline: bool = True,
+        use_pallas_fsm: bool | None = None,
     ):
         vad_config = vad_config or VADConfig()
         self.params = params
         self.use_offline = use_offline
+        if use_pallas_fsm is None:
+            # The Pallas kernel needs a real TPU backend; CPU runs (tests)
+            # fall back to the vmapped lax.scan.
+            use_pallas_fsm = jax.devices()[0].platform != "cpu"
+        self.use_pallas_fsm = use_pallas_fsm
         self.st = vad.statics_from_config(vad_config, sample_rate, n_channels)
         self.alt_configs: Sequence[VADMachineConfig] = tuple(
             vad_config.alt_vad_machine_configs or ()
@@ -70,34 +76,47 @@ class BatchRunner:
         alt_params = self.alt_params
 
         if self.use_offline:
-            # Chunk-parallel path (pipeline/offline.py): one FSM scan over
-            # windows, everything else batched over chunks.
-            def one_stream(audio, chunk_valids):
-                n_valid = jnp.sum(chunk_valids.astype(jnp.int32))
-                win_out, valid, _ = offline.process_stream_offline(
-                    params, st, audio, n_valid_chunks=n_valid
+            # Chunk-parallel path (pipeline/offline.py): batched front-end,
+            # one FSM stage over [B, W] (Pallas kernel on TPU).
+            use_pallas = self.use_pallas_fsm
+
+            def batch_fn(audio, chunk_valids):
+                n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
+                win_out, valid = offline.process_batch_offline(
+                    params, st, audio, n_valid, use_pallas_fsm=use_pallas
                 )
                 outs = vad.ChunkOutput(windows=win_out, window_valid=valid, denoised=None)
                 alt_outs = None
                 if alt_params is not None:
-                    alt_win, alt_valid, _ = offline.process_stream_offline(
-                        params, st, audio, n_valid_chunks=n_valid, fsm_params=alt_params
+                    alt_win, alt_valid = offline.process_batch_offline(
+                        params, st, audio, n_valid,
+                        fsm_params=alt_params, use_pallas_fsm=False,
                     )
                     alt_outs = vad.ChunkOutput(
                         windows=alt_win, window_valid=alt_valid, denoised=None
                     )
                 return outs, alt_outs
 
-        else:
+            if self.mesh is not None:
+                from jax.sharding import PartitionSpec as P
 
-            def one_stream(audio, chunk_valids):
-                carry, outs = vad.process_stream(params, st, audio, chunk_valids=chunk_valids)
-                alt_outs = None
-                if alt_params is not None:
-                    _, alt_outs = vad.process_stream(
-                        params, st, audio, chunk_valids=chunk_valids, fsm_params=alt_params
-                    )
-                return outs, alt_outs
+                fn = jax.shard_map(
+                    batch_fn,
+                    mesh=self.mesh,
+                    in_specs=(P("data"), P("data")),
+                    out_specs=P("data"),
+                )
+                return jax.jit(fn)
+            return jax.jit(batch_fn)
+
+        def one_stream(audio, chunk_valids):
+            carry, outs = vad.process_stream(params, st, audio, chunk_valids=chunk_valids)
+            alt_outs = None
+            if alt_params is not None:
+                _, alt_outs = vad.process_stream(
+                    params, st, audio, chunk_valids=chunk_valids, fsm_params=alt_params
+                )
+            return outs, alt_outs
 
         fn = jax.vmap(one_stream)
         if self.mesh is not None:

@@ -1,0 +1,338 @@
+"""Pallas TPU kernel for the speech-FSM window scan.
+
+The FSM is the only inherently sequential stage of the offline pipeline
+(VADMachine.zig:176-178 couples the rolling-average update to the FSM
+decision), so after the chunk-parallel rewrite it bounds the wall-clock:
+as a ``lax.scan`` it executes ~1 tiny HLO loop iteration per 21 ms window.
+
+This kernel runs the ENTIRE window scan inside Pallas programs with no
+per-step dispatch:
+
+* grid = (n_streams, n_tiles): the tile axis is minor, so for each stream
+  the tiles execute sequentially on the core — the scan state survives
+  across tiles in scratch (TPU scratch persists along the grid).
+* per-window scalars (inputs and outputs) live in SMEM blocks — Mosaic
+  cannot index single VMEM lanes dynamically, but SMEM is scalar memory.
+* the three rolling-average ring buffers live in VMEM scratch; a ring push
+  is a masked whole-buffer select and the average is a full VPU reduction,
+  matching the reference's recompute-on-push semantics
+  (RollingAverage.zig:45-56).
+* FSM registers (state, indices, accumulators) persist in SMEM scratch.
+
+Semantics are identical to ``fsm.step_window`` (asserted by tests, which
+run the kernel in interpreter mode on CPU against the scan reference).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import fsm
+
+LANES = 128
+TILE = 512  # windows per grid step (~10.9 s of audio)
+
+# SMEM register file layout (int32 / float32 scratch arrays)
+I_LONG_IDX, I_LONG_CNT, I_SHORT_IDX, I_SHORT_CNT, I_RATIO_IDX, I_RATIO_CNT, \
+    I_STATE, I_START, I_END, I_SEG_CNT = range(10)
+F_LONG_LAST, F_SEG_SUM, F_MET_SEC = range(3)
+
+
+def _rows(n: int) -> int:
+    return max(1, (n + LANES - 1) // LANES)
+
+
+def _kernel(
+    shape: fsm.FSMShape,
+    # inputs (SMEM blocks [1, 1, TILE] except scalars [1, 1])
+    minvol_ref,
+    ratio_ref,
+    valid_ref,
+    tf_ref,
+    rt_ref,
+    mc_ref,
+    mg_ref,
+    md_ref,
+    ia_ref,
+    # outputs (SMEM blocks [1, 1, TILE])
+    event_ref,
+    eventwin_ref,
+    segvalid_ref,
+    segstart_ref,
+    segend_ref,
+    segratio_ref,
+    segmet_ref,
+    # scratch
+    long_buf,  # VMEM [rows(L), 128] f32
+    short_buf,  # VMEM [rows(S), 128] f32
+    ratio_buf,  # VMEM [rows(R), 128] f32
+    ireg,  # SMEM (16,) i32
+    freg,  # SMEM (8,) f32
+):
+    L, S, R = shape.long_window, shape.short_window, shape.ratio_window
+    fftsz = np.int32(shape.fft_size)
+    win_sec = np.float32(shape.window_sec)
+    sr = np.float32(shape.sample_rate)
+
+    tf = tf_ref[0, 0]
+    rth = rt_ref[0, 0]
+    min_consec = mc_ref[0, 0]
+    max_gap = mg_ref[0, 0]
+    min_dur = md_ref[0, 0]
+    init_avg = ia_ref[0, 0]
+
+    tile_idx = pl.program_id(1)
+    tile_base = tile_idx * np.int32(TILE)
+
+    lrows = _rows(L)
+    l_row_ids = jax.lax.broadcasted_iota(jnp.int32, (lrows, LANES), 0)
+    l_col_ids = jax.lax.broadcasted_iota(jnp.int32, (lrows, LANES), 1)
+    l_flat = l_row_ids * LANES + l_col_ids
+
+    def make_ring_set(buf, n):
+        rows = _rows(n)
+        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
+        flat = row_ids * LANES + col_ids
+
+        def ring_set(idx, value):
+            buf[:, :] = jnp.where(flat == idx, value, buf[:, :])
+
+        return ring_set
+
+    long_set = make_ring_set(long_buf, L)
+    short_set = make_ring_set(short_buf, S)
+    ratio_set = make_ring_set(ratio_buf, R)
+
+    # --- initialize all state at the first tile of each stream ---
+    @pl.when(tile_idx == 0)
+    def _():
+        if shape.has_initial_avg:
+            long_buf[:, :] = jnp.where(l_flat < L, init_avg, 0.0)
+        else:
+            long_buf[:, :] = jnp.zeros_like(long_buf)
+        short_buf[:, :] = jnp.zeros_like(short_buf)
+        ratio_buf[:, :] = jnp.zeros_like(ratio_buf)
+        for i in range(10):
+            ireg[i] = jnp.int32(0)
+        ireg[I_LONG_CNT] = jnp.int32(L if shape.has_initial_avg else 0)
+        ireg[I_STATE] = jnp.int32(fsm.CLOSED)
+        freg[F_LONG_LAST] = init_avg if shape.has_initial_avg else jnp.float32(0.0)
+        freg[F_SEG_SUM] = jnp.float32(0.0)
+        freg[F_MET_SEC] = jnp.float32(0.0)
+
+    def step(t, _):
+        valid = valid_ref[0, 0, t] != 0
+        mv = minvol_ref[0, 0, t]
+        vr = ratio_ref[0, 0, t]
+        win_idx = tile_base + t
+
+        long_idx = ireg[I_LONG_IDX]
+        long_cnt = ireg[I_LONG_CNT]
+        long_last = freg[F_LONG_LAST]
+        short_idx = ireg[I_SHORT_IDX]
+        short_cnt = ireg[I_SHORT_CNT]
+        ratio_idx = ireg[I_RATIO_IDX]
+        ratio_cnt = ireg[I_RATIO_CNT]
+        state = ireg[I_STATE]
+        start_win = ireg[I_START]
+        end_win = ireg[I_END]
+        seg_sum = freg[F_SEG_SUM]
+        seg_cnt = ireg[I_SEG_CNT]
+        met_sec = freg[F_MET_SEC]
+
+        # --- rolling averages (RollingAverage.zig semantics) ---
+        @pl.when(valid)
+        def _():
+            short_set(short_idx, mv)
+            ratio_set(ratio_idx, vr)
+
+        short_cnt2 = jnp.minimum(short_cnt + 1, np.int32(S))
+        ratio_cnt2 = jnp.minimum(ratio_cnt + 1, np.int32(R))
+        short_avg = jnp.sum(short_buf[:, :]) / short_cnt2.astype(jnp.float32)
+        ratio_avg = jnp.sum(ratio_buf[:, :]) / ratio_cnt2.astype(jnp.float32)
+
+        if shape.has_initial_avg:
+            base = long_last
+        else:
+            base = jnp.where(long_cnt > 0, long_last, short_avg)
+        met = (short_avg > base * tf) & (ratio_avg > rth)
+
+        # long-term only advances when the threshold is NOT met
+        @pl.when(valid & jnp.logical_not(met))
+        def _():
+            long_set(long_idx, mv)
+
+        long_cnt2 = jnp.minimum(long_cnt + 1, np.int32(L))
+        long_avg2 = jnp.sum(long_buf[:, :]) / long_cnt2.astype(jnp.float32)
+        push_long = jnp.logical_not(met)
+
+        # --- state machine ---
+        is_closed = state == fsm.CLOSED
+        is_opening = state == fsm.OPENING
+        is_open = state == fsm.OPEN
+        is_closing = state == fsm.CLOSING
+
+        t_closed_opening = is_closed & met
+        opening_dur = (win_idx - start_win) * fftsz >= min_consec
+        t_opening_open = is_opening & met & opening_dur
+        t_opening_closed = is_opening & jnp.logical_not(met)
+        t_open_closing = is_open & jnp.logical_not(met)
+        closing_dur = (win_idx - end_win) * fftsz >= max_gap
+        t_closing_open = is_closing & met
+        t_closing_closed = is_closing & jnp.logical_not(met) & closing_dur
+
+        new_state = state
+        new_state = jnp.where(t_closed_opening, fsm.OPENING, new_state)
+        new_state = jnp.where(t_opening_open, fsm.OPEN, new_state)
+        new_state = jnp.where(t_opening_closed, fsm.CLOSED, new_state)
+        new_state = jnp.where(t_open_closing, fsm.CLOSING, new_state)
+        new_state = jnp.where(t_closing_open, fsm.OPEN, new_state)
+        new_state = jnp.where(t_closing_closed, fsm.CLOSED, new_state)
+
+        new_start = jnp.where(t_closed_opening, win_idx, start_win)
+        new_end = jnp.where(t_open_closing, win_idx, end_win)
+
+        length_sec = (
+            (end_win - start_win).astype(jnp.float32) * np.float32(shape.fft_size) / sr
+        )
+        duration_met = length_sec >= min_dur
+        seg_emitted = t_closing_closed & duration_met
+        avg_ratio = seg_sum / jnp.maximum(seg_cnt, 1).astype(jnp.float32)
+
+        event = jnp.int32(fsm.EV_NONE)
+        event = jnp.where(t_opening_open, fsm.EV_STARTED, event)
+        event = jnp.where(seg_emitted, fsm.EV_COMPLETED, event)
+        event = jnp.where(
+            t_closing_closed & jnp.logical_not(duration_met), fsm.EV_ABORTED, event
+        )
+        event_win = jnp.where(
+            event == fsm.EV_STARTED,
+            new_start,
+            jnp.where(event == fsm.EV_COMPLETED, end_win, 0),
+        )
+
+        event_ref[0, 0, t] = jnp.where(valid, event, fsm.EV_NONE)
+        eventwin_ref[0, 0, t] = jnp.where(valid, event_win, 0)
+        segvalid_ref[0, 0, t] = (valid & seg_emitted).astype(jnp.int32)
+        segstart_ref[0, 0, t] = start_win
+        segend_ref[0, 0, t] = end_win
+        segratio_ref[0, 0, t] = avg_ratio
+        segmet_ref[0, 0, t] = met_sec
+
+        # --- per-segment stats (trackSpeechStats) ---
+        new_seg_sum = seg_sum
+        new_seg_cnt = seg_cnt
+        new_met_sec = met_sec
+        new_seg_sum = jnp.where(t_closed_opening, vr, new_seg_sum)
+        new_seg_cnt = jnp.where(t_closed_opening, 1, new_seg_cnt)
+        new_met_sec = jnp.where(t_closed_opening, win_sec, new_met_sec)
+        new_seg_sum = jnp.where(is_open, new_seg_sum + vr, new_seg_sum)
+        new_seg_cnt = jnp.where(is_open, new_seg_cnt + 1, new_seg_cnt)
+        new_met_sec = jnp.where(is_open & met, new_met_sec + win_sec, new_met_sec)
+
+        # Register writeback, gated on validity (invalid windows freeze all
+        # state; the ring writes above were already gated).
+        @pl.when(valid)
+        def _():
+            ireg[I_LONG_IDX] = jnp.where(
+                push_long, jax.lax.rem(long_idx + 1, np.int32(L)), long_idx
+            )
+            ireg[I_LONG_CNT] = jnp.where(push_long, long_cnt2, long_cnt)
+            freg[F_LONG_LAST] = jnp.where(push_long, long_avg2, long_last)
+            ireg[I_SHORT_IDX] = jax.lax.rem(short_idx + 1, np.int32(S))
+            ireg[I_SHORT_CNT] = short_cnt2
+            ireg[I_RATIO_IDX] = jax.lax.rem(ratio_idx + 1, np.int32(R))
+            ireg[I_RATIO_CNT] = ratio_cnt2
+            ireg[I_STATE] = new_state
+            ireg[I_START] = new_start
+            ireg[I_END] = new_end
+            freg[F_SEG_SUM] = new_seg_sum
+            ireg[I_SEG_CNT] = new_seg_cnt
+            freg[F_MET_SEC] = new_met_sec
+
+        return 0
+
+    jax.lax.fori_loop(0, TILE, step, 0)
+
+
+def scan_windows_pallas(
+    shape: fsm.FSMShape,
+    params: fsm.FSMParams,
+    min_volumes: jnp.ndarray,  # [B, W]
+    volume_ratios: jnp.ndarray,  # [B, W]
+    valids: jnp.ndarray,  # [B, W] bool
+    interpret: bool = False,
+) -> fsm.WindowOutput:
+    """Run the full FSM window scan as tiled Pallas programs.
+
+    Fresh (initial) carry per call; window indices are 0..W-1.
+    Returns WindowOutput with [B, W] fields (seg_valid as bool).
+    """
+    b, w = min_volumes.shape
+    w_pad = ((w + TILE - 1) // TILE) * TILE
+    n_tiles = w_pad // TILE
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, w_pad - w)))
+
+    kernel = functools.partial(_kernel, shape)
+
+    in_spec = pl.BlockSpec((1, 1, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.SMEM)
+    smem_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((1, 1, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.SMEM)
+
+    def smem_scalar(x, dtype):
+        return jnp.asarray(x, dtype).reshape(1, 1)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[in_spec, in_spec, in_spec] + [smem_spec] * 6,
+        out_specs=[out_spec] * 7,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # event
+            jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # event_win
+            jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # seg_valid
+            jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # seg_start
+            jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # seg_end
+            jax.ShapeDtypeStruct((b, 1, w_pad), jnp.float32),  # seg_ratio
+            jax.ShapeDtypeStruct((b, 1, w_pad), jnp.float32),  # seg_met
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_rows(shape.long_window), LANES), jnp.float32),
+            pltpu.VMEM((_rows(shape.short_window), LANES), jnp.float32),
+            pltpu.VMEM((_rows(shape.ratio_window), LANES), jnp.float32),
+            pltpu.SMEM((16,), jnp.int32),
+            pltpu.SMEM((8,), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        pad(min_volumes)[:, None, :],
+        pad(volume_ratios)[:, None, :],
+        pad(valids.astype(jnp.int32))[:, None, :],
+        smem_scalar(params.threshold_factor, jnp.float32),
+        smem_scalar(params.ratio_threshold, jnp.float32),
+        smem_scalar(params.min_consecutive_samples, jnp.int32),
+        smem_scalar(params.max_gap_samples, jnp.int32),
+        smem_scalar(params.min_duration_sec, jnp.float32),
+        smem_scalar(params.initial_long_term_avg, jnp.float32),
+    )
+    event, event_win, seg_valid, seg_start, seg_end, seg_ratio, seg_met = (
+        o[:, 0, :w] for o in outs
+    )
+    return fsm.WindowOutput(
+        event=event,
+        event_win=event_win,
+        seg_valid=seg_valid.astype(bool),
+        seg_start_win=seg_start,
+        seg_end_win=seg_end,
+        seg_ratio=seg_ratio,
+        seg_met_sec=seg_met,
+    )

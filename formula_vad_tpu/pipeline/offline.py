@@ -108,6 +108,105 @@ def denoise_offline(
     return up
 
 
+def window_inputs(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    n_valid_chunks: jnp.ndarray,
+):
+    """Compute the FSM's per-window inputs for one stream (all parallel).
+
+    Returns (min_vol [W], ratios [W], valid [W]).
+    """
+    c, t = audio.shape
+    chunk = st.chunk_size
+    k = t // chunk
+    audio = audio[:, : k * chunk]
+
+    denoised = denoise_offline(params, audio, st.downsample_rate)  # [C, T]
+
+    n_windows = (k * chunk) // st.fft_size
+    frames = denoised[:, : n_windows * st.fft_size].reshape(c, n_windows, st.fft_size)
+    band = stft.band_volume_windows(
+        frames, vad._hann(st.fft_size), st.fft_size, st.norm_factor,
+        st.min_bin, st.max_bin,
+    )
+    min_vol = jnp.min(band, axis=0)
+
+    ratio_chunk, _, _ = jax.vmap(volume.volume_analysis)(
+        audio.reshape(c, k, chunk).transpose(1, 0, 2)
+    )
+    w = jnp.arange(n_windows)
+    w_start = w * st.fft_size
+    w_end = w_start + st.fft_size
+    c0 = w_start // chunk
+    c1 = (w_end - 1) // chunk
+    boundary = (c0 + 1) * chunk
+    n_in_c0 = jnp.minimum(boundary - w_start, st.fft_size)
+    r0 = ratio_chunk[jnp.clip(c0, 0, k - 1)]
+    r1 = ratio_chunk[jnp.clip(c1, 0, k - 1)]
+    ratios = (
+        n_in_c0.astype(jnp.float32) * r0
+        + (st.fft_size - n_in_c0).astype(jnp.float32) * r1
+    ) / np.float32(st.fft_size)
+    valid = w_end <= n_valid_chunks * chunk
+    return min_vol, ratios, valid
+
+
+def process_batch_offline(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    n_valid_chunks: jnp.ndarray | None = None,
+    fsm_params: Optional[fsm.FSMParams] = None,
+    use_pallas_fsm: bool = True,
+    pallas_interpret: bool = False,
+):
+    """Batched whole-stream VAD: vmapped chunk-parallel front-end + one FSM
+    stage over the [B, W] window batch — as the Pallas kernel (one program
+    per stream, state in VMEM) or a vmapped lax.scan.
+
+    Args:
+      audio: [B, C, T], T a multiple of chunk_size.
+      n_valid_chunks: [B] real chunk counts (ragged batches).
+    Returns:
+      (WindowOutput [B, W(,K)], valid [B, W]).
+    """
+    b, c, t = audio.shape
+    k = t // st.chunk_size
+    if n_valid_chunks is None:
+        n_valid_chunks = jnp.full((b,), k, jnp.int32)
+    fsm_p = fsm_params if fsm_params is not None else st.fsm_params
+
+    min_vol, ratios, valid = jax.vmap(
+        lambda a, n: window_inputs(params, st, a, n)
+    )(audio, n_valid_chunks)  # each [B, W]
+
+    sweeping = np.ndim(fsm_p.threshold_factor) == 1
+    if use_pallas_fsm and not sweeping:
+        from . import fsm_pallas
+
+        win_out = fsm_pallas.scan_windows_pallas(
+            st.fsm_shape, fsm_p, min_vol, ratios, valid, interpret=pallas_interpret
+        )
+        return win_out, valid
+
+    w = min_vol.shape[1]
+
+    def scan_one(mv, vr, va):
+        if sweeping:
+            carry = jax.vmap(lambda pp: fsm.init_carry(st.fsm_shape, pp))(fsm_p)
+        else:
+            carry = fsm.init_carry(st.fsm_shape, fsm_p)
+        _, out = fsm.scan_windows(
+            st.fsm_shape, fsm_p, carry, mv, vr, jnp.arange(w, dtype=jnp.int32), va
+        )
+        return out
+
+    win_out = jax.vmap(scan_one)(min_vol, ratios, valid)
+    return win_out, valid
+
+
 def process_stream_offline(
     params: nsnet2.NSNet2Params,
     st: vad.VADStatics,
