@@ -48,6 +48,7 @@ class Instance:
     out_dir: str | None = None
     reference_segments: list | None = None
     vad_segments: list | None = None  # raw dicts from the pipeline
+    alt_vad_segments: list | None = None  # per alt machine config
     evaluator: object | None = None
 
 
@@ -83,6 +84,38 @@ def vad_segments_to_eval(segments: list[dict], sample_rate: int) -> list[SpeechS
     return out
 
 
+def _save_clips(
+    params, inst: Instance, audio: np.ndarray, n_chunks: int, chunk: int
+) -> None:
+    """Save per-segment original + denoised clips (the reference's OGG
+    recordings, SimulationInstance.zig:37-68; we write float32 WAV).
+
+    The denoised clip is recomputed exactly via the bounded-horizon
+    re-denoise (offline.denoise_span) — no need to retain the full
+    denoised stream from the scoring pass."""
+    import jax.numpy as jnp
+
+    from ..pipeline import offline
+
+    processed_end = n_chunks * chunk
+    for seg in inst.vad_segments or []:
+        a, b = seg["sample_from"], seg["sample_to"]
+        if b > processed_end:
+            # The reference's deferred stop never fires past EOF
+            # (MRBRecorder.zig:88-112) — the recording is dropped.
+            continue
+        clip = audio[:, a:b]
+        ka, kb = a // chunk, (b + chunk - 1) // chunk
+        den = np.asarray(
+            offline.denoise_span(params, jnp.asarray(audio[:, : kb * chunk]), ka, kb)
+        )
+        den_clip = den[:, a - ka * chunk : b - ka * chunk]
+        for kind, data in (("original", clip), ("denoised", den_clip)):
+            rms = np.sqrt(np.mean(data.astype(np.float32) ** 2, axis=1))
+            best = int(np.argmin(rms))  # quietest channel (Recorder.zig:113-128)
+            write_wav(os.path.join(inst.out_dir, f"{a}-{kind}.wav"), data[best : best + 1], 48000)
+
+
 def run_batched(instances: list[Instance], config: SimConfig) -> None:
     params = nsnet2.load(config.vad_config.denoiser_model_path)
     runner = BatchRunner(params, config.vad_config)
@@ -103,8 +136,12 @@ def run_batched(instances: list[Instance], config: SimConfig) -> None:
     for i, a in enumerate(audios):
         batch[i, :, : a.shape[1]] = a
     results = runner.run(batch, lengths)
-    for inst, res in zip(instances, results):
+    chunk = runner.st.chunk_size
+    for inst, res, audio, length in zip(instances, results, audios, lengths):
         inst.vad_segments = res.segments
+        inst.alt_vad_segments = res.alt_segments
+        if inst.out_dir:
+            _save_clips(params, inst, audio, length // chunk, chunk)
 
 
 def run_streaming(instances: list[Instance], config: SimConfig) -> None:

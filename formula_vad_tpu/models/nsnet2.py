@@ -205,7 +205,12 @@ def apply(params: NSNet2Params, features: jnp.ndarray) -> jnp.ndarray:
     features: [..., T, 161] -> gains [..., T, 161].
     """
     batch_shape = features.shape[:-2]
-    _, gains = apply_streaming(params, zero_state(batch_shape, features.dtype), features)
+    # Derive the zero state from the features so it inherits their sharding
+    # varying-axes under shard_map (a plain jnp.zeros constant is "unvarying"
+    # and fails scan's carry type check inside manual-sharding regions).
+    zero = jnp.zeros(batch_shape + (HIDDEN,), features.dtype)
+    zero = zero + 0.0 * features[..., 0, 0][..., None]
+    _, gains = apply_streaming(params, (zero, zero), features)
     return gains
 
 

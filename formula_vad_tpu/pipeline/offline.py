@@ -108,6 +108,39 @@ def denoise_offline(
     return up
 
 
+WARMUP_CHUNKS = 2
+
+
+def denoise_span(
+    params: nsnet2.NSNet2Params,
+    audio: jnp.ndarray,
+    start_chunk: int,
+    end_chunk: int,
+    downsample_rate: int = 3,
+) -> jnp.ndarray:
+    """Exactly recompute denoised audio for chunks [start_chunk, end_chunk).
+
+    The streaming denoiser's carried state has a *bounded* dependency
+    horizon: chunk k's output is an exact function of input chunks k-2..k
+    (the input tail reaches 160 samples back, the OLA output tail one frame
+    of the previous chunk, the feature context 4 frames — all within two
+    chunks).  So a zero-initialized run beginning WARMUP_CHUNKS earlier
+    reproduces the target span bit-exactly — this is how recordings of
+    *denoised* audio are extracted after a batched scoring pass without
+    keeping the full denoised stream in memory.
+
+    Args:
+      audio: [..., C, T] full original stream.
+    Returns:
+      denoised [..., C, (end_chunk - start_chunk) * chunk].
+    """
+    chunk48 = NSNET2_CHUNK_16K * downsample_rate
+    k0 = max(0, start_chunk - WARMUP_CHUNKS)
+    span = audio[..., k0 * chunk48 : end_chunk * chunk48]
+    den = denoise_offline(params, span, downsample_rate)
+    return den[..., (start_chunk - k0) * chunk48 :]
+
+
 def window_inputs(
     params: nsnet2.NSNet2Params,
     st: vad.VADStatics,
@@ -198,6 +231,10 @@ def process_batch_offline(
             carry = jax.vmap(lambda pp: fsm.init_carry(st.fsm_shape, pp))(fsm_p)
         else:
             carry = fsm.init_carry(st.fsm_shape, fsm_p)
+        # Tie the carry to the (varying) inputs so scan's carry types match
+        # inside shard_map manual regions.
+        vz = 0.0 * mv[0]
+        carry = jax.tree_util.tree_map(lambda x: x + vz.astype(x.dtype), carry)
         _, out = fsm.scan_windows(
             st.fsm_shape, fsm_p, carry, mv, vr, jnp.arange(w, dtype=jnp.int32), va
         )
