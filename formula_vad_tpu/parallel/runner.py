@@ -105,6 +105,8 @@ class BatchRunner:
                     mesh=self.mesh,
                     in_specs=(P("data"), P("data")),
                     out_specs=P("data"),
+                    # pallas_call outputs don't carry vma annotations
+                    check_vma=False,
                 )
                 return jax.jit(fn)
             return jax.jit(batch_fn)
