@@ -36,9 +36,10 @@ from ..pipeline.pipeline import AudioPipeline, Callbacks
 
 class Daemon:
     def __init__(self, name: str, out_dir: str, denoiser_path: str | None,
-                 stdout=None):
+                 stdout=None, state_path: str | None = None):
         self.name = name
         self.out_dir = out_dir
+        self.state_path = state_path
         self.stdout = stdout or sys.stdout
         self.correlated_sample_index = 0
         self.correlated_timestamp_ms = 0
@@ -156,9 +157,23 @@ class Daemon:
         self.pipeline.push_samples(silence)
 
     def run(self, stdin=None) -> int:
+        # Resume mid-stream if a state checkpoint exists (no reference
+        # equivalent — the reference loses all state on exit, SURVEY.md §5).
+        if self.state_path and os.path.exists(self.state_path):
+            try:
+                self.pipeline.load_state(self.state_path)
+            except (ValueError, OSError) as e:
+                self.report_error(f"Could not resume state: {e}", False)
         stdin = stdin or sys.stdin
-        for line in stdin:
-            self.process_line(line)
+        try:
+            for line in stdin:
+                self.process_line(line)
+        finally:
+            if self.state_path:
+                try:
+                    self.pipeline.save_state(self.state_path)
+                except OSError as e:
+                    self.report_error(f"Could not save state: {e}", False)
         return 0
 
 
@@ -167,6 +182,10 @@ def main(argv=None) -> int:
     ap.add_argument("-o", "--outdir", required=True, help="Output directory")
     ap.add_argument("-n", "--name", required=True, help="Instance name for logging")
     ap.add_argument("--denoiser", default=None, help="Path to denoiser model (.onnx or .npz)")
+    ap.add_argument(
+        "--state", default=None,
+        help="Path to a state checkpoint: resumed at startup, written on exit",
+    )
     args = ap.parse_args(argv)
 
     if not os.path.isdir(args.outdir) or not os.access(args.outdir, os.W_OK):
@@ -182,7 +201,7 @@ def main(argv=None) -> int:
         )
         return 2
 
-    daemon = Daemon(args.name, args.outdir, args.denoiser)
+    daemon = Daemon(args.name, args.outdir, args.denoiser, state_path=args.state)
     return daemon.run()
 
 

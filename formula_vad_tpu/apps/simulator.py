@@ -158,7 +158,11 @@ def run_streaming(instances: list[Instance], config: SimConfig) -> None:
                 on_original_recording=lambda b: on_rec(b, "original"),
                 on_denoised_recording=lambda b: on_rec(b, "denoised"),
             )
-        src = AudioSource.open_stream(inst.audio_path)
+        src = (
+            AudioSource.preload(inst.audio_path)
+            if config.preload_audio
+            else AudioSource.open_stream(inst.audio_path)
+        )
         pipe = AudioPipeline(
             PipelineConfig(
                 sample_rate=src.sample_rate,
@@ -168,11 +172,14 @@ def run_streaming(instances: list[Instance], config: SimConfig) -> None:
             params=params,
             callbacks=callbacks,
         )
-        while True:
-            frames = src.read(config.audio_read_frame_count)
-            if frames.shape[1] == 0:
-                break
-            pipe.push_samples(frames)
+        if config.preload_audio:
+            pipe.push_samples(src.read_all())
+        else:
+            while True:
+                frames = src.read(config.audio_read_frame_count)
+                if frames.shape[1] == 0:
+                    break
+                pipe.push_samples(frames)
         src.close()
         inst.vad_segments = pipe.segments
 

@@ -1,0 +1,163 @@
+"""NSNet2 training CLI.
+
+The reference consumes a pre-trained ONNX blob it cannot produce; this app
+closes the loop: train the denoiser on (noisy, clean) WAV pairs with the
+DNS-Challenge compressed-spectral loss, sharded dp(+tp) over the device
+mesh, with checkpoint/resume.
+
+Data layout: --data DIR containing ``<name>.noisy.wav`` / ``<name>.clean.wav``
+pairs (any sample rate divisible by 16 kHz; decimated like the pipeline).
+With --synthetic N, trains on generated noise+tone mixtures instead (smoke
+mode; no fixtures ship with this repo).
+
+Usage:
+  python -m formula_vad_tpu.apps.train --steps 1000 --out weights.npz \
+      [--data DIR | --synthetic 64] [--ckpt-dir ckpts] [--tp 1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import NSNET2_N_FFT, NSNET2_N_HOP
+from ..io_.wav import read_wav
+from ..models import nsnet2
+from ..ops import resample, stft, windows
+from ..parallel import mesh as mesh_lib
+from ..pipeline import denoiser as den_mod
+from ..train import nsnet2_train
+from ..utils import checkpoint
+from ..utils.logging import configure, scoped
+
+log = scoped("main")
+
+
+def spectra_from_audio(audio: np.ndarray, rate: int) -> tuple[np.ndarray, np.ndarray]:
+    """Mono audio -> (re, im) NSNet2-frame spectra at 16 kHz."""
+    if rate % 16000 != 0:
+        raise ValueError(f"sample rate {rate} not divisible by 16000")
+    ds_rate = rate // 16000
+    x = jnp.asarray(audio, jnp.float32)
+    if ds_rate > 1:
+        x = resample.downsample(x, ds_rate)
+    n = (x.shape[-1] // NSNET2_N_HOP) * NSNET2_N_HOP
+    re, im = stft.stft_segmat(x[..., :n], den_mod._WINDOW, NSNET2_N_FFT)
+    return np.asarray(re), np.asarray(im)
+
+
+def load_pairs(data_dir: str, n_frames: int):
+    """Yield (feats, n_re, n_im, c_re, c_im) windows from WAV pairs."""
+    pairs = sorted(glob.glob(os.path.join(data_dir, "*.noisy.wav")))
+    if not pairs:
+        raise FileNotFoundError(f"no *.noisy.wav files in {data_dir}")
+    examples = []
+    for noisy_path in pairs:
+        clean_path = noisy_path.replace(".noisy.wav", ".clean.wav")
+        if not os.path.exists(clean_path):
+            log.warning("skipping %s: no clean pair", noisy_path)
+            continue
+        noisy, rate = read_wav(noisy_path)
+        clean, rate_c = read_wav(clean_path)
+        if rate != rate_c:
+            raise ValueError(f"rate mismatch for {noisy_path}")
+        t = min(noisy.shape[1], clean.shape[1])
+        n_re, n_im = spectra_from_audio(noisy[0, :t], rate)
+        c_re, c_im = spectra_from_audio(clean[0, :t], rate)
+        for s in range(0, n_re.shape[0] - n_frames + 1, n_frames):
+            sl = slice(s, s + n_frames)
+            feats = np.log10(np.maximum(n_re[sl] ** 2 + n_im[sl] ** 2, 1e-12))
+            examples.append((feats, n_re[sl], n_im[sl], c_re[sl], c_im[sl]))
+    if not examples:
+        raise ValueError("no usable training windows found")
+    return examples
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description="Train the NSNet2 denoiser.")
+    ap.add_argument("--data", default=None, help="Directory of *.noisy.wav/*.clean.wav pairs")
+    ap.add_argument("--synthetic", type=int, default=0, help="Train on N synthetic examples")
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--frames", type=int, default=100, help="Frames per example window")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--tp", type=int, default=1, help="Tensor-parallel axis size")
+    ap.add_argument("--out", default="nsnet2_weights.npz")
+    ap.add_argument("--ckpt-dir", default=None)
+    ap.add_argument("--ckpt-every", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    configure()
+
+    m = mesh_lib.data_model_mesh(args.tp) if len(jax.devices()) > 1 or args.tp > 1 else None
+    if m is not None:
+        dp = m.shape["data"]
+        if args.batch % dp:
+            args.batch = ((args.batch + dp - 1) // dp) * dp
+            log.info("rounded batch up to %d (data axis %d)", args.batch, dp)
+    params = nsnet2.init_params(jax.random.PRNGKey(args.seed))
+    opt = optax.adam(args.lr)
+    if m is not None:
+        params = nsnet2_train.shard_params(params, m)
+    opt_state = opt.init(params)
+    step_fn = nsnet2_train.make_train_step(opt, m)
+
+    start_step = 0
+    if args.ckpt_dir:
+        latest = checkpoint.latest_step(args.ckpt_dir)
+        if latest is not None:
+            params, opt_state = checkpoint.load_train_state(
+                args.ckpt_dir, params, opt_state, latest
+            )
+            if m is not None:
+                # Restore the mesh placement the step function expects.
+                params = nsnet2_train.shard_params(params, m)
+                opt_state = jax.device_put(opt_state, mesh_lib.replicated(m))
+            start_step = latest
+            log.info("resumed from step %d", latest)
+
+    if args.data:
+        examples = load_pairs(args.data, args.frames)
+        log.info("loaded %d training windows", len(examples))
+
+        def batch_at(i, rng):
+            idx = rng.integers(0, len(examples), args.batch)
+            cols = list(zip(*[examples[j] for j in idx]))
+            return tuple(jnp.asarray(np.stack(c)) for c in cols)
+
+        rng = np.random.default_rng(args.seed)
+        get_batch = lambda i: batch_at(i, rng)
+    else:
+        n = max(args.synthetic, args.batch)
+        get_batch = lambda i: nsnet2_train.synth_batch(
+            jax.random.PRNGKey(args.seed + i), args.batch, args.frames
+        )
+
+    from jax.sharding import NamedSharding
+
+    for i in range(start_step, args.steps):
+        b = get_batch(i)
+        if m is not None:
+            sh = NamedSharding(m, nsnet2_train.batch_pspec())
+            b = tuple(jax.device_put(x, sh) for x in b)
+        params, opt_state, loss = step_fn(params, opt_state, b)
+        if i % 10 == 0 or i == args.steps - 1:
+            log.info("step %d loss %.6f", i, float(loss))
+        if args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
+            checkpoint.save_train_state(args.ckpt_dir, params, opt_state, i + 1)
+
+    gathered = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
+    nsnet2.save_npz(args.out, gathered)
+    log.info("saved weights to %s", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

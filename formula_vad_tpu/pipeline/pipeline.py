@@ -248,6 +248,44 @@ class AudioPipeline:
         buf = recorder.on_new_samples(samples)
         self._emit(buf, kind)
 
+    # ---- checkpoint / resume (no reference equivalent: SURVEY.md §5 notes
+    # the reference loses all state on exit) --------------------------------
+
+    def save_state(self, path: str) -> None:
+        """Serialize the full streaming state (device carry + rings + read
+        count) so a restarted process resumes bit-identically. Active
+        recordings are not persisted (they finalize from ring history)."""
+        from ..utils import checkpoint
+
+        state = {
+            "carry": self._carry,
+            "read_count": jnp.int64(self._read_count),
+            "orig_ring": jnp.asarray(self.original_ring.data),
+            "orig_written": jnp.int64(self.original_ring.total_written),
+            "den_ring": jnp.asarray(self.denoised_ring.data),
+            "den_written": jnp.int64(self.denoised_ring.total_written),
+        }
+        checkpoint.save_carry(path, state)
+
+    def load_state(self, path: str) -> None:
+        from ..utils import checkpoint
+
+        template = {
+            "carry": vad.init_carry(self.st),
+            "read_count": jnp.int64(0),
+            "orig_ring": jnp.asarray(self.original_ring.data),
+            "orig_written": jnp.int64(0),
+            "den_ring": jnp.asarray(self.denoised_ring.data),
+            "den_written": jnp.int64(0),
+        }
+        state = checkpoint.load_carry(path, template)
+        self._carry = state["carry"]
+        self._read_count = int(state["read_count"])
+        self.original_ring.data = np.array(state["orig_ring"])  # writable copy
+        self.original_ring.total_written = int(state["orig_written"])
+        self.denoised_ring.data = np.array(state["den_ring"])  # writable copy
+        self.denoised_ring.total_written = int(state["den_written"])
+
     def _emit(self, buf: Optional[AudioBuffer], kind: str) -> None:
         if buf is None:
             return
