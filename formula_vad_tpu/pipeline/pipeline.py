@@ -45,7 +45,12 @@ class RingBuffer:
     def write(self, samples: np.ndarray) -> None:
         n = samples.shape[1]
         if n >= self.capacity:
-            self.data[:] = samples[:, -self.capacity :]
+            # Keep only the tail, placed so absolute indexing stays aligned.
+            tail = samples[:, -self.capacity :]
+            pos = (self.total_written + n - self.capacity) % self.capacity
+            k = self.capacity - pos
+            self.data[:, pos:] = tail[:, :k]
+            self.data[:, :pos] = tail[:, k:]
             self.total_written += n
             return
         pos = self.total_written % self.capacity
