@@ -21,8 +21,6 @@ Gate order and linear_before_reset=1 semantics match ``nsnet2.gru_cell``;
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

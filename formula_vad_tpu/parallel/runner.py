@@ -15,7 +15,7 @@ rolling averages and state are unaffected — SURVEY.md §7 "hard parts" #4).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

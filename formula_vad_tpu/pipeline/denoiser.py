@@ -39,7 +39,7 @@ from ..config import (
     NSNET2_N_HOP,
 )
 from ..models import nsnet2
-from ..ops import dft, resample, stft, windows
+from ..ops import resample, stft, windows
 
 FEATURE_P_MIN = np.float32(1e-12)  # 10^-12 clamp (NSNet2.zig:275)
 GAIN_MIN = np.float32(-80.0)  # (NSNet2.zig:295-296)

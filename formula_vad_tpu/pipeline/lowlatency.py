@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import NSNET2_N_BINS, NSNET2_N_FFT, NSNET2_N_HOP
+from ..config import NSNET2_N_FFT, NSNET2_N_HOP
 from ..models import nsnet2
 from ..ops import resample, stft
 from . import denoiser as den_mod

@@ -24,8 +24,7 @@ Parallelism (jax.sharding over a ("data", "model") mesh):
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
