@@ -52,18 +52,23 @@ def main() -> None:
     fn = jax.jit(batch_fn)
 
     rng = np.random.default_rng(0)
-    audio = jnp.asarray(
-        0.02 * rng.standard_normal((n_streams, 2, n_chunks * st.chunk_size)),
-        jnp.float32,
-    )
+    # Distinct buffers per iteration so no runtime-level result caching can
+    # inflate the numbers.
+    audios = [
+        jnp.asarray(
+            0.02 * rng.standard_normal((n_streams, 2, n_chunks * st.chunk_size)),
+            jnp.float32,
+        )
+        for _ in range(min(n_iters, 3))
+    ]
 
     # Warmup / compile.
-    ev, sv = fn(audio)
+    ev, sv = fn(audios[0])
     jax.block_until_ready(ev)
 
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        ev, sv = fn(audio)
+    for i in range(n_iters):
+        ev, sv = fn(audios[i % len(audios)])
     jax.block_until_ready(ev)
     dt = time.perf_counter() - t0
 
