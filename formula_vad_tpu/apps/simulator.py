@@ -116,9 +116,13 @@ def _save_clips(
             write_wav(os.path.join(inst.out_dir, f"{a}-{kind}.wav"), data[best : best + 1], 48000)
 
 
+SLAB_AUTO_BYTES = 2 << 30  # switch to the constant-memory slab runner above ~2 GB
+
+
 def run_batched(instances: list[Instance], config: SimConfig) -> None:
+    from ..parallel.slab_runner import SlabRunner
+
     params = nsnet2.load(config.vad_config.denoiser_model_path)
-    runner = BatchRunner(params, config.vad_config)
     audios = []
     lengths = []
     for inst in instances:
@@ -129,17 +133,34 @@ def run_batched(instances: list[Instance], config: SimConfig) -> None:
         audios.append(audio)
         lengths.append(audio.shape[1])
     max_t = max(lengths)
-    chunk = runner.st.chunk_size
-    max_t = ((max_t + chunk - 1) // chunk) * chunk
     n_ch = audios[0].shape[0]
-    batch = np.zeros((len(audios), n_ch, max_t), np.float32)
-    for i, a in enumerate(audios):
-        batch[i, :, : a.shape[1]] = a
-    results = runner.run(batch, lengths)
+
+    use_slabs = config.use_slabs
+    if use_slabs is None:
+        use_slabs = len(audios) * n_ch * max_t * 4 > SLAB_AUTO_BYTES
+    if use_slabs and config.vad_config.alt_vad_machine_configs:
+        raise ValueError("alt_vad_machine_configs requires the one-shot path (use_slabs=false)")
+
+    if use_slabs:
+        runner = SlabRunner(params, config.vad_config, slab_chunks=config.slab_chunks)
+        readers = [
+            (lambda s, n, a=a: a[:, s : s + n]) for a in audios
+        ]
+        results = runner.run_readers(readers, lengths)
+    else:
+        batch_runner = BatchRunner(params, config.vad_config)
+        chunk = batch_runner.st.chunk_size
+        pad_t = ((max_t + chunk - 1) // chunk) * chunk
+        batch = np.zeros((len(audios), n_ch, pad_t), np.float32)
+        for i, a in enumerate(audios):
+            batch[i, :, : a.shape[1]] = a
+        results = batch_runner.run(batch, lengths)
+        runner = batch_runner
+
     chunk = runner.st.chunk_size
     for inst, res, audio, length in zip(instances, results, audios, lengths):
         inst.vad_segments = res.segments
-        inst.alt_vad_segments = res.alt_segments
+        inst.alt_vad_segments = getattr(res, "alt_segments", [])
         if inst.out_dir:
             _save_clips(params, inst, audio, length // chunk, chunk)
 

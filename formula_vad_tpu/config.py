@@ -151,6 +151,10 @@ class SimConfig:
     # TPU-native extensions (not present in the reference):
     batch_streams: bool = True  # batch all plan instances into one device batch
     recording_format: str = "wav"  # reference writes ogg; libsndfile is replaced by our wav codec
+    # None = auto: use the constant-memory slab runner when the padded batch
+    # would exceed ~2 GB on device (hour-long race corpora); True/False force.
+    use_slabs: Optional[bool] = None
+    slab_chunks: int = 128  # 64 s slabs (must be a multiple of 32)
 
 
 # ---------------------------------------------------------------------------

@@ -93,15 +93,21 @@ _SEGMAT_WINDOWS: dict[int, np.ndarray] = {}
 
 
 def stft_segmat(
-    x: jnp.ndarray, window: np.ndarray, n_fft: int, decimate: int = 1
+    x: jnp.ndarray,
+    window: np.ndarray,
+    n_fft: int,
+    decimate: int = 1,
+    initial_segment: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Half-overlap windowed STFT as one big MXU matmul, with optional
     decimation folded into the basis.
 
     Args:
       x: [..., T] audio at the *input* rate; T must be a multiple of
-        hop*decimate. The signal is implicitly zero-padded with one leading
-        hop (the streaming input-tail chain's zero init).
+        hop*decimate. The signal is prefixed with ``initial_segment``
+        ([..., hop*decimate], default zeros — the streaming input-tail
+        chain's zero init; pass the previous slab's final raw segment to
+        continue a stream exactly).
     Returns:
       (re, im) each [..., T/(hop*decimate), n_bins]: frame f covers decimated
       samples [f*hop - hop, f*hop + hop).
@@ -114,8 +120,10 @@ def stft_segmat(
     seg = hop * decimate
     t = x.shape[-1]
     assert t % seg == 0
+    if initial_segment is None:
+        initial_segment = jnp.zeros(x.shape[:-1] + (seg,), x.dtype)
     segs = jnp.concatenate(
-        [jnp.zeros(x.shape[:-1] + (seg,), x.dtype), x], axis=-1
+        [initial_segment, x], axis=-1
     ).reshape(x.shape[:-1] + (t // seg + 1, seg))
     prod = jnp.matmul(segs, basis, precision=matmul_precision())
     z = prod[..., :-1, : 2 * n_bins] + prod[..., 1:, 2 * n_bins :]

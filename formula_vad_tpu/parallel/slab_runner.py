@@ -1,0 +1,197 @@
+"""Slab-wise batched VAD for arbitrarily long streams.
+
+The one-shot offline path (``offline.process_batch_offline``) materializes
+whole streams on device — perfect for minutes of audio, impossible for a
+21-stream hour-long race (~58 GB > HBM).  This runner processes the batch
+in fixed 64 s *slabs* with exact carried state, so device memory is O(slab)
+while keeping the chunk-parallel formulation inside each slab:
+
+* slab length is a multiple of lcm(24000, 1024) = 768000 samples (16 s), so
+  the 1024-pt window accumulator is empty at every boundary — no window
+  straddles a slab edge and window indices simply continue;
+* the denoiser boundary state (raw input tail, 4 feature-context frames,
+  OLA tail, upsampler sample) is carried through
+  ``offline.denoise_offline_carry`` — bit-identical chaining;
+* the FSM carry continues across slabs (``fsm.scan_windows``).
+
+Results are identical to the one-shot path (asserted by tests).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VADConfig
+from ..models import nsnet2
+from ..ops import stft, volume
+from ..pipeline import fsm, offline, vad
+from . import mesh as mesh_lib
+from .runner import StreamResult
+
+SLAB_ALIGN_CHUNKS = 32  # 16 s: lcm(chunk=24000, fft=1024) / 24000
+
+
+class SlabRunner:
+    """Constant-memory batched VAD over arbitrarily long streams."""
+
+    def __init__(
+        self,
+        params: nsnet2.NSNet2Params,
+        vad_config: VADConfig | None = None,
+        n_channels: int = 2,
+        sample_rate: int = 48000,
+        slab_chunks: int = 128,  # 64 s
+        mesh=None,
+        use_mesh: bool = True,
+    ):
+        if slab_chunks % SLAB_ALIGN_CHUNKS != 0:
+            raise ValueError(f"slab_chunks must be a multiple of {SLAB_ALIGN_CHUNKS}")
+        vad_config = vad_config or VADConfig()
+        self.params = params
+        self.st = vad.statics_from_config(vad_config, sample_rate, n_channels)
+        self.slab_chunks = slab_chunks
+        self.slab_samples = slab_chunks * self.st.chunk_size
+        self.mesh = mesh if mesh is not None else (mesh_lib.data_mesh() if use_mesh else None)
+        self._fn = None
+
+    # ------------------------------------------------------------------
+
+    def _build(self):
+        st = self.st
+        params = self.params
+        chunk = st.chunk_size
+        k = self.slab_chunks
+        n_windows = (k * chunk) // st.fft_size
+
+        def one_stream(audio, den_carry, n_valid_chunks):
+            den, den_carry = offline.denoise_offline_carry(
+                params, audio, den_carry, st.downsample_rate
+            )
+            c = audio.shape[0]
+            frames = den.reshape(c, n_windows, st.fft_size)
+            band = stft.band_volume_windows(
+                frames, vad._hann(st.fft_size), st.fft_size, st.norm_factor,
+                st.min_bin, st.max_bin,
+            )
+            min_vol = jnp.min(band, axis=0)
+            ratio_chunk, _, _ = jax.vmap(volume.volume_analysis)(
+                audio.reshape(c, k, chunk).transpose(1, 0, 2)
+            )
+            w = jnp.arange(n_windows)
+            w_start = w * st.fft_size
+            w_end = w_start + st.fft_size
+            c0 = w_start // chunk
+            c1 = (w_end - 1) // chunk
+            n_in_c0 = jnp.minimum((c0 + 1) * chunk - w_start, st.fft_size)
+            r0 = ratio_chunk[jnp.clip(c0, 0, k - 1)]
+            r1 = ratio_chunk[jnp.clip(c1, 0, k - 1)]
+            ratios = (
+                n_in_c0.astype(jnp.float32) * r0
+                + (st.fft_size - n_in_c0).astype(jnp.float32) * r1
+            ) / np.float32(st.fft_size)
+            valid = w_end <= n_valid_chunks * chunk
+            return den_carry, min_vol, ratios, valid
+
+        def slab_fn(audio, den_carry, fsm_carry, win_base, chunk_valids):
+            n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
+            den_carry, mv, rt, va = jax.vmap(one_stream)(audio, den_carry, n_valid)
+
+            def scan_one(carry, mv1, rt1, va1, wb):
+                vz = 0.0 * mv1[0]
+                carry = jax.tree_util.tree_map(lambda x: x + vz.astype(x.dtype), carry)
+                return fsm.scan_windows(
+                    st.fsm_shape, st.fsm_params, carry, mv1, rt1,
+                    wb + jnp.arange(n_windows, dtype=jnp.int32), va1,
+                )
+
+            fsm_carry, out = jax.vmap(scan_one)(fsm_carry, mv, rt, va, win_base)
+            return den_carry, fsm_carry, out, va
+
+        if self.mesh is not None:
+            sh = mesh_lib.batch_sharding(self.mesh)
+            return jax.jit(slab_fn, in_shardings=(sh, sh, sh, sh, sh))
+        return jax.jit(slab_fn)
+
+    def _init_carries(self, b):
+        den = jax.vmap(
+            lambda _: offline.init_slab_carry(self.st.n_channels, self.st.downsample_rate)
+        )(jnp.arange(b))
+        fsm_c = jax.vmap(
+            lambda _: fsm.init_carry(self.st.fsm_shape, self.st.fsm_params)
+        )(jnp.arange(b))
+        return den, fsm_c
+
+    def run(
+        self, audio_batch: np.ndarray, lengths: Optional[Sequence[int]] = None
+    ) -> list[StreamResult]:
+        """Run over [B, C, T] audio (any T); loops 64 s slabs on the host."""
+        b, c, t = audio_batch.shape
+        if lengths is None:
+            lengths = [t] * b
+
+        def reader(i, start, n):
+            return audio_batch[i, :, start : start + n]
+
+        return self.run_readers([lambda s, n, i=i: reader(i, s, n) for i in range(b)], lengths)
+
+    def run_readers(self, readers, lengths: Sequence[int]) -> list[StreamResult]:
+        """Run over streams served by reader callables.
+
+        Args:
+          readers: list of ``read(start_sample, n_samples) -> [C, m]`` (m may
+            be short at EOF; the tail is zero-padded).
+          lengths: total per-stream sample counts.
+        Returns:
+          one StreamResult per stream.
+        """
+        b = len(readers)
+        chunk = self.st.chunk_size
+        valid_chunks = np.asarray([l // chunk for l in lengths], np.int64)
+        max_chunks = int(valid_chunks.max(initial=0))
+        if max_chunks == 0:
+            return [StreamResult(segments=[]) for _ in range(b)]
+        n_slabs = (max_chunks + self.slab_chunks - 1) // self.slab_chunks
+
+        b_pad = mesh_lib.pad_batch(b, self.mesh) if self.mesh is not None else b
+        if self._fn is None:
+            self._fn = self._build()
+        den_carry, fsm_carry = self._init_carries(b_pad)
+        win_base = jnp.zeros((b_pad,), jnp.int32)
+        windows_per_slab = self.slab_samples // self.st.fft_size
+
+        outputs = [[] for _ in range(b)]
+        for s in range(n_slabs):
+            start_chunk = s * self.slab_chunks
+            slab = np.zeros((b_pad, self.st.n_channels, self.slab_samples), np.float32)
+            cv = np.zeros((b_pad, self.slab_chunks), bool)
+            for i in range(b):
+                n_valid = int(
+                    np.clip(valid_chunks[i] - start_chunk, 0, self.slab_chunks)
+                )
+                if n_valid == 0:
+                    continue
+                data = readers[i](start_chunk * chunk, n_valid * chunk)
+                slab[i, :, : data.shape[1]] = data[:, : n_valid * chunk]
+                cv[i, :n_valid] = True
+            den_carry, fsm_carry, out, va = self._fn(
+                jnp.asarray(slab), den_carry, fsm_carry, win_base, jnp.asarray(cv)
+            )
+            win_base = win_base + jnp.int32(windows_per_slab)
+            out = jax.device_get(out)
+            for i in range(b):
+                outputs[i].append(jax.tree_util.tree_map(lambda x: x[i], out))
+
+        results = []
+        for i in range(b):
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate(xs, axis=0), *outputs[i]
+            )
+            segs = vad.segments_from_outputs(
+                self.st, vad.ChunkOutput(windows=stacked, window_valid=None, denoised=None)
+            )
+            results.append(StreamResult(segments=segs))
+        return results

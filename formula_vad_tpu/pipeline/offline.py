@@ -52,15 +52,35 @@ from . import denoiser as den_mod
 from . import fsm, vad
 
 
-def denoise_offline(
-    params: nsnet2.NSNet2Params, audio: jnp.ndarray, downsample_rate: int = 3
-) -> jnp.ndarray:
-    """Denoise a whole stream at once; identical to chaining denoise_chunk.
+def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32):
+    """Denoiser boundary state for slab-wise whole-stream processing.
+
+    raw_tail carries the final hop of *raw* audio (the 16 kHz input tail is
+    pure decimated input, so at 48 kHz it is just the last 480 samples);
+    the rest mirror the streaming denoiser carry (denoiser.init_carry)."""
+    return {
+        "raw_tail": jnp.zeros((n_channels, NSNET2_N_HOP * downsample_rate), dtype),
+        "feat_ctx": jnp.zeros((n_channels, NSNET2_CONTEXT_FRAMES, NSNET2_N_BINS), dtype),
+        "out_tail": jnp.zeros((n_channels, NSNET2_N_HOP), dtype),
+        "last_sample": jnp.zeros((n_channels,), dtype),
+    }
+
+
+def denoise_offline_carry(
+    params: nsnet2.NSNet2Params,
+    audio: jnp.ndarray,
+    carry: dict,
+    downsample_rate: int = 3,
+):
+    """Chunk-parallel denoise of one slab with explicit boundary state.
+
+    Chaining slabs through the carry is bit-identical to one whole-stream
+    ``denoise_offline`` run (and hence to the streaming chunk chain).
 
     Args:
-      audio: [..., C, T] with T a multiple of the 24000-sample chunk.
+      audio: [..., C, S] slab, S a multiple of the 24000-sample chunk.
     Returns:
-      denoised [..., C, T].
+      (denoised [..., C, S], new_carry).
     """
     t48 = audio.shape[-1]
     chunk48 = NSNET2_CHUNK_16K * downsample_rate
@@ -69,22 +89,27 @@ def denoise_offline(
     lead = audio.shape[:-1]  # (..., C)
 
     # Fused decimate+window+rDFT: one MXU matmul straight on the 48 kHz audio
-    # (stft_segmat folds the 48k->16k decimation into the DFT basis; the
-    # implicit leading zero-hop reproduces the per-chunk input-tail chain,
-    # NSNet2.zig:115-117,175-179).
+    # (stft_segmat folds the 48k->16k decimation into the DFT basis); the
+    # carried raw tail is the previous slab's final hop-segment
+    # (NSNet2.zig:115-117,175-179 input-tail chain).
     re, im = stft.stft_segmat(
-        audio, den_mod._WINDOW, NSNET2_N_FFT, decimate=downsample_rate
+        audio,
+        den_mod._WINDOW,
+        NSNET2_N_FFT,
+        decimate=downsample_rate,
+        initial_segment=carry["raw_tail"],
     )  # [..., K*50, 161]
 
     feats = den_mod.compute_features(re, im)  # [..., K*50, 161]
-    # Per-chunk model input: 4 context frames + 50 current frames; context for
-    # chunk 0 is zeros (NSNet2.zig:77-79). Built from slices (not a gather):
-    # chunk k's context = frames 46..50 of chunk k-1.
+    # Per-chunk model input: 4 context frames + 50 current frames; context
+    # for chunk 0 comes from the carry (zeros at stream start, NSNet2.zig:
+    # 77-79). Built from slices (not a gather): chunk k's context = frames
+    # 46..50 of chunk k-1.
     n_model_frames = NSNET2_N_FRAMES + NSNET2_CONTEXT_FRAMES  # 54
     main = feats.reshape(lead + (k, NSNET2_N_FRAMES, NSNET2_N_BINS))
     prev_tail = jnp.concatenate(
         [
-            jnp.zeros(lead + (1, NSNET2_CONTEXT_FRAMES, NSNET2_N_BINS), feats.dtype),
+            carry["feat_ctx"][..., None, :, :],
             main[..., :-1, NSNET2_N_FRAMES - NSNET2_CONTEXT_FRAMES :, :],
         ],
         axis=-3,
@@ -98,13 +123,40 @@ def denoise_offline(
     g = jnp.clip(gains, den_mod.GAIN_MIN, den_mod.GAIN_MAX)
 
     # Global OLA == the per-chunk output-tail chain (see module docstring);
-    # one matmul + shift-add (istft_segmat), dangling tail dropped.
+    # one matmul + shift-add (istft_segmat). The carried OLA tail adds onto
+    # the first hop; the dangling final hop becomes the next carry.
     ola = stft.istft_segmat(re * g, im * g, den_mod._WINDOW, NSNET2_N_FFT)
+    ola = ola.at[..., :NSNET2_N_HOP].add(carry["out_tail"])
     completed = ola[..., : k * NSNET2_CHUNK_16K]
 
-    up, _ = resample.upsample(
-        completed, jnp.zeros(lead, completed.dtype), downsample_rate
-    )
+    up, new_last = resample.upsample(completed, carry["last_sample"], downsample_rate)
+    new_carry = {
+        "raw_tail": audio[..., -NSNET2_N_HOP * downsample_rate :],
+        "feat_ctx": feats[..., -NSNET2_CONTEXT_FRAMES:, :],
+        "out_tail": ola[..., k * NSNET2_CHUNK_16K :],
+        "last_sample": new_last,
+    }
+    return up, new_carry
+
+
+def denoise_offline(
+    params: nsnet2.NSNet2Params, audio: jnp.ndarray, downsample_rate: int = 3
+) -> jnp.ndarray:
+    """Denoise a whole stream at once; identical to chaining denoise_chunk.
+
+    Args:
+      audio: [..., C, T] with T a multiple of the 24000-sample chunk.
+    Returns:
+      denoised [..., C, T].
+    """
+    n_ch = audio.shape[-2]
+    lead = audio.shape[:-2]
+    carry = init_slab_carry(n_ch, downsample_rate, audio.dtype)
+    if lead:
+        carry = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, lead + x.shape), carry
+        )
+    up, _ = denoise_offline_carry(params, audio, carry, downsample_rate)
     return up
 
 
