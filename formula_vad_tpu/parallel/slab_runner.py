@@ -163,7 +163,11 @@ class SlabRunner:
         win_base = jnp.zeros((b_pad,), jnp.int32)
         windows_per_slab = self.slab_samples // self.st.fft_size
 
-        outputs = [[] for _ in range(b)]
+        # Device handles are collected and fetched once at the end: dispatch
+        # is async, so host-side decode/assembly of slab k+1 overlaps the
+        # device compute (and H2D) of slab k. Per-slab outputs are tiny
+        # (~100 KB/stream), the audio itself never comes back.
+        slab_outs = []
         for s in range(n_slabs):
             start_chunk = s * self.slab_chunks
             slab = np.zeros((b_pad, self.st.n_channels, self.slab_samples), np.float32)
@@ -181,14 +185,14 @@ class SlabRunner:
                 jnp.asarray(slab), den_carry, fsm_carry, win_base, jnp.asarray(cv)
             )
             win_base = win_base + jnp.int32(windows_per_slab)
-            out = jax.device_get(out)
-            for i in range(b):
-                outputs[i].append(jax.tree_util.tree_map(lambda x: x[i], out))
+            slab_outs.append(out)
 
+        slab_outs = jax.device_get(slab_outs)
         results = []
         for i in range(b):
             stacked = jax.tree_util.tree_map(
-                lambda *xs: np.concatenate(xs, axis=0), *outputs[i]
+                lambda *xs: np.concatenate([np.asarray(x)[i] for x in xs], axis=0),
+                *slab_outs,
             )
             segs = vad.segments_from_outputs(
                 self.st, vad.ChunkOutput(windows=stacked, window_valid=None, denoised=None)
