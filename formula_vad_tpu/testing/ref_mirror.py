@@ -44,10 +44,11 @@ class RollingAverage:
         return self.avg()
 
     def avg(self) -> float:
+        # The reference accumulates data[i] * (1/count) sequentially in f64
+        # (RollingAverage.zig:45-56); numpy's pairwise f64 sum differs only
+        # at ~1e-16 relative — far below every f32 comparison downstream.
         scalar = 1.0 / self.written
-        acc = 0.0
-        for i in range(self.written):
-            acc += self.data[i] * scalar
+        acc = float(np.sum(self.data[: self.written] * scalar))
         self.last_avg = acc
         return acc
 
@@ -102,17 +103,15 @@ class NSNet2Mirror:
             inv = np.fft.irfft(spec[f], n=self.N_FFT).astype(np.float32) * self.window
             self.out_buf[f * self.N_HOP : f * self.N_HOP + self.N_FFT] += inv
         completed = self.out_buf[: self.CHUNK]
-        # lerp upsample with carried last sample (resample.zig:32-65)
-        out = np.zeros(self.CHUNK * self.rate, np.float32)
-        prev = self.last_sample
+        # lerp upsample with carried last sample (resample.zig:32-65);
+        # vectorized per-element (identical f32 math to the scalar loop:
+        # out[i*r+j] = prev_i + (cur_i - prev_i) * (j+1)/r, out[i*r+r-1]=cur_i)
         r = self.rate
-        for i in range(self.CHUNK):
-            cur = completed[i]
-            for j in range(r - 1):
-                frac = np.float32((j + 1) / r)
-                out[i * r + j] = prev + (cur - prev) * frac
-            out[i * r + r - 1] = cur
-            prev = cur
+        prev = np.concatenate([[self.last_sample], completed[:-1]]).astype(np.float32)
+        fracs = np.array([(j + 1) / r for j in range(r - 1)], np.float32)
+        interp = prev[:, None] + (completed[:, None] - prev[:, None]) * fracs
+        groups = np.concatenate([interp, completed[:, None]], axis=1)
+        out = groups.reshape(-1).astype(np.float32)
         self.last_sample = completed[-1]
         return out
 

@@ -150,3 +150,26 @@ class TestEndToEndGolden:
             assert g["vad_met_sec"] == pytest.approx(e["vad_met_sec"], abs=1e-3)
         # sanity: the synthetic audio actually produced speech segments
         assert len(got) >= 2
+
+    def test_default_config_golden(self, params):
+        """Default reference config (180 s long-term window => length 8437,
+        short 9, ratio 23) on 60 s of audio: exercises the exact derived
+        window sizes and the frozen-update threshold behavior end-to-end."""
+        cfg = VADMachineConfig()  # pure defaults
+        audio = make_speechy_audio(n_chunks=120, seed=11)
+
+        mirror = PipelineMirror(params, cfg)
+        expected = mirror.run(audio)
+
+        st = vad.statics_from_config(VADConfig(vad_machine_config=cfg))
+        assert st.fsm_shape.long_window == 8437
+        assert st.fsm_shape.short_window == 9
+        assert st.fsm_shape.ratio_window == 23
+        carry, outputs = jax.jit(lambda a: vad.process_stream(params, st, a))(
+            jnp.asarray(audio)
+        )
+        got = vad.segments_from_outputs(st, outputs)
+        assert [(g["sample_from"], g["sample_to"]) for g in got] == [
+            (e["sample_from"], e["sample_to"]) for e in expected
+        ]
+        assert len(got) >= 2  # with the 0.005 initial floor the bursts trigger
