@@ -47,9 +47,13 @@ class SlabRunner:
         slab_chunks: int = 128,  # 64 s
         mesh=None,
         use_mesh: bool = True,
+        use_pallas_fsm: bool | None = None,
     ):
         if slab_chunks % SLAB_ALIGN_CHUNKS != 0:
             raise ValueError(f"slab_chunks must be a multiple of {SLAB_ALIGN_CHUNKS}")
+        if use_pallas_fsm is None:
+            use_pallas_fsm = jax.devices()[0].platform != "cpu"
+        self.use_pallas_fsm = use_pallas_fsm
         vad_config = vad_config or VADConfig()
         self.params = params
         self.st = vad.statics_from_config(vad_config, sample_rate, n_channels)
@@ -96,9 +100,20 @@ class SlabRunner:
             valid = w_end <= n_valid_chunks * chunk
             return den_carry, min_vol, ratios, valid
 
+        use_pallas = self.use_pallas_fsm
+
         def slab_fn(audio, den_carry, fsm_carry, win_base, chunk_valids):
             n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
             den_carry, mv, rt, va = jax.vmap(one_stream)(audio, den_carry, n_valid)
+
+            if use_pallas:
+                from ..pipeline import fsm_pallas
+
+                out, fsm_carry = fsm_pallas.scan_windows_pallas(
+                    st.fsm_shape, st.fsm_params, mv, rt, va,
+                    carry=fsm_carry, win_base=win_base, return_carry=True,
+                )
+                return den_carry, fsm_carry, out, va
 
             def scan_one(carry, mv1, rt1, va1, wb):
                 vz = 0.0 * mv1[0]

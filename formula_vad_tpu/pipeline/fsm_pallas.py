@@ -41,7 +41,9 @@ TILE = 512  # windows per grid step (~10.9 s of audio)
 # SMEM register file layout (int32 / float32 scratch arrays)
 I_LONG_IDX, I_LONG_CNT, I_SHORT_IDX, I_SHORT_CNT, I_RATIO_IDX, I_RATIO_CNT, \
     I_STATE, I_START, I_END, I_SEG_CNT = range(10)
+NI = 10
 F_LONG_LAST, F_SEG_SUM, F_MET_SEC = range(3)
+NF = 3
 
 
 def _rows(n: int) -> int:
@@ -60,7 +62,14 @@ def _kernel(
     mg_ref,
     md_ref,
     ia_ref,
-    # outputs (SMEM blocks [1, 1, TILE])
+    win_base_ref,  # [1, 1] i32: global index of this stream's first window
+    # initial carry (per stream): ring buffers in VMEM, registers in SMEM
+    long_in,  # [1, rows(L), 128] f32
+    short_in,  # [1, rows(S), 128] f32
+    ratio_in,  # [1, rows(R), 128] f32
+    ireg_in,  # [1, NI] i32
+    freg_in,  # [1, NF] f32
+    # outputs (SMEM blocks [1, 1, TILE]) + final carry
     event_ref,
     eventwin_ref,
     segvalid_ref,
@@ -68,12 +77,17 @@ def _kernel(
     segend_ref,
     segratio_ref,
     segmet_ref,
+    long_out,  # [1, rows(L), 128] f32
+    short_out,
+    ratio_out,
+    ireg_out,  # [1, NI] i32
+    freg_out,  # [1, NF] f32
     # scratch
     long_buf,  # VMEM [rows(L), 128] f32
     short_buf,  # VMEM [rows(S), 128] f32
     ratio_buf,  # VMEM [rows(R), 128] f32
-    ireg,  # SMEM (16,) i32
-    freg,  # SMEM (8,) f32
+    ireg,  # SMEM (NI,) i32
+    freg,  # SMEM (NF,) f32
 ):
     L, S, R = shape.long_window, shape.short_window, shape.ratio_window
     fftsz = np.int32(shape.fft_size)
@@ -110,28 +124,22 @@ def _kernel(
     short_set = make_ring_set(short_buf, S)
     ratio_set = make_ring_set(ratio_buf, R)
 
-    # --- initialize all state at the first tile of each stream ---
+    # --- load the carried state at the first tile of each stream ---
     @pl.when(tile_idx == 0)
     def _():
-        if shape.has_initial_avg:
-            long_buf[:, :] = jnp.where(l_flat < L, init_avg, 0.0)
-        else:
-            long_buf[:, :] = jnp.zeros_like(long_buf)
-        short_buf[:, :] = jnp.zeros_like(short_buf)
-        ratio_buf[:, :] = jnp.zeros_like(ratio_buf)
-        for i in range(10):
-            ireg[i] = jnp.int32(0)
-        ireg[I_LONG_CNT] = jnp.int32(L if shape.has_initial_avg else 0)
-        ireg[I_STATE] = jnp.int32(fsm.CLOSED)
-        freg[F_LONG_LAST] = init_avg if shape.has_initial_avg else jnp.float32(0.0)
-        freg[F_SEG_SUM] = jnp.float32(0.0)
-        freg[F_MET_SEC] = jnp.float32(0.0)
+        long_buf[:, :] = long_in[0, :, :]
+        short_buf[:, :] = short_in[0, :, :]
+        ratio_buf[:, :] = ratio_in[0, :, :]
+        for i in range(NI):
+            ireg[i] = ireg_in[0, i]
+        for i in range(NF):
+            freg[i] = freg_in[0, i]
 
     def step(t, _):
         valid = valid_ref[0, 0, t] != 0
         mv = minvol_ref[0, 0, t]
         vr = ratio_ref[0, 0, t]
-        win_idx = tile_base + t
+        win_idx = win_base_ref[0, 0] + tile_base + t
 
         long_idx = ireg[I_LONG_IDX]
         long_cnt = ireg[I_LONG_CNT]
@@ -261,6 +269,71 @@ def _kernel(
 
     jax.lax.fori_loop(0, TILE, step, 0)
 
+    # --- emit the final carry at the last tile ---
+    @pl.when(tile_idx == pl.num_programs(1) - 1)
+    def _():
+        long_out[0, :, :] = long_buf[:, :]
+        short_out[0, :, :] = short_buf[:, :]
+        ratio_out[0, :, :] = ratio_buf[:, :]
+        for i in range(NI):
+            ireg_out[0, i] = ireg[i]
+        for i in range(NF):
+            freg_out[0, i] = freg[i]
+
+
+def _ring_to_kernel(buf_1d: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[..., n] ring buffer -> [..., rows(n), 128] kernel layout (zero pad)."""
+    rows = _rows(n)
+    pad = rows * LANES - n
+    x = jnp.pad(buf_1d, [(0, 0)] * (buf_1d.ndim - 1) + [(0, pad)])
+    return x.reshape(x.shape[:-1] + (rows, LANES))
+
+
+def _ring_from_kernel(buf_2d: jnp.ndarray, n: int) -> jnp.ndarray:
+    return buf_2d.reshape(buf_2d.shape[:-2] + (-1,))[..., :n]
+
+
+def pack_carry(shape: fsm.FSMShape, carry: dict) -> tuple:
+    """fsm.init_carry-style dict [B, ...] -> kernel arrays
+    (long [B,rows,128], short, ratio, ireg [B,NI] i32, freg [B,NF] f32)."""
+    long_b = _ring_to_kernel(carry["long_buf"], shape.long_window)
+    short_b = _ring_to_kernel(carry["short_buf"], shape.short_window)
+    ratio_b = _ring_to_kernel(carry["ratio_buf"], shape.ratio_window)
+    ireg = jnp.stack(
+        [
+            carry["long_idx"], carry["long_cnt"], carry["short_idx"],
+            carry["short_cnt"], carry["ratio_idx"], carry["ratio_cnt"],
+            carry["state"], carry["start_win"], carry["end_win"],
+            carry["seg_ratio_cnt"],
+        ],
+        axis=-1,
+    ).astype(jnp.int32)
+    freg = jnp.stack(
+        [carry["long_last"], carry["seg_ratio_sum"], carry["met_sec"]], axis=-1
+    ).astype(jnp.float32)
+    return long_b, short_b, ratio_b, ireg, freg
+
+
+def unpack_carry(shape: fsm.FSMShape, long_b, short_b, ratio_b, ireg, freg) -> dict:
+    return {
+        "long_buf": _ring_from_kernel(long_b, shape.long_window),
+        "long_idx": ireg[..., I_LONG_IDX],
+        "long_cnt": ireg[..., I_LONG_CNT],
+        "long_last": freg[..., F_LONG_LAST],
+        "short_buf": _ring_from_kernel(short_b, shape.short_window),
+        "short_idx": ireg[..., I_SHORT_IDX],
+        "short_cnt": ireg[..., I_SHORT_CNT],
+        "ratio_buf": _ring_from_kernel(ratio_b, shape.ratio_window),
+        "ratio_idx": ireg[..., I_RATIO_IDX],
+        "ratio_cnt": ireg[..., I_RATIO_CNT],
+        "state": ireg[..., I_STATE],
+        "start_win": ireg[..., I_START],
+        "end_win": ireg[..., I_END],
+        "seg_ratio_sum": freg[..., F_SEG_SUM],
+        "seg_ratio_cnt": ireg[..., I_SEG_CNT],
+        "met_sec": freg[..., F_MET_SEC],
+    }
+
 
 def scan_windows_pallas(
     shape: fsm.FSMShape,
@@ -268,25 +341,46 @@ def scan_windows_pallas(
     min_volumes: jnp.ndarray,  # [B, W]
     volume_ratios: jnp.ndarray,  # [B, W]
     valids: jnp.ndarray,  # [B, W] bool
+    carry: dict | None = None,  # fsm carry with leading [B] axis
+    win_base: jnp.ndarray | None = None,  # [B] i32 first-window indices
     interpret: bool = False,
-) -> fsm.WindowOutput:
+    return_carry: bool = False,
+):
     """Run the full FSM window scan as tiled Pallas programs.
 
-    Fresh (initial) carry per call; window indices are 0..W-1.
-    Returns WindowOutput with [B, W] fields (seg_valid as bool).
+    With no carry/win_base: fresh initial state, window indices 0..W-1.
+    With them (slab chaining): continues the given per-stream state.
+    Returns WindowOutput [B, W] (and the final carry when return_carry).
     """
     b, w = min_volumes.shape
     w_pad = ((w + TILE - 1) // TILE) * TILE
     n_tiles = w_pad // TILE
+
+    if carry is None:
+        carry = jax.vmap(lambda _: fsm.init_carry(shape, params))(jnp.arange(b))
+    if win_base is None:
+        win_base = jnp.zeros((b,), jnp.int32)
+    long_b, short_b, ratio_b, ireg, freg = pack_carry(shape, carry)
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, w_pad - w)))
 
     kernel = functools.partial(_kernel, shape)
 
+    lrows = _rows(shape.long_window)
+    srows = _rows(shape.short_window)
+    rrows = _rows(shape.ratio_window)
+
     in_spec = pl.BlockSpec((1, 1, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.SMEM)
     smem_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    per_stream_smem = pl.BlockSpec((1, 1), lambda i, j: (i, 0), memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, 1, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.SMEM)
+
+    def ring_spec(rows):
+        return pl.BlockSpec((1, rows, LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    def reg_spec(n):
+        return pl.BlockSpec((1, n), lambda i, j: (i, 0), memory_space=pltpu.SMEM)
 
     def smem_scalar(x, dtype):
         return jnp.asarray(x, dtype).reshape(1, 1)
@@ -294,8 +388,12 @@ def scan_windows_pallas(
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
-        in_specs=[in_spec, in_spec, in_spec] + [smem_spec] * 6,
-        out_specs=[out_spec] * 7,
+        in_specs=[in_spec, in_spec, in_spec]
+        + [smem_spec] * 6
+        + [per_stream_smem]
+        + [ring_spec(lrows), ring_spec(srows), ring_spec(rrows), reg_spec(NI), reg_spec(NF)],
+        out_specs=[out_spec] * 7
+        + [ring_spec(lrows), ring_spec(srows), ring_spec(rrows), reg_spec(NI), reg_spec(NF)],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # event
             jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # event_win
@@ -304,13 +402,18 @@ def scan_windows_pallas(
             jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # seg_end
             jax.ShapeDtypeStruct((b, 1, w_pad), jnp.float32),  # seg_ratio
             jax.ShapeDtypeStruct((b, 1, w_pad), jnp.float32),  # seg_met
+            jax.ShapeDtypeStruct((b, lrows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, srows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, rrows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, NI), jnp.int32),
+            jax.ShapeDtypeStruct((b, NF), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_rows(shape.long_window), LANES), jnp.float32),
-            pltpu.VMEM((_rows(shape.short_window), LANES), jnp.float32),
-            pltpu.VMEM((_rows(shape.ratio_window), LANES), jnp.float32),
-            pltpu.SMEM((16,), jnp.int32),
-            pltpu.SMEM((8,), jnp.float32),
+            pltpu.VMEM((lrows, LANES), jnp.float32),
+            pltpu.VMEM((srows, LANES), jnp.float32),
+            pltpu.VMEM((rrows, LANES), jnp.float32),
+            pltpu.SMEM((NI,), jnp.int32),
+            pltpu.SMEM((NF,), jnp.float32),
         ],
         interpret=interpret,
     )(
@@ -323,11 +426,17 @@ def scan_windows_pallas(
         smem_scalar(params.max_gap_samples, jnp.int32),
         smem_scalar(params.min_duration_sec, jnp.float32),
         smem_scalar(params.initial_long_term_avg, jnp.float32),
+        win_base.astype(jnp.int32)[:, None],
+        long_b,
+        short_b,
+        ratio_b,
+        ireg,
+        freg,
     )
     event, event_win, seg_valid, seg_start, seg_end, seg_ratio, seg_met = (
-        o[:, 0, :w] for o in outs
+        o[:, 0, :w] for o in outs[:7]
     )
-    return fsm.WindowOutput(
+    win_out = fsm.WindowOutput(
         event=event,
         event_win=event_win,
         seg_valid=seg_valid.astype(bool),
@@ -336,3 +445,7 @@ def scan_windows_pallas(
         seg_ratio=seg_ratio,
         seg_met_sec=seg_met,
     )
+    if not return_carry:
+        return win_out
+    new_carry = unpack_carry(shape, *outs[7:])
+    return win_out, new_carry

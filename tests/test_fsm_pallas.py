@@ -68,3 +68,38 @@ def test_kernel_matches_scan(has_initial):
     # threshold can never be met — true of the reference too).
     if has_initial:
         assert np.asarray(expected.seg_valid).sum() >= 3
+
+
+def test_carry_chaining_matches_single_call():
+    """Two chained kernel calls (with carried state + win_base) == one call."""
+    cfg = VADMachineConfig(long_term_speech_avg_sec=3.0)
+    shape, params = fsm.statics_from_config(cfg, 48000, 1024)
+    b, w = 2, 600
+    vols, ratios = make_inputs(1, b, w)
+    valids = np.ones((b, w), bool)
+
+    whole = fsm_pallas.scan_windows_pallas(
+        shape, params, jnp.asarray(vols), jnp.asarray(ratios), jnp.asarray(valids),
+        interpret=True,
+    )
+
+    half = w // 2
+    out1, carry = fsm_pallas.scan_windows_pallas(
+        shape, params,
+        jnp.asarray(vols[:, :half]), jnp.asarray(ratios[:, :half]),
+        jnp.asarray(valids[:, :half]),
+        interpret=True, return_carry=True,
+    )
+    out2 = fsm_pallas.scan_windows_pallas(
+        shape, params,
+        jnp.asarray(vols[:, half:]), jnp.asarray(ratios[:, half:]),
+        jnp.asarray(valids[:, half:]),
+        carry=carry, win_base=jnp.full((b,), half, jnp.int32),
+        interpret=True,
+    )
+    for field in fsm.WindowOutput._fields:
+        a = np.concatenate(
+            [np.asarray(getattr(out1, field)), np.asarray(getattr(out2, field))], axis=1
+        )
+        np.testing.assert_array_equal(a, np.asarray(getattr(whole, field)), err_msg=field)
+    assert np.asarray(whole.seg_valid).sum() >= 2
