@@ -97,20 +97,25 @@ def _save_clips(
 
     from ..pipeline import offline
 
+    # The reference's deferred stop fires once enough samples are *written*:
+    # the original ring receives every pushed sample (including the <0.5 s
+    # unprocessed tail), the denoised ring only whole processed chunks — so
+    # an original clip exists iff sample_to <= stream length, a denoised one
+    # iff sample_to <= processed length (MRBRecorder.zig:88-112).
+    total_len = audio.shape[1]
     processed_end = n_chunks * chunk
     for seg in inst.vad_segments or []:
         a, b = seg["sample_from"], seg["sample_to"]
-        if b > processed_end:
-            # The reference's deferred stop never fires past EOF
-            # (MRBRecorder.zig:88-112) — the recording is dropped.
-            continue
-        clip = audio[:, a:b]
-        ka, kb = a // chunk, (b + chunk - 1) // chunk
-        den = np.asarray(
-            offline.denoise_span(params, jnp.asarray(audio[:, : kb * chunk]), ka, kb)
-        )
-        den_clip = den[:, a - ka * chunk : b - ka * chunk]
-        for kind, data in (("original", clip), ("denoised", den_clip)):
+        clips = []
+        if b <= total_len:
+            clips.append(("original", audio[:, a:b]))
+        if b <= processed_end:
+            ka, kb = a // chunk, (b + chunk - 1) // chunk
+            den = np.asarray(
+                offline.denoise_span(params, jnp.asarray(audio[:, : kb * chunk]), ka, kb)
+            )
+            clips.append(("denoised", den[:, a - ka * chunk : b - ka * chunk]))
+        for kind, data in clips:
             rms = np.sqrt(np.mean(data.astype(np.float32) ** 2, axis=1))
             best = int(np.argmin(rms))  # quietest channel (Recorder.zig:113-128)
             write_wav(os.path.join(inst.out_dir, f"{a}-{kind}.wav"), data[best : best + 1], 48000)

@@ -27,7 +27,6 @@ import numpy as np
 
 from ..config import VADConfig
 from ..models import nsnet2
-from ..ops import stft, volume
 from ..pipeline import fsm, offline, vad
 from . import mesh as mesh_lib
 from .runner import StreamResult
@@ -72,32 +71,9 @@ class SlabRunner:
         n_windows = (k * chunk) // st.fft_size
 
         def one_stream(audio, den_carry, n_valid_chunks):
-            den, den_carry = offline.denoise_offline_carry(
-                params, audio, den_carry, st.downsample_rate
+            den_carry, min_vol, ratios, valid, _ = offline.window_inputs_carry(
+                params, st, audio, den_carry, n_valid_chunks
             )
-            c = audio.shape[0]
-            frames = den.reshape(c, n_windows, st.fft_size)
-            band = stft.band_volume_windows(
-                frames, vad._hann(st.fft_size), st.fft_size, st.norm_factor,
-                st.min_bin, st.max_bin,
-            )
-            min_vol = jnp.min(band, axis=0)
-            ratio_chunk, _, _ = jax.vmap(volume.volume_analysis)(
-                audio.reshape(c, k, chunk).transpose(1, 0, 2)
-            )
-            w = jnp.arange(n_windows)
-            w_start = w * st.fft_size
-            w_end = w_start + st.fft_size
-            c0 = w_start // chunk
-            c1 = (w_end - 1) // chunk
-            n_in_c0 = jnp.minimum((c0 + 1) * chunk - w_start, st.fft_size)
-            r0 = ratio_chunk[jnp.clip(c0, 0, k - 1)]
-            r1 = ratio_chunk[jnp.clip(c1, 0, k - 1)]
-            ratios = (
-                n_in_c0.astype(jnp.float32) * r0
-                + (st.fft_size - n_in_c0).astype(jnp.float32) * r1
-            ) / np.float32(st.fft_size)
-            valid = w_end <= n_valid_chunks * chunk
             return den_carry, min_vol, ratios, valid
 
         use_pallas = self.use_pallas_fsm

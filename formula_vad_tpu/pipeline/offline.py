@@ -193,22 +193,31 @@ def denoise_span(
     return den[..., (start_chunk - k0) * chunk48 :]
 
 
-def window_inputs(
+def window_inputs_carry(
     params: nsnet2.NSNet2Params,
     st: vad.VADStatics,
     audio: jnp.ndarray,
+    den_carry: dict,
     n_valid_chunks: jnp.ndarray,
+    collect_denoised: bool = False,
 ):
-    """Compute the FSM's per-window inputs for one stream (all parallel).
+    """Compute the FSM's per-window inputs for one stream/slab (all parallel),
+    threading the denoiser boundary carry.
 
-    Returns (min_vol [W], ratios [W], valid [W]).
+    Requires T to be a multiple of lcm(chunk, fft_size) for slab chaining
+    (so the window accumulator is empty at the boundary); any multiple of
+    the chunk works for single-shot use.
+
+    Returns (new_den_carry, min_vol [W], ratios [W], valid [W], denoised|None).
     """
     c, t = audio.shape
     chunk = st.chunk_size
     k = t // chunk
     audio = audio[:, : k * chunk]
 
-    denoised = denoise_offline(params, audio, st.downsample_rate)  # [C, T]
+    denoised, den_carry = denoise_offline_carry(
+        params, audio, den_carry, st.downsample_rate
+    )  # [C, T]
 
     n_windows = (k * chunk) // st.fft_size
     frames = denoised[:, : n_windows * st.fft_size].reshape(c, n_windows, st.fft_size)
@@ -235,6 +244,20 @@ def window_inputs(
         + (st.fft_size - n_in_c0).astype(jnp.float32) * r1
     ) / np.float32(st.fft_size)
     valid = w_end <= n_valid_chunks * chunk
+    return den_carry, min_vol, ratios, valid, (denoised if collect_denoised else None)
+
+
+def window_inputs(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    n_valid_chunks: jnp.ndarray,
+):
+    """Fresh-state window inputs for one stream: (min_vol, ratios, valid)."""
+    carry = init_slab_carry(st.n_channels, st.downsample_rate, audio.dtype)
+    _, min_vol, ratios, valid, _ = window_inputs_carry(
+        params, st, audio, carry, n_valid_chunks
+    )
     return min_vol, ratios, valid
 
 
