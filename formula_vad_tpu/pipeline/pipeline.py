@@ -173,6 +173,32 @@ class AudioPipeline:
         self.segments: list[dict] = []
         self._margin = 2 * config.sample_rate
 
+        # Alternative state machines (parameter sweeps, VADPipeline.zig:
+        # 111-123, 232-236): K extra FSMs consume the same window stream;
+        # only their segments are collected (no recordings).
+        alt = config.vad_config.alt_vad_machine_configs
+        self._alt_params = (
+            vad.stack_machine_params(self.st, alt) if alt else None
+        )
+        self.alt_segments: list[list[dict]] = [[] for _ in (alt or ())]
+        if self._alt_params is not None:
+            self._alt_carry = jax.vmap(
+                lambda p: fsm.init_carry(self.st.fsm_shape, p)
+            )(self._alt_params)
+            shape = self.st.fsm_shape
+            alt_params = self._alt_params
+
+            def alt_step(carry, mv, rt, wi, va):
+                def body(c, xs):
+                    mv1, rt1, wi1, va1 = xs
+                    return jax.vmap(
+                        lambda p, cc: fsm.step_window(shape, p, cc, mv1, rt1, wi1, va1)
+                    )(alt_params, c)
+
+                return jax.lax.scan(body, carry, (mv, rt, wi, va))
+
+            self._alt_step = jax.jit(alt_step)
+
     @property
     def total_write_count(self) -> int:
         return self.original_ring.total_written
@@ -214,6 +240,25 @@ class AudioPipeline:
 
     def _process_chunk(self, chunk: np.ndarray) -> None:
         self._carry, out = self._step(self._carry, jnp.asarray(chunk))
+        if self._alt_params is not None:
+            self._alt_carry, alt_out = self._alt_step(
+                self._alt_carry, out.min_vol, out.ratios, out.win_indices,
+                out.window_valid,
+            )
+            seg_valid = np.asarray(alt_out.seg_valid)  # [slots, K]
+            for w, kk in zip(*np.nonzero(seg_valid)):
+                seg = vad.segments_from_outputs(
+                    self.st,
+                    vad.ChunkOutput(
+                        windows=jax.tree_util.tree_map(
+                            lambda x: np.asarray(x)[None, w, kk], alt_out
+                        ),
+                        window_valid=None,
+                        denoised=None,
+                    ),
+                )
+                if seg:
+                    self.alt_segments[kk].append(seg[0])
         denoised = np.asarray(out.denoised)
         # The denoised ring is written before event handling so started-
         # recordings can read their pre-roll.

@@ -128,6 +128,9 @@ class ChunkOutput(NamedTuple):
     windows: fsm.WindowOutput  # per-window-slot FSM outputs, [max_windows] (+K axis if sweeping)
     window_valid: jnp.ndarray  # [max_windows] bool
     denoised: jnp.ndarray  # [C, chunk] denoised audio (for recording)
+    min_vol: jnp.ndarray = None  # [max_windows] speech-band volume (FSM input)
+    ratios: jnp.ndarray = None  # [max_windows] weighted channel ratio (FSM input)
+    win_indices: jnp.ndarray = None  # [max_windows] global window indices
 
 
 def _accumulate_windows(st: VADStatics, carry, denoised):
@@ -240,6 +243,9 @@ def chunk_step(
         windows=win_out,
         window_valid=valid & chunk_valid,
         denoised=denoised,
+        min_vol=min_vol,
+        ratios=ratios,
+        win_indices=win_indices,
     )
     return new_carry, out
 

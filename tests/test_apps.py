@@ -241,3 +241,28 @@ class TestDaemon:
         lines = [json.loads(l) for l in out.getvalue().strip().splitlines()]
         assert len(lines) == 3
         assert all(l["action"] == "error" and not l["fatal"] for l in lines)
+
+
+class TestHostPipelineAltConfigs:
+    def test_alt_machines_in_streaming_mode(self, params):
+        """The host pipeline runs alt state machines over the same stream
+        (VADPipeline.zig:111-123): an identical alt config reproduces the
+        primary segments; an impossible one produces none."""
+        alt_same = CFG
+        alt_never = VADMachineConfig(
+            long_term_speech_avg_sec=10.0, speech_threshold_factor=1000.0
+        )
+        audio = speechy_audio(16, [(2.0, 2.0)], seed=6)
+        pipe = AudioPipeline(
+            PipelineConfig(
+                vad_config=VADConfig(
+                    vad_machine_config=CFG,
+                    alt_vad_machine_configs=(alt_same, alt_never),
+                )
+            ),
+            params=params,
+        )
+        pipe.push_samples(audio)
+        assert pipe.segments, "primary machine must fire"
+        assert pipe.alt_segments[0] == pipe.segments
+        assert pipe.alt_segments[1] == []
