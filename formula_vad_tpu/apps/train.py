@@ -126,19 +126,22 @@ def main(argv=None) -> int:
     if args.data:
         examples = load_pairs(args.data, args.frames)
         log.info("loaded %d training windows", len(examples))
-
-        def batch_at(i, rng):
-            idx = rng.integers(0, len(examples), args.batch)
-            cols = list(zip(*[examples[j] for j in idx]))
-            return tuple(jnp.asarray(np.stack(c)) for c in cols)
-
-        rng = np.random.default_rng(args.seed)
-        get_batch = lambda i: batch_at(i, rng)
-    else:
-        n = max(args.synthetic, args.batch)
-        get_batch = lambda i: nsnet2_train.synth_batch(
-            jax.random.PRNGKey(args.seed + i), args.batch, args.frames
+    elif args.synthetic > 0:
+        # A fixed pool of N synthetic examples (not fresh data per step).
+        pool = nsnet2_train.synth_batch(
+            jax.random.PRNGKey(args.seed), args.synthetic, args.frames
         )
+        examples = [tuple(np.asarray(col[j]) for col in pool) for j in range(args.synthetic)]
+        log.info("generated %d synthetic training windows", len(examples))
+    else:
+        ap.error("provide --data DIR or --synthetic N")
+
+    rng = np.random.default_rng(args.seed)
+
+    def get_batch(i):
+        idx = rng.integers(0, len(examples), args.batch)
+        cols = list(zip(*[examples[j] for j in idx]))
+        return tuple(jnp.asarray(np.stack(c)) for c in cols)
 
     from jax.sharding import NamedSharding
 

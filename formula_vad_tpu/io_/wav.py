@@ -192,19 +192,26 @@ def write_wav(
 
     fmt: "float32" (reference daemon format) or "pcm16".
     """
+    from . import native
+
     data = np.asarray(data, np.float32)
     if data.ndim == 1:
         data = data[None, :]
     n_ch, n_frames = data.shape
-    interleaved = np.ascontiguousarray(data.T)
     if fmt == "float32":
         tag, bits = WAVE_FORMAT_IEEE_FLOAT, 32
-        payload = interleaved.astype("<f4").tobytes()
+        inter = native.encode_f32_interleaved(data)
+        if inter is None:
+            inter = np.ascontiguousarray(data.T).reshape(-1)
+        payload = inter.astype("<f4").tobytes()
     elif fmt == "pcm16":
         tag, bits = WAVE_FORMAT_PCM, 16
-        payload = (
-            np.round(np.clip(interleaved, -1.0, 1.0) * 32767.0)
-        ).astype("<i2").tobytes()
+        inter16 = native.encode_pcm16_interleaved(data)
+        if inter16 is None:
+            inter16 = (
+                np.round(np.clip(np.ascontiguousarray(data.T), -1.0, 1.0) * 32767.0)
+            ).astype(np.int16).reshape(-1)
+        payload = inter16.astype("<i2").tobytes()
     else:
         raise ValueError(f"unsupported write format {fmt}")
     byte_rate = sample_rate * n_ch * bits // 8

@@ -96,6 +96,12 @@ def gru_stack_pallas(
     Returns:
       h2 sequence [N, T, H].
     """
+    if not (params.gru1.linear_before_reset and params.gru2.linear_before_reset):
+        # The kernel's gate math hardcodes linear_before_reset=1 (PyTorch
+        # exports); lbr=0 models must use the XLA path (nsnet2.apply).
+        raise NotImplementedError(
+            "gru_stack_pallas supports linear_before_reset=1 GRUs only"
+        )
     n, t, _ = gi1_seq.shape
     n_pad = ((n + ROW_TILE - 1) // ROW_TILE) * ROW_TILE
     if n_pad != n:

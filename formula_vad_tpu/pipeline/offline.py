@@ -344,34 +344,11 @@ def process_stream_offline(
     if n_valid_chunks is None:
         n_valid_chunks = jnp.int32(k)
 
-    denoised = denoise_offline(params, audio, st.downsample_rate)  # [C, T]
-
-    # ---- global 1024-pt windows, band-limited DFT (BufferedFFT) ------------
-    n_windows = (k * chunk) // st.fft_size
-    frames = denoised[:, : n_windows * st.fft_size].reshape(c, n_windows, st.fft_size)
-    band = stft.band_volume_windows(
-        frames, vad._hann(st.fft_size), st.fft_size, st.norm_factor,
-        st.min_bin, st.max_bin,
-    )  # [C, W]
-    min_vol = jnp.min(band, axis=0)  # [W]
-
-    # ---- per-window weighted volume ratio ----------------------------------
-    ratio_chunk, _, _ = jax.vmap(volume.volume_analysis)(
-        audio.reshape(c, k, chunk).transpose(1, 0, 2)
-    )  # [K]
-    w = jnp.arange(n_windows)
-    w_start = w * st.fft_size
-    w_end = w_start + st.fft_size
-    c0 = w_start // chunk
-    c1 = (w_end - 1) // chunk
-    boundary = (c0 + 1) * chunk
-    n_in_c0 = jnp.minimum(boundary - w_start, st.fft_size)
-    r0 = ratio_chunk[jnp.clip(c0, 0, k - 1)]
-    r1 = ratio_chunk[jnp.clip(c1, 0, k - 1)]
-    ratios = (
-        n_in_c0.astype(jnp.float32) * r0
-        + (st.fft_size - n_in_c0).astype(jnp.float32) * r1
-    ) / np.float32(st.fft_size)
+    den_carry = init_slab_carry(st.n_channels, st.downsample_rate, audio.dtype)
+    _, min_vol, ratios, valid, denoised = window_inputs_carry(
+        params, st, audio, den_carry, n_valid_chunks, collect_denoised=collect_denoised
+    )
+    n_windows = min_vol.shape[-1]
 
     # ---- FSM scan (the only sequential program) ----------------------------
     fsm_p = fsm_params if fsm_params is not None else st.fsm_params
@@ -379,14 +356,11 @@ def process_stream_offline(
         fsm_carry = jax.vmap(lambda pp: fsm.init_carry(st.fsm_shape, pp))(fsm_p)
     else:
         fsm_carry = fsm.init_carry(st.fsm_shape, fsm_p)
-    # Windows belonging to padding chunks are invalid. A window is valid iff
-    # it ends within the valid region (the scan path emits a window when its
-    # buffer fills during a valid chunk).
-    valid = w_end <= n_valid_chunks * chunk
     _, win_out = fsm.scan_windows(
-        st.fsm_shape, fsm_p, fsm_carry, min_vol, ratios, w.astype(jnp.int32), valid
+        st.fsm_shape, fsm_p, fsm_carry, min_vol, ratios,
+        jnp.arange(n_windows, dtype=jnp.int32), valid,
     )
-    return win_out, valid, (denoised if collect_denoised else None)
+    return win_out, valid, denoised
 
 
 def segments_from_offline(st: vad.VADStatics, win_out: fsm.WindowOutput) -> list[dict]:

@@ -118,12 +118,16 @@ class StreamRecorder:
         return None
 
     def _finalize(self) -> Optional[AudioBuffer]:
+        from ..io_ import native
+
         n_keep = self.stop_at - self.start_index
-        data = self.buffer[:, :n_keep]
+        data = np.ascontiguousarray(self.buffer[:, :n_keep], np.float32)
         self.recording = False
         self.buffer = None
         # Quietest channel = least engine noise (Recorder.zig:113-128).
-        rms = np.sqrt(np.mean(data.astype(np.float32) ** 2, axis=1))
+        rms = native.rms_per_channel(data)
+        if rms is None:
+            rms = np.sqrt(np.mean(data.astype(np.float64) ** 2, axis=1))
         best = int(np.argmin(rms))
         return AudioBuffer(
             channel_pcm=data[best : best + 1].copy(),
@@ -302,34 +306,47 @@ class AudioPipeline:
     # the reference loses all state on exit) --------------------------------
 
     def save_state(self, path: str) -> None:
-        """Serialize the full streaming state (device carry + rings + read
-        count) so a restarted process resumes bit-identically. Active
-        recordings are not persisted (they finalize from ring history)."""
+        """Serialize the full streaming state (device carry + alt-machine
+        carries + rings + counters) so a restarted process resumes
+        bit-identically. Active recordings are not persisted (they finalize
+        from ring history). Host counters are stored as true numpy int64
+        (NOT jnp — JAX's x64-disabled mode would truncate a >2^31-sample
+        daemon stream, ~12 h at 48 kHz)."""
         from ..utils import checkpoint
 
         state = {
             "carry": self._carry,
-            "read_count": jnp.int64(self._read_count),
-            "orig_ring": jnp.asarray(self.original_ring.data),
-            "orig_written": jnp.int64(self.original_ring.total_written),
-            "den_ring": jnp.asarray(self.denoised_ring.data),
-            "den_written": jnp.int64(self.denoised_ring.total_written),
+            # np scalars survive save/load exactly (no jnp round-trip)
+            "read_count": np.int64(self._read_count),
+            "orig_ring": np.asarray(self.original_ring.data),
+            "orig_written": np.int64(self.original_ring.total_written),
+            "den_ring": np.asarray(self.denoised_ring.data),
+            "den_written": np.int64(self.denoised_ring.total_written),
         }
+        if self._alt_params is not None:
+            state["alt_carry"] = self._alt_carry
         checkpoint.save_carry(path, state)
+
+    def _state_template(self) -> dict:
+        template = {
+            "carry": vad.init_carry(self.st),
+            "read_count": np.int64(0),
+            "orig_ring": np.zeros_like(self.original_ring.data),
+            "orig_written": np.int64(0),
+            "den_ring": np.zeros_like(self.denoised_ring.data),
+            "den_written": np.int64(0),
+        }
+        if self._alt_params is not None:
+            template["alt_carry"] = self._alt_carry
+        return template
 
     def load_state(self, path: str) -> None:
         from ..utils import checkpoint
 
-        template = {
-            "carry": vad.init_carry(self.st),
-            "read_count": jnp.int64(0),
-            "orig_ring": jnp.asarray(self.original_ring.data),
-            "orig_written": jnp.int64(0),
-            "den_ring": jnp.asarray(self.denoised_ring.data),
-            "den_written": jnp.int64(0),
-        }
-        state = checkpoint.load_carry(path, template)
+        state = checkpoint.load_carry(path, self._state_template())
         self._carry = state["carry"]
+        if self._alt_params is not None:
+            self._alt_carry = state["alt_carry"]
         self._read_count = int(state["read_count"])
         self.original_ring.data = np.array(state["orig_ring"])  # writable copy
         self.original_ring.total_written = int(state["orig_written"])

@@ -23,15 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _flatten_with_paths(tree: Any) -> dict[str, np.ndarray]:
-    flat = {}
-    leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
-    for path, leaf in leaves_with_paths:
-        key = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
-        flat[key] = np.asarray(leaf)
-    return flat
-
-
 def save_carry(path: str, carry: Any) -> None:
     """Serialize a carry pytree to .npz (structure captured via treedef)."""
     leaves, treedef = jax.tree_util.tree_flatten(carry)
@@ -57,9 +48,13 @@ def load_carry(path: str, template: Any) -> Any:
             raise ValueError(
                 f"carry leaf {i} shape mismatch: checkpoint {a.shape} vs template {np.shape(b)}"
             )
-    return jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(a) for a in loaded]
-    )
+    # Numpy template leaves stay numpy (jnp.asarray would truncate int64
+    # counters under x64-disabled JAX); jax leaves go back to device.
+    restored = [
+        a if isinstance(t, (np.ndarray, np.generic)) else jnp.asarray(a)
+        for a, t in zip(loaded, leaves)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, restored)
 
 
 def save_train_state(directory: str, params: Any, opt_state: Any, step: int) -> None:

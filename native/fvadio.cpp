@@ -82,7 +82,8 @@ void fvad_encode_f32(const float* in, float* out, int64_t n_frames,
   }
 }
 
-// planar float32 -> interleaved PCM16 with round-to-nearest and clip.
+// planar float32 -> interleaved PCM16 with clip and round-half-to-even
+// (matches numpy's np.round, the Python reference path).
 void fvad_encode_pcm16(const float* in, int16_t* out, int64_t n_frames,
                        int32_t n_channels) {
   for (int32_t c = 0; c < n_channels; ++c) {
@@ -92,8 +93,8 @@ void fvad_encode_pcm16(const float* in, int16_t* out, int64_t n_frames,
       float v = src[i];
       if (v > 1.0f) v = 1.0f;
       if (v < -1.0f) v = -1.0f;
-      float scaled = v * 32767.0f;
-      int32_t q = (int32_t)(scaled >= 0.0f ? scaled + 0.5f : scaled - 0.5f);
+      // default FP rounding mode is round-to-nearest-even
+      int32_t q = (int32_t)__builtin_nearbyintf(v * 32767.0f);
       dst[(int64_t)i * n_channels] = (int16_t)q;
     }
   }
