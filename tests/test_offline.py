@@ -100,3 +100,27 @@ class TestOfflineVAD:
         got = offline.segments_from_offline(st, win_out)
         assert got == expected
         assert int(np.sum(np.asarray(valid))) == (n_valid * 24000) // 1024
+
+
+class TestMonoStreams:
+    def test_mono_pipeline(self, params):
+        """n_channels=1: ratio = min/max = 1.0, so only the volume threshold
+        gates (the reference supports arbitrary channel counts)."""
+        rng = np.random.default_rng(10)
+        t = np.arange(16 * 24000) / 48000.0
+        audio = (0.003 * rng.standard_normal((1, 16 * 24000))).astype(np.float32)
+        sl = slice(int(2 * 48000), int(4 * 48000))
+        audio[0, sl] += (0.3 * np.sin(2 * np.pi * 800 * t[sl])).astype(np.float32)
+
+        st = vad.statics_from_config(
+            VADConfig(vad_machine_config=CFG), n_channels=1
+        )
+        _, outs = jax.jit(lambda a: vad.process_stream(params, st, a))(jnp.asarray(audio))
+        expected = vad.segments_from_outputs(st, outs)
+        win_out, _, _ = jax.jit(
+            lambda a: offline.process_stream_offline(params, st, a)
+        )(jnp.asarray(audio))
+        got = offline.segments_from_offline(st, win_out)
+        assert got == expected
+        assert got, "mono burst must produce a segment"
+        assert got[0]["avg_channel_vol_ratio"] == pytest.approx(1.0)
