@@ -8,11 +8,31 @@ uses a 2-D ("data", "model") mesh (see ``train/``).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize multi-host JAX when launched under a cluster coordinator.
+
+    Multi-host pods (BASELINE config 5: season corpus over a v5e slice) need
+    ``jax.distributed.initialize`` before any backend use; hosts then see the
+    global device set and the data mesh spans ICI+DCN. Controlled by the
+    standard env vars (COORDINATOR_ADDRESS, NUM_PROCESSES, PROCESS_ID) or
+    the auto-detecting TPU environment. Returns True if initialized.
+    """
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["NUM_PROCESSES"]),
+            process_id=int(os.environ["PROCESS_ID"]),
+        )
+        return True
+    return False
 
 
 def data_mesh(devices: Optional[Sequence] = None) -> Mesh:
