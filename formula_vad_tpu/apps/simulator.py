@@ -143,8 +143,6 @@ def run_batched(instances: list[Instance], config: SimConfig) -> None:
     use_slabs = config.use_slabs
     if use_slabs is None:
         use_slabs = len(audios) * n_ch * max_t * 4 > SLAB_AUTO_BYTES
-    if use_slabs and config.vad_config.alt_vad_machine_configs:
-        raise ValueError("alt_vad_machine_configs requires the one-shot path (use_slabs=false)")
 
     if use_slabs:
         runner = SlabRunner(params, config.vad_config, slab_chunks=config.slab_chunks)

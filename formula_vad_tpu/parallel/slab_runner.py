@@ -56,6 +56,13 @@ class SlabRunner:
         vad_config = vad_config or VADConfig()
         self.params = params
         self.st = vad.statics_from_config(vad_config, sample_rate, n_channels)
+        self.alt_configs = tuple(vad_config.alt_vad_machine_configs or ())
+        self.alt_params = (
+            vad.stack_machine_params(self.st, self.alt_configs)
+            if self.alt_configs
+            else None
+        )
+        self.n_alt = len(self.alt_configs)
         self.slab_chunks = slab_chunks
         self.slab_samples = slab_chunks * self.st.chunk_size
         self.mesh = mesh if mesh is not None else (mesh_lib.data_mesh() if use_mesh else None)
@@ -77,34 +84,49 @@ class SlabRunner:
             return den_carry, min_vol, ratios, valid
 
         use_pallas = self.use_pallas_fsm
+        n_alt = self.n_alt
+        alt_params = self.alt_params
 
-        def slab_fn(audio, den_carry, fsm_carry, win_base, chunk_valids):
-            n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
-            den_carry, mv, rt, va = jax.vmap(one_stream)(audio, den_carry, n_valid)
-
+        def run_fsm(params_rows, carry, mv, rt, va, win_base):
+            """Row-parallel FSM over [N, W] inputs with per-row params."""
             if use_pallas:
                 from ..pipeline import fsm_pallas
 
-                out, fsm_carry = fsm_pallas.scan_windows_pallas(
-                    st.fsm_shape, st.fsm_params, mv, rt, va,
-                    carry=fsm_carry, win_base=win_base, return_carry=True,
+                out, carry = fsm_pallas.scan_windows_pallas(
+                    st.fsm_shape, params_rows, mv, rt, va,
+                    carry=carry, win_base=win_base, return_carry=True,
                 )
-                return den_carry, fsm_carry, out, va
+                return carry, out
+            wi = win_base[:, None] + jnp.arange(n_windows, dtype=jnp.int32)[None, :]
+            return fsm.scan_windows_rows(st.fsm_shape, params_rows, carry, mv, rt, wi, va)
 
-            def scan_one(carry, mv1, rt1, va1, wb):
-                vz = 0.0 * mv1[0]
-                carry = jax.tree_util.tree_map(lambda x: x + vz.astype(x.dtype), carry)
-                return fsm.scan_windows(
-                    st.fsm_shape, st.fsm_params, carry, mv1, rt1,
-                    wb + jnp.arange(n_windows, dtype=jnp.int32), va1,
+        def slab_fn(audio, den_carry, fsm_carry, alt_carry, win_base, chunk_valids):
+            b = audio.shape[0]
+            n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
+            den_carry, mv, rt, va = jax.vmap(one_stream)(audio, den_carry, n_valid)
+
+            primary_rows = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (b,) + np.shape(x)), st.fsm_params
+            )
+            fsm_carry, out = run_fsm(primary_rows, fsm_carry, mv, rt, va, win_base)
+
+            alt_out = None
+            if n_alt:
+                # Flatten (stream, machine) into rows: row r = (b, k) with
+                # b-major ordering (jnp.repeat over streams x tile of configs).
+                mv_a = jnp.repeat(mv, n_alt, axis=0)
+                rt_a = jnp.repeat(rt, n_alt, axis=0)
+                va_a = jnp.repeat(va, n_alt, axis=0)
+                wb_a = jnp.repeat(win_base, n_alt, axis=0)
+                alt_rows = jax.tree_util.tree_map(
+                    lambda x: jnp.tile(x, (b,) + (1,) * (np.ndim(x) - 1)), alt_params
                 )
-
-            fsm_carry, out = jax.vmap(scan_one)(fsm_carry, mv, rt, va, win_base)
-            return den_carry, fsm_carry, out, va
+                alt_carry, alt_out = run_fsm(alt_rows, alt_carry, mv_a, rt_a, va_a, wb_a)
+            return den_carry, fsm_carry, alt_carry, out, alt_out, va
 
         if self.mesh is not None:
             sh = mesh_lib.batch_sharding(self.mesh)
-            return jax.jit(slab_fn, in_shardings=(sh, sh, sh, sh, sh))
+            return jax.jit(slab_fn, in_shardings=(sh,) * 6)
         return jax.jit(slab_fn)
 
     def _init_carries(self, b):
@@ -114,7 +136,13 @@ class SlabRunner:
         fsm_c = jax.vmap(
             lambda _: fsm.init_carry(self.st.fsm_shape, self.st.fsm_params)
         )(jnp.arange(b))
-        return den, fsm_c
+        alt_c = None
+        if self.n_alt:
+            alt_rows = jax.tree_util.tree_map(
+                lambda x: jnp.tile(x, (b,) + (1,) * (np.ndim(x) - 1)), self.alt_params
+            )
+            alt_c = jax.vmap(lambda p: fsm.init_carry(self.st.fsm_shape, p))(alt_rows)
+        return den, fsm_c, alt_c
 
     def run(
         self, audio_batch: np.ndarray, lengths: Optional[Sequence[int]] = None
@@ -150,7 +178,7 @@ class SlabRunner:
         b_pad = mesh_lib.pad_batch(b, self.mesh) if self.mesh is not None else b
         if self._fn is None:
             self._fn = self._build()
-        den_carry, fsm_carry = self._init_carries(b_pad)
+        den_carry, fsm_carry, alt_carry = self._init_carries(b_pad)
         win_base = jnp.zeros((b_pad,), jnp.int32)
         windows_per_slab = self.slab_samples // self.st.fft_size
 
@@ -159,6 +187,7 @@ class SlabRunner:
         # device compute (and H2D) of slab k. Per-slab outputs are tiny
         # (~100 KB/stream), the audio itself never comes back.
         slab_outs = []
+        alt_outs = []
         for s in range(n_slabs):
             start_chunk = s * self.slab_chunks
             slab = np.zeros((b_pad, self.st.n_channels, self.slab_samples), np.float32)
@@ -172,21 +201,44 @@ class SlabRunner:
                 data = readers[i](start_chunk * chunk, n_valid * chunk)
                 slab[i, :, : data.shape[1]] = data[:, : n_valid * chunk]
                 cv[i, :n_valid] = True
-            den_carry, fsm_carry, out, va = self._fn(
-                jnp.asarray(slab), den_carry, fsm_carry, win_base, jnp.asarray(cv)
+            den_carry, fsm_carry, alt_carry, out, alt_out, va = self._fn(
+                jnp.asarray(slab), den_carry, fsm_carry, alt_carry, win_base,
+                jnp.asarray(cv),
             )
             win_base = win_base + jnp.int32(windows_per_slab)
             slab_outs.append(out)
+            if alt_out is not None:
+                alt_outs.append(alt_out)
 
         slab_outs = jax.device_get(slab_outs)
+        alt_outs = jax.device_get(alt_outs) if alt_outs else None
+
+        def stacked_row(outs, r):
+            return jax.tree_util.tree_map(
+                lambda *xs: np.concatenate([np.asarray(x)[r] for x in xs], axis=0),
+                *outs,
+            )
+
         results = []
         for i in range(b):
-            stacked = jax.tree_util.tree_map(
-                lambda *xs: np.concatenate([np.asarray(x)[i] for x in xs], axis=0),
-                *slab_outs,
-            )
             segs = vad.segments_from_outputs(
-                self.st, vad.ChunkOutput(windows=stacked, window_valid=None, denoised=None)
+                self.st,
+                vad.ChunkOutput(
+                    windows=stacked_row(slab_outs, i), window_valid=None, denoised=None
+                ),
             )
-            results.append(StreamResult(segments=segs))
+            alt_segs = []
+            if alt_outs is not None:
+                for k in range(self.n_alt):
+                    alt_segs.append(
+                        vad.segments_from_outputs(
+                            self.st,
+                            vad.ChunkOutput(
+                                windows=stacked_row(alt_outs, i * self.n_alt + k),
+                                window_valid=None,
+                                denoised=None,
+                            ),
+                        )
+                    )
+            results.append(StreamResult(segments=segs, alt_segments=alt_segs))
         return results

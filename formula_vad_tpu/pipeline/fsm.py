@@ -298,6 +298,27 @@ def step_window(
     return new_carry, out
 
 
+def scan_windows_rows(
+    shape: FSMShape,
+    params_rows: FSMParams,  # leaves [N] — per-row machine parameters
+    carries: dict[str, Any],  # leaves [N, ...]
+    min_volumes: jnp.ndarray,  # [N, W]
+    volume_ratios: jnp.ndarray,  # [N, W]
+    win_indices: jnp.ndarray,  # [N, W]
+    valids: jnp.ndarray,  # [N, W]
+) -> tuple[dict[str, Any], WindowOutput]:
+    """Row-parallel FSM scan: N independent machines (streams x configs
+    flattened), each with its own parameters and carry."""
+
+    def one(p, c, mv, vr, wi, va):
+        def body(cc, xs):
+            return step_window(shape, p, cc, *xs)
+
+        return jax.lax.scan(body, c, (mv, vr, wi, va))
+
+    return jax.vmap(one)(params_rows, carries, min_volumes, volume_ratios, win_indices, valids)
+
+
 def scan_windows(
     shape: FSMShape,
     params: FSMParams,

@@ -350,6 +350,8 @@ def scan_windows_pallas(
 
     With no carry/win_base: fresh initial state, window indices 0..W-1.
     With them (slab chaining): continues the given per-stream state.
+    FSMParams leaves may be scalars (shared) or [B] vectors (per-stream —
+    heterogeneous configs / parameter sweeps flattened into the row axis).
     Returns WindowOutput [B, W] (and the final carry when return_carry).
     """
     b, w = min_volumes.shape
@@ -372,7 +374,6 @@ def scan_windows_pallas(
     rrows = _rows(shape.ratio_window)
 
     in_spec = pl.BlockSpec((1, 1, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.SMEM)
-    smem_spec = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     per_stream_smem = pl.BlockSpec((1, 1), lambda i, j: (i, 0), memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, 1, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.SMEM)
 
@@ -383,13 +384,17 @@ def scan_windows_pallas(
         return pl.BlockSpec((1, n), lambda i, j: (i, 0), memory_space=pltpu.SMEM)
 
     def smem_scalar(x, dtype):
-        return jnp.asarray(x, dtype).reshape(1, 1)
+        """Per-stream parameter column [B, 1]: scalars broadcast, [B] pass."""
+        x = jnp.asarray(x, dtype)
+        if x.ndim == 0:
+            x = jnp.broadcast_to(x, (b,))
+        return x.reshape(b, 1)
 
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[in_spec, in_spec, in_spec]
-        + [smem_spec] * 6
+        + [per_stream_smem] * 6
         + [per_stream_smem]
         + [ring_spec(lrows), ring_spec(srows), ring_spec(rrows), reg_spec(NI), reg_spec(NF)],
         out_specs=[out_spec] * 7

@@ -83,3 +83,33 @@ class TestSlabRunner:
         )
         assert a[0].segments == b[0].segments
         assert a[0].segments, "test audio must produce segments"
+
+
+class TestSlabAltConfigs:
+    def test_alt_configs_in_slab_mode(self, params):
+        """Alt machines run as flattened (stream x config) rows across slabs."""
+        alt_same = CFG
+        alt_never = VADMachineConfig(
+            long_term_speech_avg_sec=10.0, speech_threshold_factor=1000.0
+        )
+        cfg = VADConfig(
+            vad_machine_config=CFG, alt_vad_machine_configs=(alt_same, alt_never)
+        )
+        streams = [
+            speechy(40, [(2.0, 2.0)], seed=4),
+            speechy(36, [(1.0, 1.5)], seed=5),
+        ]
+        lengths = [s.shape[1] for s in streams]
+        max_t = max(lengths)
+        batch = np.zeros((2, 2, max_t), np.float32)
+        for i, s in enumerate(streams):
+            batch[i, :, : s.shape[1]] = s
+
+        runner = SlabRunner(params, cfg, slab_chunks=32)
+        results = runner.run(batch, lengths)
+        fired = False
+        for r in results:
+            assert r.alt_segments[0] == r.segments
+            assert r.alt_segments[1] == []
+            fired |= bool(r.segments)
+        assert fired
