@@ -94,12 +94,12 @@ def _kernel(
     win_sec = np.float32(shape.window_sec)
     sr = np.float32(shape.sample_rate)
 
-    tf = tf_ref[0, 0]
-    rth = rt_ref[0, 0]
-    min_consec = mc_ref[0, 0]
-    max_gap = mg_ref[0, 0]
-    min_dur = md_ref[0, 0]
-    init_avg = ia_ref[0, 0]
+    tf = tf_ref[0, 0, 0]
+    rth = rt_ref[0, 0, 0]
+    min_consec = mc_ref[0, 0, 0]
+    max_gap = mg_ref[0, 0, 0]
+    min_dur = md_ref[0, 0, 0]
+    init_avg = ia_ref[0, 0, 0]
 
     tile_idx = pl.program_id(1)
     tile_base = tile_idx * np.int32(TILE)
@@ -131,15 +131,15 @@ def _kernel(
         short_buf[:, :] = short_in[0, :, :]
         ratio_buf[:, :] = ratio_in[0, :, :]
         for i in range(NI):
-            ireg[i] = ireg_in[0, i]
+            ireg[i] = ireg_in[0, 0, i]
         for i in range(NF):
-            freg[i] = freg_in[0, i]
+            freg[i] = freg_in[0, 0, i]
 
     def step(t, _):
         valid = valid_ref[0, 0, t] != 0
         mv = minvol_ref[0, 0, t]
         vr = ratio_ref[0, 0, t]
-        win_idx = win_base_ref[0, 0] + tile_base + t
+        win_idx = win_base_ref[0, 0, 0] + tile_base + t
 
         long_idx = ireg[I_LONG_IDX]
         long_cnt = ireg[I_LONG_CNT]
@@ -276,9 +276,9 @@ def _kernel(
         short_out[0, :, :] = short_buf[:, :]
         ratio_out[0, :, :] = ratio_buf[:, :]
         for i in range(NI):
-            ireg_out[0, i] = ireg[i]
+            ireg_out[0, 0, i] = ireg[i]
         for i in range(NF):
-            freg_out[0, i] = freg[i]
+            freg_out[0, 0, i] = freg[i]
 
 
 def _ring_to_kernel(buf_1d: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -374,21 +374,23 @@ def scan_windows_pallas(
     rrows = _rows(shape.ratio_window)
 
     in_spec = pl.BlockSpec((1, 1, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.SMEM)
-    per_stream_smem = pl.BlockSpec((1, 1), lambda i, j: (i, 0), memory_space=pltpu.SMEM)
+    # Per-stream scalar/register arrays live as [B, 1, N] so every block's
+    # trailing two dims equal the array dims (the Mosaic tiling rule).
+    per_stream_smem = pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, 1, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.SMEM)
 
     def ring_spec(rows):
         return pl.BlockSpec((1, rows, LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
 
     def reg_spec(n):
-        return pl.BlockSpec((1, n), lambda i, j: (i, 0), memory_space=pltpu.SMEM)
+        return pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM)
 
     def smem_scalar(x, dtype):
-        """Per-stream parameter column [B, 1]: scalars broadcast, [B] pass."""
+        """Per-stream parameter [B, 1, 1]: scalars broadcast, [B] pass."""
         x = jnp.asarray(x, dtype)
         if x.ndim == 0:
             x = jnp.broadcast_to(x, (b,))
-        return x.reshape(b, 1)
+        return x.reshape(b, 1, 1)
 
     outs = pl.pallas_call(
         kernel,
@@ -410,8 +412,8 @@ def scan_windows_pallas(
             jax.ShapeDtypeStruct((b, lrows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, srows, LANES), jnp.float32),
             jax.ShapeDtypeStruct((b, rrows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, NI), jnp.int32),
-            jax.ShapeDtypeStruct((b, NF), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, NI), jnp.int32),
+            jax.ShapeDtypeStruct((b, 1, NF), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((lrows, LANES), jnp.float32),
@@ -431,12 +433,12 @@ def scan_windows_pallas(
         smem_scalar(params.max_gap_samples, jnp.int32),
         smem_scalar(params.min_duration_sec, jnp.float32),
         smem_scalar(params.initial_long_term_avg, jnp.float32),
-        win_base.astype(jnp.int32)[:, None],
+        win_base.astype(jnp.int32)[:, None, None],
         long_b,
         short_b,
         ratio_b,
-        ireg,
-        freg,
+        ireg[:, None, :],
+        freg[:, None, :],
     )
     event, event_win, seg_valid, seg_start, seg_end, seg_ratio, seg_met = (
         o[:, 0, :w] for o in outs[:7]
@@ -452,5 +454,6 @@ def scan_windows_pallas(
     )
     if not return_carry:
         return win_out
-    new_carry = unpack_carry(shape, *outs[7:])
+    lb, sb, rb, ireg_o, freg_o = outs[7:]
+    new_carry = unpack_carry(shape, lb, sb, rb, ireg_o[:, 0, :], freg_o[:, 0, :])
     return win_out, new_carry
