@@ -31,6 +31,7 @@ import numpy as np
 from ..config import PipelineConfig, VADConfig
 from ..io_.audio import AudioBuffer
 from ..models import nsnet2
+from ..models.registry import load_denoiser
 from ..pipeline.pipeline import AudioPipeline, Callbacks
 
 
@@ -52,7 +53,7 @@ class Daemon:
         )
         self.pipeline = AudioPipeline(
             config,
-            params=nsnet2.load(denoiser_path),
+            params=load_denoiser(denoiser_path),
             callbacks=Callbacks(
                 on_original_recording=lambda b: self._on_recording(b, "original"),
                 on_denoised_recording=lambda b: self._on_recording(b, "denoised"),

@@ -33,6 +33,7 @@ from ..eval import SpeechSegment, formats, init_and_run, report
 from ..io_ import AudioSource
 from ..io_.wav import write_wav
 from ..models import nsnet2
+from ..models.registry import load_denoiser
 from ..parallel.runner import BatchRunner
 from ..pipeline.pipeline import AudioPipeline, Callbacks
 from ..config import PipelineConfig
@@ -127,7 +128,7 @@ SLAB_AUTO_BYTES = 2 << 30  # switch to the constant-memory slab runner above ~2 
 def run_batched(instances: list[Instance], config: SimConfig) -> None:
     from ..parallel.slab_runner import SlabRunner
 
-    params = nsnet2.load(config.vad_config.denoiser_model_path)
+    params = load_denoiser(config.vad_config.denoiser_model_path)
     audios = []
     lengths = []
     for inst in instances:
@@ -170,7 +171,7 @@ def run_batched(instances: list[Instance], config: SimConfig) -> None:
 
 def run_streaming(instances: list[Instance], config: SimConfig) -> None:
     """Sequential per-stream run through the host pipeline; saves clips."""
-    params = nsnet2.load(config.vad_config.denoiser_model_path)
+    params = load_denoiser(config.vad_config.denoiser_model_path)
     for inst in instances:
         callbacks = Callbacks()
         if inst.out_dir:

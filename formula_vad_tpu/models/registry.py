@@ -1,0 +1,41 @@
+"""Denoiser model registry: resolve a --denoiser spec to gain-model params.
+
+A gain model is anything the pipeline can ask for a spectral gain mask:
+either an ``NSNet2Params`` pytree (run through ``nsnet2.apply``) or any
+object with an ``apply_gains(features) -> gains`` method (duck-typed; see
+``apply_model``). All models share the 161-bin/20 ms frame contract.
+
+Specs:
+  None                -> random-init NSNet2 (deterministic seed 0)
+  "spectral_gate"     -> classical Wiener gate (weights-free)
+  "spectral_gate:q,a,f" -> gate with explicit quantile/alpha/floor
+  "*.onnx" / "*.npz"  -> NSNet2 weights from disk
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from . import nsnet2
+from .spectral_gate import SpectralGateParams
+
+
+def apply_model(params: Any, features: jnp.ndarray) -> jnp.ndarray:
+    """Run whichever gain model ``params`` is over [..., T, 161] features."""
+    apply_gains = getattr(params, "apply_gains", None)
+    if apply_gains is not None:
+        return apply_gains(features)
+    return nsnet2.apply(params, features)
+
+
+def load_denoiser(spec: str | None, *, seed: int = 0) -> Any:
+    if spec is None:
+        return nsnet2.load(None, seed=seed)
+    if spec == "spectral_gate":
+        return SpectralGateParams()
+    if spec.startswith("spectral_gate:"):
+        q, a, f = (float(x) for x in spec.split(":", 1)[1].split(","))
+        return SpectralGateParams(quantile=q, alpha=a, floor=f)
+    return nsnet2.load(spec, seed=seed)

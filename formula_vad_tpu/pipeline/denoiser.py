@@ -98,9 +98,11 @@ def denoise_chunk(
     feats = compute_features(re, im)
     model_in = jnp.concatenate([carry["feat_ctx"], feats], axis=-2)  # [C, 54, 161]
 
-    # Stateless network run from zero GRU state over context+current frames
-    # (ONNX Runtime per-chunk semantics; see module docstring).
-    gains = nsnet2.apply(params, model_in)  # [C, 54, 161]
+    # Stateless model run per chunk (zero GRU state for NSNet2 — ONNX
+    # Runtime per-chunk semantics; see module docstring).
+    from ..models.registry import apply_model
+
+    gains = apply_model(params, model_in)  # [C, 54, 161]
     g = jnp.clip(gains[..., NSNET2_CONTEXT_FRAMES:, :], GAIN_MIN, GAIN_MAX)
 
     # Apply gain and reconstruct; OLA folds window * 1/n_fft (NSNet2.zig:312-339).

@@ -116,9 +116,11 @@ def denoise_offline_carry(
     )
     model_in = jnp.concatenate([prev_tail, main], axis=-2)  # [..., K, 54, 161]
 
-    # Stateless GRU per chunk, batched over every leading axis * K.
+    # Stateless model run per chunk, batched over every leading axis * K.
+    from ..models.registry import apply_model
+
     flat = model_in.reshape((-1, n_model_frames, NSNET2_N_BINS))
-    gains = nsnet2.apply(params, flat)[:, NSNET2_CONTEXT_FRAMES:, :]  # [N, 50, 161]
+    gains = apply_model(params, flat)[:, NSNET2_CONTEXT_FRAMES:, :]  # [N, 50, 161]
     gains = gains.reshape(lead + (k * NSNET2_N_FRAMES, NSNET2_N_BINS))
     g = jnp.clip(gains, den_mod.GAIN_MIN, den_mod.GAIN_MAX)
 

@@ -156,9 +156,11 @@ class AudioPipeline:
     ):
         self.config = config
         self.callbacks = callbacks or Callbacks()
-        self.params = params if params is not None else nsnet2.load(
-            config.vad_config.denoiser_model_path
-        )
+        if params is None:
+            from ..models.registry import load_denoiser
+
+            params = load_denoiser(config.vad_config.denoiser_model_path)
+        self.params = params
         self.st = vad.statics_from_config(
             config.vad_config, config.sample_rate, config.n_channels
         )

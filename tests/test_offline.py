@@ -124,3 +124,44 @@ class TestMonoStreams:
         assert got == expected
         assert got, "mono burst must produce a segment"
         assert got[0]["avg_channel_vol_ratio"] == pytest.approx(1.0)
+
+
+class TestSpectralGateModel:
+    def test_gate_denoiser_family(self):
+        """The weights-free spectral-gate model plugs into both paths and
+        the cross-path identity holds."""
+        from formula_vad_tpu.models.registry import apply_model, load_denoiser
+
+        gate = load_denoiser("spectral_gate")
+        feats = jnp.asarray(
+            np.random.default_rng(0).standard_normal((3, 54, 161)) - 6.0, jnp.float32
+        )
+        g = np.asarray(apply_model(gate, feats))
+        assert g.shape == (3, 54, 161)
+        assert (g >= 0.1 - 1e-6).all() and (g <= 1.0).all()
+
+        # Amplitude-modulate the burst (speech-like 4 Hz syllable rate): a
+        # steady tone is stationary within a chunk and the gate would —
+        # correctly — suppress it as noise.
+        audio = speechy_audio(16, [(2.0, 2.0)], seed=12)
+        t = np.arange(audio.shape[1]) / 48000.0
+        audio = (audio * (0.55 + 0.45 * np.sign(np.sin(2 * np.pi * 4 * t)))).astype(
+            np.float32
+        )
+        st = vad.statics_from_config(VADConfig(vad_machine_config=CFG))
+        _, outs = jax.jit(lambda a: vad.process_stream(gate, st, a))(jnp.asarray(audio))
+        expected = vad.segments_from_outputs(st, outs)
+        win_out, _, _ = jax.jit(
+            lambda a: offline.process_stream_offline(gate, st, a)
+        )(jnp.asarray(audio))
+        got = offline.segments_from_offline(st, win_out)
+        assert got == expected
+        assert got, "gate model must detect the modulated burst"
+
+    def test_registry_specs(self):
+        from formula_vad_tpu.models.registry import load_denoiser
+        from formula_vad_tpu.models.spectral_gate import SpectralGateParams
+
+        g = load_denoiser("spectral_gate:0.2,2.0,0.05")
+        assert g == SpectralGateParams(quantile=0.2, alpha=2.0, floor=0.05)
+        assert load_denoiser(None).fc_in_w.shape == (161, 400)
