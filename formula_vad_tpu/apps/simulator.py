@@ -10,9 +10,9 @@ Where the reference spawns one OS thread per recording
 (simulator.zig:221-232), this app batches all streams into one device batch
 and runs them in a single sharded program (``parallel.runner.BatchRunner``).
 Set ``"batch_streams": false`` in the plan config to instead run streams
-sequentially through the host streaming pipeline (which also saves per-
-segment audio clips, like the reference's OGG recordings — we write WAV:
-no Vorbis encoder exists in this environment).
+sequentially through the host streaming pipeline. Both paths save per-
+segment audio clips as Ogg Vorbis VBR like the reference (``io_/ogg.py``;
+``recording_format: "wav"`` switches to float32 WAV).
 
 Usage: python -m formula_vad_tpu.apps.simulator -i plan.json
 """
@@ -31,7 +31,9 @@ import numpy as np
 from ..config import SIMULATOR_STAT_CONFIG, SimConfig, StatConfig, sim_config_from_dict
 from ..eval import SpeechSegment, formats, init_and_run, report
 from ..io_ import AudioSource
+from ..io_ import ogg
 from ..io_.wav import write_wav
+from ..utils.logging import scoped
 from ..models import nsnet2
 from ..models.registry import load_denoiser
 from ..parallel.runner import BatchRunner
@@ -85,11 +87,33 @@ def vad_segments_to_eval(segments: list[dict], sample_rate: int) -> list[SpeechS
     return out
 
 
+def _clip_writer(config: SimConfig):
+    """Resolve recording_format -> (extension, write(path, planar, rate)).
+
+    "ogg" matches the reference's VBR-quality-1.0 clips
+    (SimulationInstance.zig:62); falls back to float32 WAV with a warning
+    when the system Vorbis codec is unavailable."""
+    fmt = config.recording_format
+    if fmt == "ogg" and not ogg.available():
+        scoped("simulator").warning(
+            "recording_format=ogg but the Vorbis codec is unavailable; saving WAV"
+        )
+        fmt = "wav"
+    if fmt == "ogg":
+        return ".ogg", lambda path, data, rate: ogg.write_ogg(path, data, rate, 1.0)
+    return ".wav", lambda path, data, rate: write_wav(path, data, rate)
+
+
 def _save_clips(
-    params, inst: Instance, audio: np.ndarray, n_chunks: int, chunk: int
+    params,
+    inst: Instance,
+    audio: np.ndarray,
+    n_chunks: int,
+    chunk: int,
+    config: SimConfig,
 ) -> None:
     """Save per-segment original + denoised clips (the reference's OGG
-    recordings, SimulationInstance.zig:37-68; we write float32 WAV).
+    recordings, SimulationInstance.zig:37-68).
 
     The denoised clip is recomputed exactly via the bounded-horizon
     re-denoise (offline.denoise_span) — no need to retain the full
@@ -116,10 +140,11 @@ def _save_clips(
                 offline.denoise_span(params, jnp.asarray(audio[:, : kb * chunk]), ka, kb)
             )
             clips.append(("denoised", den[:, a - ka * chunk : b - ka * chunk]))
+        ext, write = _clip_writer(config)
         for kind, data in clips:
             rms = np.sqrt(np.mean(data.astype(np.float32) ** 2, axis=1))
             best = int(np.argmin(rms))  # quietest channel (Recorder.zig:113-128)
-            write_wav(os.path.join(inst.out_dir, f"{a}-{kind}.wav"), data[best : best + 1], 48000)
+            write(os.path.join(inst.out_dir, f"{a}-{kind}{ext}"), data[best : best + 1], 48000)
 
 
 SLAB_AUTO_BYTES = 2 << 30  # switch to the constant-memory slab runner above ~2 GB
@@ -166,7 +191,7 @@ def run_batched(instances: list[Instance], config: SimConfig) -> None:
         inst.vad_segments = res.segments
         inst.alt_vad_segments = getattr(res, "alt_segments", [])
         if inst.out_dir:
-            _save_clips(params, inst, audio, length // chunk, chunk)
+            _save_clips(params, inst, audio, length // chunk, chunk, config)
 
 
 def run_streaming(instances: list[Instance], config: SimConfig) -> None:
@@ -175,9 +200,13 @@ def run_streaming(instances: list[Instance], config: SimConfig) -> None:
     for inst in instances:
         callbacks = Callbacks()
         if inst.out_dir:
+            ext, write = _clip_writer(config)
+
             def on_rec(buf, kind):
-                path = os.path.join(inst.out_dir, f"{buf.global_start_frame_number}-{kind}.wav")
-                write_wav(path, buf.channel_pcm, buf.sample_rate)
+                path = os.path.join(
+                    inst.out_dir, f"{buf.global_start_frame_number}-{kind}{ext}"
+                )
+                write(path, buf.channel_pcm, buf.sample_rate)
 
             callbacks = Callbacks(
                 on_original_recording=lambda b: on_rec(b, "original"),

@@ -150,7 +150,10 @@ class SimConfig:
     audio_read_frame_count: int = 48000
     # TPU-native extensions (not present in the reference):
     batch_streams: bool = True  # batch all plan instances into one device batch
-    recording_format: str = "wav"  # reference writes ogg; libsndfile is replaced by our wav codec
+    # Clip format: "ogg" = Ogg Vorbis VBR q1.0 like the reference simulator
+    # (SimulationInstance.zig:62, via the system codec — io_/ogg.py); falls
+    # back to float32 WAV when the codec is unavailable. Also: "wav".
+    recording_format: str = "ogg"
     # None = auto: use the constant-memory slab runner when the padded batch
     # would exceed ~2 GB on device (hour-long race corpora); True/False force.
     use_slabs: Optional[bool] = None

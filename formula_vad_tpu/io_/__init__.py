@@ -1,2 +1,2 @@
-from . import audio, wav  # noqa: F401
+from . import audio, ogg, wav  # noqa: F401
 from .audio import AudioBuffer, AudioSource  # noqa: F401

@@ -12,7 +12,7 @@ from typing import Optional, Union
 
 import numpy as np
 
-from . import wav
+from . import ogg, wav
 
 
 @dataclasses.dataclass
@@ -35,21 +35,33 @@ class AudioBuffer:
 
     @classmethod
     def load_from_file(cls, path: str) -> "AudioBuffer":
-        data, rate = wav.read_wav(path)
+        """Load WAV or Ogg Vorbis (sniffed by container magic, like
+        libsndfile's format detection in the reference's loadFromFile)."""
+        if ogg.is_ogg_file(path):
+            data, rate = ogg.read_ogg(path)
+        else:
+            data, rate = wav.read_wav(path)
         return cls(channel_pcm=data, sample_rate=rate)
 
-    def save_to_file(self, path: str, fmt: str = "float32") -> None:
-        wav.write_wav(path, self.channel_pcm, self.sample_rate, fmt)
+    def save_to_file(self, path: str, fmt: str = "float32", quality: float = 1.0) -> None:
+        """fmt: "float32"/"pcm16" WAV, or "ogg" for Ogg Vorbis VBR
+        (AudioBuffer.zig:61-116 — Format.vorbis with VBR quality)."""
+        if fmt == "ogg":
+            ogg.write_ogg(path, self.channel_pcm, self.sample_rate, quality)
+        else:
+            wav.write_wav(path, self.channel_pcm, self.sample_rate, fmt)
 
 
 class AudioSource:
     """stream | buffer union (AudioSource.zig:6-39)."""
 
-    def __init__(self, source: Union[wav.WavStream, AudioBuffer]):
+    def __init__(self, source: Union[wav.WavStream, "ogg.OggStream", AudioBuffer]):
         self._source = source
 
     @classmethod
     def open_stream(cls, path: str) -> "AudioSource":
+        if ogg.is_ogg_file(path):
+            return cls(ogg.OggStream(path))
         return cls(wav.WavStream(path))
 
     @classmethod
@@ -58,7 +70,7 @@ class AudioSource:
 
     @property
     def is_stream(self) -> bool:
-        return isinstance(self._source, wav.WavStream)
+        return not isinstance(self._source, AudioBuffer)
 
     @property
     def sample_rate(self) -> int:
@@ -84,5 +96,5 @@ class AudioSource:
         return self._source.read(max_frames)
 
     def close(self) -> None:
-        if isinstance(self._source, wav.WavStream):
+        if not isinstance(self._source, AudioBuffer):
             self._source.close()

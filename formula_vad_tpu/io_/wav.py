@@ -4,9 +4,9 @@ Host-side replacement for the reference's libsndfile usage
 (``src/audio_utils/AudioFileStream.zig``, ``src/audio_utils/AudioBuffer.zig``).
 Supports PCM 16/24/32-bit and IEEE float 32/64 WAV files, streaming decode
 in arbitrary frame counts, seeking, and float-32 WAV writing (the reference
-writes WAV-float in daemon mode, AudioBuffer.zig:61-116; its OGG/Vorbis path
-is covered by the ``recording_format`` config instead — no system codec
-libraries exist in this environment).
+writes WAV-float in daemon mode, AudioBuffer.zig:61-116). The reference's
+OGG/Vorbis libsndfile path is covered by the sibling ``ogg`` module (system
+Xiph codec driven by ``native/fvadogg.cpp``).
 
 A native C++ fast path (``native/fvadio.cpp``) is used automatically for
 bulk sample conversion when the shared library has been built; the pure

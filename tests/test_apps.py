@@ -182,15 +182,23 @@ class TestSimulatorApp:
         assert "100.0%" in report_txt
 
     def test_simulator_streaming_saves_clips(self, tmp_path, capsys):
+        """Default clip format matches the reference: Ogg Vorbis, named
+        {start_frame}-{original|denoised}.ogg (SimulationInstance.zig:37-68);
+        WAV fallback when the system codec is unavailable."""
         from formula_vad_tpu.apps import simulator
+        from formula_vad_tpu.io_ import ogg
 
+        ext = "ogg" if ogg.available() else "wav"
         audio = speechy_audio(16, [(2.0, 2.0)], seed=8)
         plan = self._write_plan(tmp_path, audio, [(2.0, 4.0)], batch=False)
         assert simulator.main(["-i", str(plan)]) == 0
         run_dir = next((tmp_path / "out").iterdir())
-        clips = list((run_dir / "TestStream").glob("*.wav"))
+        clips = list((run_dir / "TestStream").glob(f"*.{ext}"))
         names = {c.name.split("-")[1] for c in clips}
-        assert names == {"original.wav", "denoised.wav"}
+        assert names == {f"original.{ext}", f"denoised.{ext}"}
+        if ext == "ogg":
+            got, rate = ogg.read_ogg(str(clips[0]))
+            assert rate == 48000 and got.shape[0] == 1 and got.shape[1] > 48000
 
 
 class TestEvaluatorCli:

@@ -54,6 +54,9 @@ class TestDenoiseSpan:
             "config": {
                 "output_dir": "out",
                 "batch_streams": True,
+                # WAV here so the exact-content assertions below hold (the
+                # default is lossy Ogg Vorbis, covered by tests/test_ogg.py).
+                "recording_format": "wav",
                 "vad_config": {"vad_machine_config": {"long_term_speech_avg_sec": 10.0}},
             },
         }
