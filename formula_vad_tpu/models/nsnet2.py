@@ -165,20 +165,27 @@ def zero_state(batch_shape=(), dtype=jnp.float32):
     )
 
 
-def apply_streaming(params: NSNet2Params, state, features: jnp.ndarray):
+def apply_streaming(
+    params: NSNet2Params, state, features: jnp.ndarray, out_frames: int | None = None
+):
     """Run the network over a feature sequence with explicit GRU state.
 
     Args:
       params: weights.
       state: (h1, h2) each [..., 400].
       features: [..., T, 161] log-power features, time axis second-to-last.
+      out_frames: if set, return gains only for the LAST out_frames frames
+        (bit-identical to slicing afterwards, but the post-GRU dense stack
+        skips the dropped frames — the 4 warm-up context frames in the
+        chunked denoiser, NSNet2.zig:16,186-203).
     Returns:
-      (new_state, gains [..., T, 161]).
+      (new_state, gains [..., T_out, 161]).
 
     The time recurrence is a ``lax.scan``; the pointwise dense layers before
     and after the GRUs are applied to the whole sequence at once so they run
     as large MXU matmuls rather than per-step ops.
     """
+    t = features.shape[-2]
     x = _dense(features, params.fc_in_w, params.fc_in_b)  # [..., T, 400]
     # GRU1's input projection over the whole sequence: one big matmul.
     gi1 = _dense(x, params.gru1.wi, params.gru1.bi)  # [..., T, 1200]
@@ -192,17 +199,22 @@ def apply_streaming(params: NSNet2Params, state, features: jnp.ndarray):
         return (h1, h2), h2
 
     (h1, h2), ys = jax.lax.scan(step, state, gi1_t)
-    y = jnp.moveaxis(ys, 0, -2)  # [..., T, 400]
+    if out_frames is not None and out_frames < t:
+        ys = ys[t - out_frames :]
+    y = jnp.moveaxis(ys, 0, -2)  # [..., T_out, 400]
     y = jax.nn.relu(_dense(y, params.ff1_w, params.ff1_b))
     y = jax.nn.relu(_dense(y, params.ff2_w, params.ff2_b))
     gains = jax.nn.sigmoid(_dense(y, params.out_w, params.out_b))
     return (h1, h2), gains
 
 
-def apply(params: NSNet2Params, features: jnp.ndarray) -> jnp.ndarray:
+def apply(
+    params: NSNet2Params, features: jnp.ndarray, out_frames: int | None = None
+) -> jnp.ndarray:
     """Stateless run from h=0 (matches ONNX Runtime per-chunk semantics).
 
-    features: [..., T, 161] -> gains [..., T, 161].
+    features: [..., T, 161] -> gains [..., T_out, 161] (see apply_streaming's
+    out_frames for the T_out != T case).
     """
     batch_shape = features.shape[:-2]
     # Derive the zero state from the features so it inherits their sharding
@@ -210,7 +222,7 @@ def apply(params: NSNet2Params, features: jnp.ndarray) -> jnp.ndarray:
     # and fails scan's carry type check inside manual-sharding regions).
     zero = jnp.zeros(batch_shape + (HIDDEN,), features.dtype)
     zero = zero + 0.0 * features[..., 0, 0][..., None]
-    _, gains = apply_streaming(params, (zero, zero), features)
+    _, gains = apply_streaming(params, (zero, zero), features, out_frames)
     return gains
 
 

@@ -22,12 +22,21 @@ from . import nsnet2
 from .spectral_gate import SpectralGateParams
 
 
-def apply_model(params: Any, features: jnp.ndarray) -> jnp.ndarray:
-    """Run whichever gain model ``params`` is over [..., T, 161] features."""
+def apply_model(
+    params: Any, features: jnp.ndarray, out_frames: int | None = None
+) -> jnp.ndarray:
+    """Run whichever gain model ``params`` is over [..., T, 161] features.
+
+    out_frames: return gains for only the last out_frames frames (the
+    callers drop the warm-up context frames; pushing the slice into the
+    model lets NSNet2 skip its post-GRU dense stack on dropped frames)."""
     apply_gains = getattr(params, "apply_gains", None)
     if apply_gains is not None:
-        return apply_gains(features)
-    return nsnet2.apply(params, features)
+        gains = apply_gains(features)
+        if out_frames is not None and out_frames < gains.shape[-2]:
+            gains = gains[..., gains.shape[-2] - out_frames :, :]
+        return gains
+    return nsnet2.apply(params, features, out_frames)
 
 
 def load_denoiser(spec: str | None, *, seed: int = 0) -> Any:

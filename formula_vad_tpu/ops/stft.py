@@ -122,9 +122,17 @@ def stft_segmat(
     assert t % seg == 0
     if initial_segment is None:
         initial_segment = jnp.zeros(x.shape[:-1] + (seg,), x.dtype)
+    # Reshape BEFORE concatenating: prepending along the segment (sublane)
+    # axis moves whole contiguous rows, while a flat lane-axis concat would
+    # shift every element by `seg` lanes — a full-array relayout that costs
+    # more than the matmul itself on TPU. Bit-identical either way.
     segs = jnp.concatenate(
-        [initial_segment, x], axis=-1
-    ).reshape(x.shape[:-1] + (t // seg + 1, seg))
+        [
+            initial_segment[..., None, :],
+            x.reshape(x.shape[:-1] + (t // seg, seg)),
+        ],
+        axis=-2,
+    )
     prod = jnp.matmul(segs, basis, precision=matmul_precision())
     z = prod[..., :-1, : 2 * n_bins] + prod[..., 1:, 2 * n_bins :]
     return z[..., :n_bins], z[..., n_bins : 2 * n_bins]

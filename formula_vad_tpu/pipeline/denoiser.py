@@ -102,8 +102,8 @@ def denoise_chunk(
     # Runtime per-chunk semantics; see module docstring).
     from ..models.registry import apply_model
 
-    gains = apply_model(params, model_in)  # [C, 54, 161]
-    g = jnp.clip(gains[..., NSNET2_CONTEXT_FRAMES:, :], GAIN_MIN, GAIN_MAX)
+    gains = apply_model(params, model_in, out_frames=re.shape[-2])  # [C, 50, 161]
+    g = jnp.clip(gains, GAIN_MIN, GAIN_MAX)
 
     # Apply gain and reconstruct; OLA folds window * 1/n_fft (NSNet2.zig:312-339).
     out_len = NSNET2_CHUNK_16K + NSNET2_N_HOP

@@ -120,7 +120,7 @@ def denoise_offline_carry(
     from ..models.registry import apply_model
 
     flat = model_in.reshape((-1, n_model_frames, NSNET2_N_BINS))
-    gains = apply_model(params, flat)[:, NSNET2_CONTEXT_FRAMES:, :]  # [N, 50, 161]
+    gains = apply_model(params, flat, out_frames=NSNET2_N_FRAMES)  # [N, 50, 161]
     gains = gains.reshape(lead + (k * NSNET2_N_FRAMES, NSNET2_N_BINS))
     g = jnp.clip(gains, den_mod.GAIN_MIN, den_mod.GAIN_MAX)
 
