@@ -11,6 +11,17 @@ gives us (the real TPU chip under the driver), and reports
 vs_baseline is against the BASELINE.json north-star target of >= 5000x
 aggregate real-time per v5e chip (the reference publishes no throughput
 numbers of its own — SURVEY.md §6).
+
+Measurement notes (this matters under the axon relay — see
+.claude/skills/verify/SKILL.md):
+* ``jax.block_until_ready`` does NOT wait for remote execution through the
+  relay, so each timed run ends with a tiny device-side reduction fetched
+  to the host (a real sync).
+* That sync carries a fixed multi-ms relay round-trip, so the per-call time
+  is taken as the SLOPE between a short and a long run — fixed overheads
+  (sync, queue priming) cancel exactly.
+* Inputs rotate over distinct buffers so no caching/folding layer can
+  short-circuit repeated calls.
 """
 
 import json
@@ -28,17 +39,16 @@ import numpy as np
 def main() -> None:
     from formula_vad_tpu.config import VADConfig
     from formula_vad_tpu.models import nsnet2
-    from formula_vad_tpu.pipeline import vad
+    from formula_vad_tpu.pipeline import offline, vad
 
     n_streams = int(os.environ.get("BENCH_STREAMS", "21"))
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "40"))  # 20 s per stream per call
-    n_iters = int(os.environ.get("BENCH_ITERS", "5"))
+    n_short = int(os.environ.get("BENCH_ITERS_SHORT", "3"))
+    n_long = int(os.environ.get("BENCH_ITERS_LONG", "15"))
 
     params = nsnet2.load(None)
     st = vad.statics_from_config(VADConfig())
     chunk_sec = st.chunk_size / st.sample_rate
-
-    from formula_vad_tpu.pipeline import offline
 
     use_pallas = jax.devices()[0].platform != "cpu"
 
@@ -59,21 +69,27 @@ def main() -> None:
             0.02 * rng.standard_normal((n_streams, 2, n_chunks * st.chunk_size)),
             jnp.float32,
         )
-        for _ in range(min(n_iters, 3))
+        for _ in range(3)
     ]
 
-    # Warmup / compile.
-    ev, sv = fn(audios[0])
-    jax.block_until_ready(ev)
+    # Warmup / compile, with a true sync.
+    ev, _ = fn(audios[0])
+    float(jnp.sum(ev))
 
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        ev, sv = fn(audios[i % len(audios)])
-    jax.block_until_ready(ev)
-    dt = time.perf_counter() - t0
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        ev = None
+        for i in range(n):
+            ev, _ = fn(audios[i % len(audios)])
+        float(jnp.sum(ev))  # device-side reduce + 4-byte fetch: real sync
+        return time.perf_counter() - t0
 
-    audio_sec = n_streams * n_chunks * chunk_sec * n_iters
-    rtf = audio_sec / dt
+    dt_short = run(n_short)
+    dt_long = run(n_long)
+    per_call = (dt_long - dt_short) / (n_long - n_short)
+
+    audio_sec = n_streams * n_chunks * chunk_sec
+    rtf = audio_sec / per_call
     print(
         json.dumps(
             {

@@ -41,10 +41,10 @@ _H = 128  # row width for the 2-D layout (one TPU lane tile)
 
 @functools.lru_cache(maxsize=None)
 def _upsample_mats(rate: int) -> tuple[np.ndarray, np.ndarray]:
-    """(shift S [H, H], interleave P [rate, H, H*rate]) 0/1 matrices.
+    """(shift S [H, H], interleave P [rate*H, H*rate]) 0/1 matrices.
 
     ``x2 @ S`` shifts each row right by one lane (lane 0 becomes 0), and
-    ``sum_j plane_j @ P[j]`` interleaves the rate planes so that plane j's
+    ``concat(planes) @ P`` interleaves the rate planes so that plane j's
     lane k lands at output lane k*rate + j. Run at HIGHEST matmul precision
     these are EXACT on f32 (1.0 is exact in every bf16 pass; each output
     sum has a single nonzero term), so they serve as MXU-side data movement
@@ -53,9 +53,11 @@ def _upsample_mats(rate: int) -> tuple[np.ndarray, np.ndarray]:
     """
     s = np.zeros((_H, _H), np.float32)
     s[np.arange(_H - 1), np.arange(1, _H)] = 1.0
-    p = np.zeros((rate, _H, _H * rate), np.float32)
+    # Stacked interleave: row block j (lanes j*H..j*H+H of the fused plane
+    # tensor) maps plane j's lane k to output lane k*rate + j.
+    p = np.zeros((rate * _H, _H * rate), np.float32)
     for j in range(rate):
-        p[j, np.arange(_H), np.arange(_H) * rate + j] = 1.0
+        p[j * _H + np.arange(_H), np.arange(_H) * rate + j] = 1.0
     return s, p
 
 
@@ -100,15 +102,15 @@ def upsample(x: jnp.ndarray, prev_last: jnp.ndarray, rate: int) -> tuple[jnp.nda
     prev2 = prev2 + row_carry[..., None] * jnp.asarray(e0)
 
     # Exact lerp planes: plane j = prev + (x - prev) * (j+1)/rate; plane
-    # rate-1 is x itself.
+    # rate-1 is x itself. Planes are concatenated at H(=128)-lane-aligned
+    # offsets (tile-granular, cheap) and interleaved with ONE permutation
+    # matmul.
     d = x2 - prev2
     planes = [
         prev2 + d * np.float32((j + 1) / rate) for j in range(rate - 1)
     ] + [x2]
-    out2 = sum(
-        jnp.matmul(pl, jnp.asarray(p_m[j]), precision=hi)
-        for j, pl in enumerate(planes)
-    )  # [..., F, H*rate]
+    q = jnp.concatenate(planes, axis=-1)  # [..., F, rate*H]
+    out2 = jnp.matmul(q, jnp.asarray(p_m), precision=hi)  # [..., F, H*rate]
     out = out2.reshape(lead + (f * _H * rate,))
     if pad:
         out = out[..., : n * rate]
