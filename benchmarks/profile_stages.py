@@ -27,15 +27,26 @@ K = int(os.environ.get("BENCH_CHUNKS", "40"))
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 
 
+def _sync(out):
+    """block_until_ready is a no-op through the axon relay; force completion
+    with a device-side reduce + 4-byte fetch (see verify SKILL.md)."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.max(jnp.abs(leaf.astype(jnp.float32))))
+
+
 def timed(name, fn, inputs):
-    # warmup/compile
-    out = fn(*inputs[0])
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        out = fn(*inputs[i % len(inputs)])
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / ITERS
+    out = fn(*inputs[0])  # warmup/compile
+    _sync(out)
+
+    def run(n):
+        t0 = time.perf_counter()
+        for i in range(n):
+            out = fn(*inputs[i % len(inputs)])
+        _sync(out)
+        return time.perf_counter() - t0
+
+    short = max(2, ITERS // 4)
+    dt = (run(ITERS) - run(short)) / (ITERS - short)  # slope: sync overhead cancels
     print(f"{name:34s} {dt*1e3:8.2f} ms")
     return dt
 
