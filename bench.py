@@ -43,8 +43,8 @@ def main() -> None:
 
     n_streams = int(os.environ.get("BENCH_STREAMS", "21"))
     n_chunks = int(os.environ.get("BENCH_CHUNKS", "40"))  # 20 s per stream per call
-    n_short = int(os.environ.get("BENCH_ITERS_SHORT", "3"))
-    n_long = int(os.environ.get("BENCH_ITERS_LONG", "15"))
+    n_short = max(1, int(os.environ.get("BENCH_ITERS_SHORT", "3")))
+    n_long = max(n_short + 1, int(os.environ.get("BENCH_ITERS_LONG", "15")))
 
     params = nsnet2.load(None)
     st = vad.statics_from_config(VADConfig())

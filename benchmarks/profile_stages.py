@@ -45,8 +45,9 @@ def timed(name, fn, inputs):
         _sync(out)
         return time.perf_counter() - t0
 
-    short = max(2, ITERS // 4)
-    dt = (run(ITERS) - run(short)) / (ITERS - short)  # slope: sync overhead cancels
+    long_n = max(3, ITERS)
+    short = min(max(2, long_n // 4), long_n - 1)
+    dt = (run(long_n) - run(short)) / (long_n - short)  # slope: sync overhead cancels
     print(f"{name:34s} {dt*1e3:8.2f} ms")
     return dt
 

@@ -30,7 +30,6 @@ import numpy as np
 
 from ..config import PipelineConfig, VADConfig
 from ..io_.audio import AudioBuffer
-from ..models import nsnet2
 from ..models.registry import load_denoiser
 from ..pipeline.pipeline import AudioPipeline, Callbacks
 
@@ -182,7 +181,13 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Formula-VAD streaming daemon.")
     ap.add_argument("-o", "--outdir", required=True, help="Output directory")
     ap.add_argument("-n", "--name", required=True, help="Instance name for logging")
-    ap.add_argument("--denoiser", default=None, help="Path to denoiser model (.onnx or .npz)")
+    ap.add_argument(
+        "--denoiser",
+        default=None,
+        help="Denoiser spec: path to NSNet2 weights (.onnx or .npz), or "
+        "'spectral_gate[:quantile,alpha,floor]' for the weights-free "
+        "classical gate",
+    )
     ap.add_argument(
         "--state", default=None,
         help="Path to a state checkpoint: resumed at startup, written on exit",

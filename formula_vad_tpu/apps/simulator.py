@@ -34,7 +34,6 @@ from ..io_ import AudioSource
 from ..io_ import ogg
 from ..io_.wav import write_wav
 from ..utils.logging import scoped
-from ..models import nsnet2
 from ..models.registry import load_denoiser
 from ..parallel.runner import BatchRunner
 from ..pipeline.pipeline import AudioPipeline, Callbacks
@@ -129,6 +128,7 @@ def _save_clips(
     # iff sample_to <= processed length (MRBRecorder.zig:88-112).
     total_len = audio.shape[1]
     processed_end = n_chunks * chunk
+    ext, write = _clip_writer(config)
     for seg in inst.vad_segments or []:
         a, b = seg["sample_from"], seg["sample_to"]
         clips = []
@@ -140,7 +140,6 @@ def _save_clips(
                 offline.denoise_span(params, jnp.asarray(audio[:, : kb * chunk]), ka, kb)
             )
             clips.append(("denoised", den[:, a - ka * chunk : b - ka * chunk]))
-        ext, write = _clip_writer(config)
         for kind, data in clips:
             rms = np.sqrt(np.mean(data.astype(np.float32) ** 2, axis=1))
             best = int(np.argmin(rms))  # quietest channel (Recorder.zig:113-128)

@@ -21,10 +21,10 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(force: bool = False) -> bool:
     try:
         subprocess.run(
-            ["make", "-s", "libfvadio.so"],
+            ["make", "-s"] + (["-B"] if force else []) + ["libfvadio.so"],
             cwd=_NATIVE_DIR,
             check=True,
             capture_output=True,
@@ -41,13 +41,20 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            if not os.path.isdir(_NATIVE_DIR) or not _build():
-                return None
+        if not os.path.isdir(_NATIVE_DIR):
+            return None
+        # Always run make (no-op when fresh, rebuild when fvadio.cpp
+        # changed); force one clean rebuild if a stale binary fails to load.
+        _build()
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
-            return None
+            if not _build(force=True):
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         if lib.fvad_abi_version() != 1:
             return None
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")

@@ -36,10 +36,10 @@ _lib = None
 _tried = False
 
 
-def _build() -> bool:
+def _build(force: bool = False) -> bool:
     try:
         subprocess.run(
-            ["make", "-s", "libfvadogg.so"],
+            ["make", "-s"] + (["-B"] if force else []) + ["libfvadogg.so"],
             cwd=_NATIVE_DIR,
             check=True,
             capture_output=True,
@@ -56,13 +56,21 @@ def _load():
         if _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_LIB_PATH):
-            if not os.path.isdir(_NATIVE_DIR) or not _build():
-                return None
+        if not os.path.isdir(_NATIVE_DIR):
+            return None
+        # Always run make: a no-op when the .so is fresh, a rebuild when
+        # fvadogg.cpp changed. A load failure (e.g. a stale binary from
+        # another platform) forces one clean rebuild before giving up.
+        _build()
         try:
             lib = ctypes.CDLL(_LIB_PATH)
         except OSError:
-            return None
+            if not _build(force=True):
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
         if lib.fvad_ogg_abi_version() != 1 or lib.fvad_ogg_available() != 1:
             return None
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -121,6 +129,9 @@ class OggStream:
         self._rate = int(lib.fvad_ogg_rate(self._h))
         self._channels = int(lib.fvad_ogg_channels(self._h))
         self._total = int(lib.fvad_ogg_total_frames(self._h))
+        if self._total < 0:  # ov_pcm_total error (e.g. unseekable source)
+            self.close()
+            raise ValueError(f"cannot determine Ogg stream length: {path}")
         self._frame_pos = 0
 
     @property

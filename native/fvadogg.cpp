@@ -222,6 +222,9 @@ long long fvad_ogg_total_frames(void *h) {
 
 // Fill `out` (planar, per-channel stride = max_frames floats) with up to
 // max_frames decoded frames; returns frames written (0 at EOF, <0 on error).
+// Chained streams whose channel count or rate changes at a link boundary
+// stop at the boundary (treated as EOF) — reading a different channel
+// layout into the caller's planar buffer would be out of bounds.
 long long fvad_ogg_read_planar(void *h, float *out, long long max_frames) {
   Decoder *d = static_cast<Decoder *>(h);
   long long done = 0;
@@ -233,6 +236,9 @@ long long fvad_ogg_read_planar(void *h, float *out, long long max_frames) {
     if (r == OV_HOLE) continue;  // corrupt/missing page: resync and keep going
     if (r == 0) break;           // EOF
     if (r < 0) return done > 0 ? done : (long long)r;
+    const vorbis_info_head *vi =
+        static_cast<const vorbis_info_head *>(p_ov_info(&d->vf, -1));
+    if (!vi || vi->channels != d->channels || vi->rate != d->rate) break;
     for (int c = 0; c < d->channels; ++c)
       memcpy(out + (long long)c * max_frames + done, pcm[c], (size_t)r * 4);
     done += r;

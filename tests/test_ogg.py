@@ -73,6 +73,27 @@ class TestRoundTrip:
             assert np.array_equal(tail, whole[:, 48000:])
 
 
+class TestChainedStreams:
+    def test_channel_change_stops_at_link_boundary(self, tmp_path):
+        """A chained file whose channel count changes mid-stream must not
+        read past the first link's channel layout (OOB guard in
+        fvad_ogg_read_planar); decode stops at the boundary."""
+        stereo = _tone(seconds=0.5)
+        mono = _tone(seconds=0.5, freqs=(700.0,))
+        p1, p2 = str(tmp_path / "a.ogg"), str(tmp_path / "b.ogg")
+        ogg.write_ogg(p1, stereo, 48000)
+        ogg.write_ogg(p2, mono, 48000)
+        chained = str(tmp_path / "chain.ogg")
+        with open(chained, "wb") as f:
+            f.write(open(p1, "rb").read() + open(p2, "rb").read())
+        with ogg.OggStream(chained) as s:
+            assert s.n_channels == 2  # first link's layout
+            data = s.read(s.n_frames)
+        assert data.shape[0] == 2
+        # everything returned comes from the first (stereo) link
+        assert data.shape[1] <= stereo.shape[1]
+
+
 class TestRealWorldDecode:
     @pytest.mark.skipif(not os.path.exists(REAL_OGG), reason="fixture absent")
     def test_decode_foreign_file(self):
