@@ -21,16 +21,24 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def measure(fn, audio, audio_sec, iters=3):
-    out = fn(audio)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(iters):
+def measure(fn, audios, audio_sec, iters=9):
+    """Per-call slope timing with a real device sync (block_until_ready is a
+    no-op through the axon relay; distinct input buffers defeat result
+    caching — see .claude/skills/verify/SKILL.md)."""
+    out = fn(audios[0])
+    float(jnp.max(jnp.abs(out.astype(jnp.float32))))  # compile + true sync
+
+    def run(n):
         t0 = time.perf_counter()
-        out = fn(audio)
-        jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    return audio_sec / float(np.median(ts))
+        out = None
+        for i in range(n):
+            out = fn(audios[i % len(audios)])
+        float(jnp.max(jnp.abs(out.astype(jnp.float32))))
+        return time.perf_counter() - t0
+
+    short = max(2, iters // 3)
+    dt = (run(iters) - run(short)) / (iters - short)
+    return audio_sec / dt
 
 
 def main() -> int:
@@ -53,10 +61,14 @@ def main() -> int:
         precision.set_matmul_precision(prec)
         params = nsnet2.load(None)
         for n_streams in (21, 84) if not args.quick else (21,):
-            audio = jnp.asarray(
-                0.02 * rng.standard_normal((n_streams, 2, n_chunks * st.chunk_size)),
-                jnp.float32,
-            )
+            audios = [
+                jnp.asarray(
+                    0.02
+                    * rng.standard_normal((n_streams, 2, n_chunks * st.chunk_size)),
+                    jnp.float32,
+                )
+                for _ in range(2)
+            ]
             audio_sec = n_streams * n_chunks * st.chunk_size / st.sample_rate
 
             fn_off = jax.jit(
@@ -64,7 +76,7 @@ def main() -> int:
                     params, st, a, use_pallas_fsm=use_pallas
                 )[0].event
             )
-            rtf = measure(fn_off, audio, audio_sec)
+            rtf = measure(fn_off, audios, audio_sec)
             row = {
                 "path": "offline",
                 "precision": prec,
@@ -75,14 +87,18 @@ def main() -> int:
             print(json.dumps(row), flush=True)
 
         # streaming scan path at the plan batch size (latency-oriented)
-        audio = jnp.asarray(
-            0.02 * rng.standard_normal((21, 2, n_chunks * st.chunk_size)), jnp.float32
-        )
+        audios = [
+            jnp.asarray(
+                0.02 * rng.standard_normal((21, 2, n_chunks * st.chunk_size)),
+                jnp.float32,
+            )
+            for _ in range(2)
+        ]
         audio_sec = 21 * n_chunks * st.chunk_size / st.sample_rate
         fn_scan = jax.jit(
             jax.vmap(lambda a: vad.process_stream(params, st, a)[1].windows.event)
         )
-        rtf = measure(fn_scan, audio, audio_sec)
+        rtf = measure(fn_scan, audios, audio_sec)
         row = {
             "path": "streaming-scan",
             "precision": prec,
