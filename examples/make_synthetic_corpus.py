@@ -1,0 +1,119 @@
+"""Generate a synthetic labeled radio corpus and a ready-to-run plan.
+
+The reference's acceptance harness needs labeled audio that its repo does
+not distribute (SURVEY.md §4: plan JSON points at local files). This script
+makes the full metric loop runnable out of the box: N stereo 48 kHz streams
+of engine-like noise with amplitude-modulated speech-band bursts, Audacity
+label tracks, and a plan.json wired to the weights-free spectral-gate
+denoiser (the NSNet2 blob is an absent LFS object upstream, so the gate is
+the model family that works without weights).
+
+    python examples/make_synthetic_corpus.py --out /tmp/corpus
+    python -m formula_vad_tpu.apps.simulator -i /tmp/corpus/plan.json
+
+Expected report: TPR/PPV near 100% on every stream.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SR = 48000
+
+
+def synth_stream(rng: np.random.Generator, seconds: float):
+    """One stereo stream + its (from_sec, to_sec) speech labels."""
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    # Engine-ish background: white noise + strong low-frequency harmonics
+    # with slow RPM drift (energy mostly below the 500-2000 Hz speech band).
+    rpm = 90.0 + 40.0 * np.sin(2 * np.pi * 0.05 * t + rng.uniform(0, 6.28))
+    phase = 2 * np.pi * np.cumsum(rpm) / SR
+    audio = rng.standard_normal((2, n)).astype(np.float32) * 0.015
+    for harmonic, amp in ((1, 0.10), (2, 0.06), (3, 0.03)):
+        audio += (amp * np.sin(harmonic * phase)).astype(np.float32)
+
+    # Speech bursts: AM-modulated multi-tone in the 500-2000 Hz band,
+    # correlated across channels (driver audio appears in both channels;
+    # VADMachine's stereo ratio cue, VADMachine.zig:166-171).
+    labels = []
+    pos = rng.uniform(3.0, 8.0)
+    while pos + 1.0 < seconds - 2.0:
+        dur = float(rng.uniform(1.2, 5.0))
+        if pos + dur > seconds - 2.0:
+            break
+        sl = slice(int(pos * SR), int((pos + dur) * SR))
+        tt = t[sl]
+        burst = np.zeros(sl.stop - sl.start, np.float32)
+        for _ in range(4):
+            f = rng.uniform(500.0, 2000.0)
+            burst += np.sin(2 * np.pi * f * tt + rng.uniform(0, 6.28)).astype(np.float32)
+        syllable = 0.55 + 0.45 * np.sign(np.sin(2 * np.pi * rng.uniform(3.0, 5.0) * tt))
+        burst *= 0.12 * syllable.astype(np.float32)
+        audio[0, sl] += burst
+        audio[1, sl] += 0.85 * burst
+        labels.append((round(pos, 3), round(pos + dur, 3)))
+        pos += dur + float(rng.uniform(6.0, 15.0))
+    return audio.astype(np.float32), labels
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--out", required=True, help="Corpus output directory")
+    ap.add_argument("--streams", type=int, default=3)
+    ap.add_argument("--minutes", type=float, default=2.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--format", choices=("wav", "ogg"), default="wav",
+                    help="Audio container (ogg requires the system Vorbis codec)")
+    ap.add_argument("--denoiser", default="spectral_gate",
+                    help="Denoiser spec written into the plan (default: the "
+                         "weights-free spectral gate)")
+    args = ap.parse_args(argv)
+
+    from formula_vad_tpu.io_ import ogg
+    from formula_vad_tpu.io_.wav import write_wav
+
+    os.makedirs(args.out, exist_ok=True)
+    rng = np.random.default_rng(args.seed)
+    instances = []
+    for i in range(args.streams):
+        name = f"synthetic-{i:02d}"
+        audio, labels = synth_stream(rng, args.minutes * 60.0)
+        audio_file = f"{name}.{args.format}"
+        path = os.path.join(args.out, audio_file)
+        if args.format == "ogg":
+            ogg.write_ogg(path, audio, SR, quality=0.8)
+        else:
+            write_wav(path, audio, SR)
+        ref_file = f"{name}.txt"
+        with open(os.path.join(args.out, ref_file), "w") as f:
+            f.writelines(f"{a}\t{b}\tspeech\n" for a, b in labels)
+        instances.append(
+            {"name": name, "audio_path": audio_file, "ref_path": ref_file}
+        )
+        print(f"{name}: {args.minutes:.1f} min, {len(labels)} speech segments")
+
+    plan = {
+        "instances": instances,
+        "config": {
+            "output_dir": "out",
+            "vad_config": {"denoiser_model_path": args.denoiser},
+        },
+    }
+    plan_path = os.path.join(args.out, "plan.json")
+    with open(plan_path, "w") as f:
+        json.dump(plan, f, indent=2)
+    print(f"\nplan written: {plan_path}")
+    print(f"run:  python -m formula_vad_tpu.apps.simulator -i {plan_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -274,3 +274,28 @@ class TestHostPipelineAltConfigs:
         assert pipe.segments, "primary machine must fire"
         assert pipe.alt_segments[0] == pipe.segments
         assert pipe.alt_segments[1] == []
+
+
+class TestSyntheticCorpusExample:
+    def test_generator_produces_runnable_plan(self, tmp_path):
+        import importlib.util
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        spec = importlib.util.spec_from_file_location(
+            "make_synthetic_corpus",
+            os.path.join(root, "examples", "make_synthetic_corpus.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert mod.main(["--out", str(tmp_path), "--streams", "2",
+                         "--minutes", "0.5", "--seed", "1"]) == 0
+        plan = json.loads((tmp_path / "plan.json").read_text())
+        assert len(plan["instances"]) == 2
+        assert plan["config"]["vad_config"]["denoiser_model_path"] == "spectral_gate"
+        for inst in plan["instances"]:
+            audio = tmp_path / inst["audio_path"]
+            labels = (tmp_path / inst["ref_path"]).read_text().strip().splitlines()
+            assert audio.exists() and audio.stat().st_size > 1000
+            assert labels, "each stream must contain speech segments"
+            a, b, tag = labels[0].split("\t")
+            assert float(b) > float(a) and tag == "speech"
