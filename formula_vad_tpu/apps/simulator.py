@@ -57,7 +57,8 @@ class Instance:
 def load_plan(plan_path: str):
     base = os.path.dirname(os.path.abspath(plan_path)) or "."
     with open(plan_path) as f:
-        plan = json.load(f)
+        plan_text = f.read()
+    plan = json.loads(plan_text)
     config = sim_config_from_dict(plan.get("config", {}))
     instances = [
         Instance(
@@ -67,7 +68,7 @@ def load_plan(plan_path: str):
         )
         for inst in plan["instances"]
     ]
-    return instances, config, base, plan
+    return instances, config, base, plan_text
 
 
 def vad_segments_to_eval(segments: list[dict], sample_rate: int) -> list[SpeechSegment]:
@@ -242,15 +243,15 @@ def main(argv=None) -> int:
     ap.add_argument("-i", "--input", required=True, help="Simulation plan (path to JSON)")
     args = ap.parse_args(argv)
 
-    instances, config, base, plan_raw = load_plan(args.input)
+    instances, config, base, plan_text = load_plan(args.input)
 
-    # Timestamped output dir + plan copy (simulator.zig:156-176).
+    # Timestamped output dir + verbatim plan copy (simulator.zig:156-176).
     resolved_out = None
     if config.output_dir:
         resolved_out = os.path.join(base, config.output_dir, str(int(time.time())))
         os.makedirs(resolved_out, exist_ok=True)
         with open(os.path.join(resolved_out, "plan.json"), "w") as f:
-            json.dump(plan_raw, f, indent=2)
+            f.write(plan_text)
         for inst in instances:
             inst.out_dir = os.path.join(resolved_out, inst.name)
             os.makedirs(inst.out_dir, exist_ok=True)
