@@ -241,10 +241,16 @@ def window_inputs_carry(
     n_in_c0 = jnp.minimum(boundary - w_start, st.fft_size)
     r0 = ratio_chunk[jnp.clip(c0, 0, k - 1)]
     r1 = ratio_chunk[jnp.clip(c1, 0, k - 1)]
-    ratios = (
+    weighted = (
         n_in_c0.astype(jnp.float32) * r0
         + (st.fft_size - n_in_c0).astype(jnp.float32) * r1
     ) / np.float32(st.fft_size)
+    # Windows fully inside one chunk take that chunk's ratio VERBATIM, like
+    # the scan path (vad.chunk_step step 5) — the weighted form is
+    # mathematically the same but rounds differently (and XLA's FMA
+    # formation is fusion-context-dependent), breaking bitwise cross-path
+    # identity of seg_ratio.
+    ratios = jnp.where(c0 == c1, r0, weighted)
     valid = w_end <= n_valid_chunks * chunk
     return den_carry, min_vol, ratios, valid, (denoised if collect_denoised else None)
 
