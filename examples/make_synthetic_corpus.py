@@ -28,8 +28,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SR = 48000
 
 
-def synth_stream(rng: np.random.Generator, seconds: float):
-    """One stereo stream + its (from_sec, to_sec) speech labels."""
+def synth_stream(rng: np.random.Generator, seconds: float, components: bool = False):
+    """One stereo stream + its (from_sec, to_sec) speech labels.
+
+    With components=True also returns the bursts-only ("clean speech")
+    signal — the training target for (noisy, clean) denoiser pairs."""
     n = int(seconds * SR)
     t = np.arange(n) / SR
     # Engine-ish background: white noise + strong low-frequency harmonics
@@ -39,6 +42,7 @@ def synth_stream(rng: np.random.Generator, seconds: float):
     audio = rng.standard_normal((2, n)).astype(np.float32) * 0.015
     for harmonic, amp in ((1, 0.10), (2, 0.06), (3, 0.03)):
         audio += (amp * np.sin(harmonic * phase)).astype(np.float32)
+    clean = np.zeros((2, n), np.float32) if components else None
 
     # Speech bursts: AM-modulated multi-tone in the 500-2000 Hz band,
     # correlated across channels (driver audio appears in both channels;
@@ -59,8 +63,13 @@ def synth_stream(rng: np.random.Generator, seconds: float):
         burst *= 0.12 * syllable.astype(np.float32)
         audio[0, sl] += burst
         audio[1, sl] += 0.85 * burst
+        if components:
+            clean[0, sl] += burst
+            clean[1, sl] += 0.85 * burst
         labels.append((round(pos, 3), round(pos + dur, 3)))
         pos += dur + float(rng.uniform(6.0, 15.0))
+    if components:
+        return audio.astype(np.float32), labels, clean
     return audio.astype(np.float32), labels
 
 
@@ -75,6 +84,9 @@ def main(argv=None) -> int:
     ap.add_argument("--denoiser", default="spectral_gate",
                     help="Denoiser spec written into the plan (default: the "
                          "weights-free spectral gate)")
+    ap.add_argument("--train-pairs", type=int, default=0,
+                    help="Also write N mono <name>.noisy.wav/<name>.clean.wav "
+                         "pairs for `apps.train --data` (clean = bursts only)")
     args = ap.parse_args(argv)
 
     from formula_vad_tpu.io_ import ogg
@@ -99,6 +111,15 @@ def main(argv=None) -> int:
             {"name": name, "audio_path": audio_file, "ref_path": ref_file}
         )
         print(f"{name}: {args.minutes:.1f} min, {len(labels)} speech segments")
+
+    for i in range(args.train_pairs):
+        name = f"train-{i:03d}"
+        noisy, _, clean = synth_stream(rng, args.minutes * 60.0, components=True)
+        # Mono pairs (apps.train reads channel 0); keep the stereo mixdown out
+        # so pair files stay half the size of corpus streams.
+        write_wav(os.path.join(args.out, f"{name}.noisy.wav"), noisy[:1], SR)
+        write_wav(os.path.join(args.out, f"{name}.clean.wav"), clean[:1], SR)
+        print(f"{name}: {args.minutes:.1f} min training pair")
 
     plan = {
         "instances": instances,

@@ -93,6 +93,13 @@ def main(argv=None) -> int:
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--ckpt-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--device-data", action="store_true",
+        help="Stage the whole example pool in device memory once and gather "
+             "batches on-device per step (only per-step transfer is the index "
+             "vector) — removes the host->device batch upload from the step "
+             "loop; essential on remote/tunneled accelerators",
+    )
     args = ap.parse_args(argv)
     configure()
 
@@ -138,12 +145,30 @@ def main(argv=None) -> int:
 
     rng = np.random.default_rng(args.seed)
 
-    def get_batch(i):
-        idx = rng.integers(0, len(examples), args.batch)
-        cols = list(zip(*[examples[j] for j in idx]))
-        return tuple(jnp.asarray(np.stack(c)) for c in cols)
-
     from jax.sharding import NamedSharding
+
+    if args.device_data:
+        # One-time staging of the full pool; per-step traffic is just the
+        # [batch] index vector and the gather runs on device.
+        pool = tuple(
+            jnp.asarray(np.stack(c)) for c in zip(*examples)
+        )  # 5 x [N, frames, 161]
+        log.info(
+            "staged %d windows (%.0f MB) in device memory",
+            len(examples),
+            sum(x.size * x.dtype.itemsize for x in pool) / 1e6,
+        )
+
+        def get_batch(i):
+            idx = jnp.asarray(rng.integers(0, len(examples), args.batch))
+            return tuple(jnp.take(c, idx, axis=0) for c in pool)
+
+    else:
+
+        def get_batch(i):
+            idx = rng.integers(0, len(examples), args.batch)
+            cols = list(zip(*[examples[j] for j in idx]))
+            return tuple(jnp.asarray(np.stack(c)) for c in cols)
 
     for i in range(start_step, args.steps):
         b = get_batch(i)

@@ -294,7 +294,9 @@ def apply(
 # ---------------------------------------------------------------------------
 
 
-def save_npz(path: str, params: NSNet2Params) -> None:
+def save_npz(path: str, params: NSNet2Params, dtype=None) -> None:
+    """Save weights as .npz; dtype=np.float16 halves the file (inference
+    upcasts to f32 on load — a storage codec, not a compute precision)."""
     flat = {
         "fc_in_w": params.fc_in_w, "fc_in_b": params.fc_in_b,
         "ff1_w": params.ff1_w, "ff1_b": params.ff1_b,
@@ -306,28 +308,37 @@ def save_npz(path: str, params: NSNet2Params) -> None:
         flat[f"{name}_wh"] = g.wh
         flat[f"{name}_bi"] = g.bi
         flat[f"{name}_bh"] = g.bh
+    flat = {k: np.asarray(v) for k, v in flat.items()}
+    if dtype is not None:
+        flat = {k: v.astype(dtype) for k, v in flat.items()}
+    for name, g in (("gru1", params.gru1), ("gru2", params.gru2)):
         flat[f"{name}_lbr"] = np.int32(g.linear_before_reset)
-    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+    np.savez_compressed(path, **flat)
 
 
 def load_npz(path: str) -> NSNet2Params:
     z = np.load(path)
 
+    def arr(key):
+        a = z[key]
+        # f16-stored weights (see save_npz) are upcast for f32 compute.
+        return jnp.asarray(a.astype(np.float32) if a.dtype == np.float16 else a)
+
     def gru(name):
         return GRUParams(
-            wi=jnp.asarray(z[f"{name}_wi"]),
-            wh=jnp.asarray(z[f"{name}_wh"]),
-            bi=jnp.asarray(z[f"{name}_bi"]),
-            bh=jnp.asarray(z[f"{name}_bh"]),
+            wi=arr(f"{name}_wi"),
+            wh=arr(f"{name}_wh"),
+            bi=arr(f"{name}_bi"),
+            bh=arr(f"{name}_bh"),
             linear_before_reset=int(z[f"{name}_lbr"]),
         )
 
     return NSNet2Params(
-        fc_in_w=jnp.asarray(z["fc_in_w"]), fc_in_b=jnp.asarray(z["fc_in_b"]),
+        fc_in_w=arr("fc_in_w"), fc_in_b=arr("fc_in_b"),
         gru1=gru("gru1"), gru2=gru("gru2"),
-        ff1_w=jnp.asarray(z["ff1_w"]), ff1_b=jnp.asarray(z["ff1_b"]),
-        ff2_w=jnp.asarray(z["ff2_w"]), ff2_b=jnp.asarray(z["ff2_b"]),
-        out_w=jnp.asarray(z["out_w"]), out_b=jnp.asarray(z["out_b"]),
+        ff1_w=arr("ff1_w"), ff1_b=arr("ff1_b"),
+        ff2_w=arr("ff2_w"), ff2_b=arr("ff2_b"),
+        out_w=arr("out_w"), out_b=arr("out_b"),
     )
 
 

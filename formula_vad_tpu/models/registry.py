@@ -7,6 +7,10 @@ object with an ``apply_gains(features) -> gains`` method (duck-typed; see
 
 Specs:
   None                -> random-init NSNet2 (deterministic seed 0)
+  "demo"              -> packaged NSNet2 demo weights (data/nsnet2_demo.npz,
+                         trained by apps.train on the synthetic radio corpus
+                         — the upstream blob is an absent LFS object, so
+                         these make the neural path work out of the box)
   "spectral_gate"     -> classical Wiener gate (weights-free)
   "spectral_gate:q,a,f" -> gate with explicit quantile/alpha/floor
   "*.onnx" / "*.npz"  -> NSNet2 weights from disk
@@ -14,12 +18,18 @@ Specs:
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax.numpy as jnp
 
 from . import nsnet2
 from .spectral_gate import SpectralGateParams
+
+DEMO_WEIGHTS = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data", "nsnet2_demo.npz",
+)
 
 
 def apply_model(
@@ -42,6 +52,13 @@ def apply_model(
 def load_denoiser(spec: str | None, *, seed: int = 0) -> Any:
     if spec is None:
         return nsnet2.load(None, seed=seed)
+    if spec == "demo":
+        if not os.path.exists(DEMO_WEIGHTS):
+            raise FileNotFoundError(
+                f"packaged demo weights missing: {DEMO_WEIGHTS} "
+                "(train replacements with apps.train)"
+            )
+        return nsnet2.load_npz(DEMO_WEIGHTS)
     if spec == "spectral_gate":
         return SpectralGateParams()
     if spec.startswith("spectral_gate:"):
