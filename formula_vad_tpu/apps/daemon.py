@@ -184,7 +184,9 @@ def main(argv=None) -> int:
     ap.add_argument(
         "--denoiser",
         default=None,
-        help="Denoiser spec: path to NSNet2 weights (.onnx or .npz), or "
+        help="Denoiser spec: path to NSNet2 weights (.onnx or .npz), 'demo' "
+        "for the packaged weights (the default when they are present), "
+        "'random' for random-init, or "
         "'spectral_gate[:quantile,alpha,floor]' for the weights-free "
         "classical gate",
     )

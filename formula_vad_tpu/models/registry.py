@@ -6,11 +6,15 @@ object with an ``apply_gains(features) -> gains`` method (duck-typed; see
 ``apply_model``). All models share the 161-bin/20 ms frame contract.
 
 Specs:
-  None                -> random-init NSNet2 (deterministic seed 0)
+  None                -> the packaged demo weights when present (the
+                         reference's default is likewise its packaged model,
+                         VADPipeline.zig:20-26 -> data/nsnet2-20ms-baseline.onnx);
+                         random-init NSNet2 (deterministic seed 0) otherwise
   "demo"              -> packaged NSNet2 demo weights (data/nsnet2_demo.npz,
                          trained by apps.train on the synthetic radio corpus
                          — the upstream blob is an absent LFS object, so
                          these make the neural path work out of the box)
+  "random"            -> random-init NSNet2 (deterministic seed)
   "spectral_gate"     -> classical Wiener gate (weights-free)
   "spectral_gate:q,a,f" -> gate with explicit quantile/alpha/floor
   "*.onnx" / "*.npz"  -> NSNet2 weights from disk
@@ -51,6 +55,10 @@ def apply_model(
 
 def load_denoiser(spec: str | None, *, seed: int = 0) -> Any:
     if spec is None:
+        if os.path.exists(DEMO_WEIGHTS):
+            return nsnet2.load_npz(DEMO_WEIGHTS)
+        return nsnet2.load(None, seed=seed)
+    if spec == "random":
         return nsnet2.load(None, seed=seed)
     if spec == "demo":
         if not os.path.exists(DEMO_WEIGHTS):
