@@ -74,13 +74,19 @@ def main() -> int:
 
     failures = 0
     total_segments = 0
-    for seed in range(4):
+    # Cases 0-3: short 8 s streams across seeds. Case 4: a production-length
+    # 80 s stream — catches any batch-size- or length-dependent numerics in
+    # the front-end (e.g. a GRU schedule that varied with the flattened
+    # batch would show up here as a scan-vs-offline boundary mismatch).
+    cases = [(seed, 16) for seed in range(4)] + [(4, 160)]
+    for seed, n_chunks in cases:
         rng = np.random.default_rng(100 + seed)
+        span = n_chunks * 0.5
         bursts = [
             (float(rng.uniform(1, 3)), float(rng.uniform(1, 2.5))),
-            (float(rng.uniform(6, 8)), float(rng.uniform(1, 2.5))),
+            (float(rng.uniform(0.7 * span, 0.7 * span + 2)), float(rng.uniform(1, 2.5))),
         ]
-        audio = speechy(16, bursts, seed)
+        audio = speechy(n_chunks, bursts, seed)
 
         # 1) streaming scan
         _, outs = jax.jit(lambda a: vad.process_stream(params, st, a))(jnp.asarray(audio))
@@ -103,7 +109,7 @@ def main() -> int:
             )
             # bit-level window outputs: pallas vs scan FSM on the same inputs
             min_vol, ratios, valid = offline.window_inputs(
-                params, st, jnp.asarray(audio), jnp.int32(16)
+                params, st, jnp.asarray(audio), jnp.int32(n_chunks)
             )
             carry = fsm.init_carry(st.fsm_shape, st.fsm_params)
             _, ref_out = fsm.scan_windows(

@@ -149,10 +149,15 @@ def main(argv=None) -> int:
 
     if args.device_data:
         # One-time staging of the full pool; per-step traffic is just the
-        # [batch] index vector and the gather runs on device.
+        # [batch] index vector and the gather runs on device. Under a mesh
+        # the pool is staged replicated so every device gathers its batch
+        # shard locally (each device holds the full pool — shard the corpus
+        # across hosts before staging if it exceeds one device's HBM).
         pool = tuple(
             jnp.asarray(np.stack(c)) for c in zip(*examples)
         )  # 5 x [N, frames, 161]
+        if m is not None:
+            pool = tuple(jax.device_put(x, mesh_lib.replicated(m)) for x in pool)
         log.info(
             "staged %d windows (%.0f MB) in device memory",
             len(examples),

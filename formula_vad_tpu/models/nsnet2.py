@@ -81,19 +81,14 @@ def gru_cell_pre(p: GRUParams, h, gi):
     Hoisting the input projection out of the time scan turns T tiny matmuls
     into one MXU-shaped [.., T, in] @ [in, 3H] matmul (done by the caller).
     """
-    z_i, r_i, n_i = jnp.split(gi, 3, axis=-1)
     if p.linear_before_reset:
-        gh = _dense(h, p.wh, p.bh)
-        z_h, r_h, n_h = jnp.split(gh, 3, axis=-1)
-        z = jax.nn.sigmoid(z_i + z_h)
-        r = jax.nn.sigmoid(r_i + r_h)
-        n = jnp.tanh(n_i + r * n_h)
-    else:
-        wh_z, wh_r, wh_n = jnp.split(p.wh, 3, axis=-1)
-        bh_z, bh_r, bh_n = jnp.split(p.bh, 3, axis=-1)
-        z = jax.nn.sigmoid(z_i + jnp.matmul(h, wh_z, precision=matmul_precision()) + bh_z)
-        r = jax.nn.sigmoid(r_i + jnp.matmul(h, wh_r, precision=matmul_precision()) + bh_r)
-        n = jnp.tanh(n_i + jnp.matmul(r * h, wh_n, precision=matmul_precision()) + bh_n)
+        return _gates_lbr(gi, _dense(h, p.wh, p.bh), h)
+    z_i, r_i, n_i = jnp.split(gi, 3, axis=-1)
+    wh_z, wh_r, wh_n = jnp.split(p.wh, 3, axis=-1)
+    bh_z, bh_r, bh_n = jnp.split(p.bh, 3, axis=-1)
+    z = jax.nn.sigmoid(z_i + jnp.matmul(h, wh_z, precision=matmul_precision()) + bh_z)
+    r = jax.nn.sigmoid(r_i + jnp.matmul(h, wh_r, precision=matmul_precision()) + bh_r)
+    n = jnp.tanh(n_i + jnp.matmul(r * h, wh_n, precision=matmul_precision()) + bh_n)
     return (1.0 - z) * n + z * h
 
 
@@ -197,37 +192,36 @@ def apply_streaming(
     and after the GRUs are applied to the whole sequence at once so they run
     as large MXU matmuls rather than per-step ops.
 
-    For small batches the two GRU layers run as a *wavefront*: scan
-    iteration i computes layer-1 step i and layer-2 step i-1, so the three
-    recurrent projections (h1 @ wh1, h1 @ wi2, h2 @ wh2) have no data
-    dependence within an iteration and the per-iteration dependency chain is
-    one matmul round instead of three. Every contraction keeps the naive
-    form's exact shape and the gate arithmetic is unchanged; outputs agree
-    with the layer-by-layer scan to <=1 ulp (moving ops across the scan
-    boundary can change XLA's FMA formation — same deviation class as
-    PARITY.md #3/#4; asserted at 1e-6 in tests/test_nsnet2.py). Measured on
-    one v5e chip: the online 0.5 s chunk step (2 rows) drops 1.09 ->
-    ~0.7 ms; large offline batches (1680 rows) are MXU-throughput-bound and
-    marginally prefer the layer-by-layer form, so the wavefront engages only
-    when the flattened batch is <= FVAD_GRU_WAVEFRONT_MAX_ROWS (default 256;
-    FVAD_GRU_WAVEFRONT = on|off|auto overrides).
+    The two GRU layers run as a *wavefront*: scan iteration i computes
+    layer-1 step i and layer-2 step i-1, so the three recurrent projections
+    (h1 @ wh1, h1 @ wi2, h2 @ wh2) have no data dependence within an
+    iteration and the per-iteration dependency chain is one matmul round
+    instead of three. Every contraction keeps the layer-by-layer form's
+    exact shape and the gate arithmetic is shared code; outputs agree with
+    that form to <=1 ulp (moving ops across the scan boundary can change
+    XLA's FMA formation — same deviation class as PARITY.md #3/#4; asserted
+    at 1e-6 in tests/test_nsnet2.py). Measured on one v5e chip: the online
+    0.5 s chunk step (2 rows) drops 1.09 -> 0.84 ms; the 1680-row offline
+    batch pays ~3% (MXU-throughput-bound). The schedule is deliberately
+    UNIFORM across batch sizes so numerics never depend on how audio is
+    batched — cross-path/cross-length identity stays bitwise per backend.
+    FVAD_GRU_WAVEFRONT=off selects the layer-by-layer schedule everywhere
+    (A/B benchmarking / debugging only); weights with linear_before_reset=0
+    always use it.
     """
     t = features.shape[-2]
+    g1, g2 = params.gru1, params.gru2
+    if t == 0:  # nothing to scan: state unchanged, empty gains
+        return state, jnp.zeros(features.shape[:-1] + (N_BINS,), features.dtype)
     x = _dense(features, params.fc_in_w, params.fc_in_b)  # [..., T, 400]
     # GRU1's input projection over the whole sequence: one big matmul.
     gi1 = _dense(x, params.gru1.wi, params.gru1.bi)  # [..., T, 1200]
     # scan over time: move T to the front.
     gi1_t = jnp.moveaxis(gi1, -2, 0)  # [T, ..., 1200]
-    g1, g2 = params.gru1, params.gru2
 
     wavefront = bool(g1.linear_before_reset and g2.linear_before_reset)
-    mode = os.environ.get("FVAD_GRU_WAVEFRONT", "auto")
-    if mode == "off":
+    if os.environ.get("FVAD_GRU_WAVEFRONT", "on") == "off":
         wavefront = False
-    elif mode != "on":  # auto: latency regime only
-        rows = int(np.prod(features.shape[:-2], dtype=np.int64))
-        max_rows = int(os.environ.get("FVAD_GRU_WAVEFRONT_MAX_ROWS", "256"))
-        wavefront = wavefront and rows <= max_rows
 
     if wavefront:
         h1, h2 = state

@@ -29,6 +29,9 @@ import jax.numpy as jnp
 
 from . import nsnet2
 from .spectral_gate import SpectralGateParams
+from ..utils.logging import scoped
+
+log = scoped("pipeline")
 
 DEMO_WEIGHTS = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -56,7 +59,14 @@ def apply_model(
 def load_denoiser(spec: str | None, *, seed: int = 0) -> Any:
     if spec is None:
         if os.path.exists(DEMO_WEIGHTS):
+            log.info("denoiser: packaged demo weights (%s)", DEMO_WEIGHTS)
             return nsnet2.load_npz(DEMO_WEIGHTS)
+        log.warning(
+            "denoiser: packaged demo weights missing (%s) — falling back to "
+            "RANDOM-INIT NSNet2; detections will be meaningless. Pass "
+            "--denoiser explicitly or restore the data file.",
+            DEMO_WEIGHTS,
+        )
         return nsnet2.load(None, seed=seed)
     if spec == "random":
         return nsnet2.load(None, seed=seed)

@@ -78,12 +78,13 @@ class TestApply:
             jnp.asarray(rng.standard_normal((3, 400)), jnp.float32) * 0.1,
             jnp.asarray(rng.standard_normal((3, 400)), jnp.float32) * 0.1,
         )
-        for t, out_frames in [(54, 50), (5, None), (2, None), (1, None)]:
+        for t, out_frames in [(54, 50), (5, None), (2, None), (1, None), (0, None)]:
             feats = jnp.asarray(rng.standard_normal((3, t, 161)), jnp.float32)
             monkeypatch.setenv("FVAD_GRU_WAVEFRONT", "on")
             (a1, a2), ga = nsnet2.apply_streaming(params, state, feats, out_frames)
             monkeypatch.setenv("FVAD_GRU_WAVEFRONT", "off")
             (b1, b2), gb = nsnet2.apply_streaming(params, state, feats, out_frames)
+            assert ga.shape == (3, t if out_frames is None else out_frames, 161)
             np.testing.assert_allclose(np.asarray(a1), np.asarray(b1), atol=1e-6)
             np.testing.assert_allclose(np.asarray(a2), np.asarray(b2), atol=1e-6)
             np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
