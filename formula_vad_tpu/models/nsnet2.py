@@ -192,22 +192,22 @@ def apply_streaming(
     and after the GRUs are applied to the whole sequence at once so they run
     as large MXU matmuls rather than per-step ops.
 
-    The two GRU layers run as a *wavefront*: scan iteration i computes
-    layer-1 step i and layer-2 step i-1, so the three recurrent projections
-    (h1 @ wh1, h1 @ wi2, h2 @ wh2) have no data dependence within an
-    iteration and the per-iteration dependency chain is one matmul round
-    instead of three. Every contraction keeps the layer-by-layer form's
-    exact shape and the gate arithmetic is shared code; outputs agree with
-    that form to <=1 ulp (moving ops across the scan boundary can change
-    XLA's FMA formation — same deviation class as PARITY.md #3/#4; asserted
-    at 1e-6 in tests/test_nsnet2.py). Measured on one v5e chip: the online
-    0.5 s chunk step (2 rows) drops 1.09 -> 0.84 ms; the 1680-row offline
-    batch pays ~3% (MXU-throughput-bound). The schedule is deliberately
-    UNIFORM across batch sizes so numerics never depend on how audio is
-    batched — cross-path/cross-length identity stays bitwise per backend.
-    FVAD_GRU_WAVEFRONT=off selects the layer-by-layer schedule everywhere
-    (A/B benchmarking / debugging only); weights with linear_before_reset=0
-    always use it.
+    An alternative *wavefront* schedule is available via
+    FVAD_GRU_WAVEFRONT=on: scan iteration i computes layer-1 step i and
+    layer-2 step i-1, so the three recurrent projections (h1 @ wh1,
+    h1 @ wi2, h2 @ wh2) have no data dependence within an iteration and the
+    per-iteration dependency chain is one matmul round instead of three.
+    Measured on one v5e chip it cuts the online 0.5 s chunk step (2 rows)
+    from 1.09 to 0.84 ms, but costs ~3-4% on the MXU-throughput-bound
+    1680-row offline batch — and the 0.5 s cadence leaves 500 ms of budget,
+    so the layer-by-layer schedule is the default everywhere. (The 20 ms
+    low-latency mode scans T=1 frames, where the schedules coincide.)
+    Whichever schedule is selected applies at every batch size, so numerics
+    never depend on how audio is batched; the schedules agree to <=1 ulp
+    (moving ops across the scan boundary can change XLA's FMA formation —
+    same deviation class as PARITY.md #3/#4; asserted at 1e-6 in
+    tests/test_nsnet2.py). Weights with linear_before_reset=0 always use
+    the layer-by-layer form.
     """
     t = features.shape[-2]
     g1, g2 = params.gru1, params.gru2
@@ -220,7 +220,7 @@ def apply_streaming(
     gi1_t = jnp.moveaxis(gi1, -2, 0)  # [T, ..., 1200]
 
     wavefront = bool(g1.linear_before_reset and g2.linear_before_reset)
-    if os.environ.get("FVAD_GRU_WAVEFRONT", "on") == "off":
+    if os.environ.get("FVAD_GRU_WAVEFRONT", "off") != "on":
         wavefront = False
 
     if wavefront:
