@@ -51,6 +51,8 @@ def _parse_header(f: BinaryIO) -> WavInfo:
         cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
         if cid == b"fmt ":
             body = f.read(size + (size & 1))
+            if len(body) < 16:
+                raise ValueError("malformed fmt chunk (truncated)")
             tag, n_ch, rate, _byte_rate, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
@@ -70,6 +72,10 @@ def _parse_header(f: BinaryIO) -> WavInfo:
     if tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
         raise ValueError(f"unsupported WAV format tag {tag:#x}")
     bytes_per_frame = n_ch * (bits // 8)
+    if bytes_per_frame == 0 or rate == 0:
+        raise ValueError(
+            f"malformed fmt chunk: {n_ch} channels, {bits} bits, rate {rate}"
+        )
     return WavInfo(
         sample_rate=rate,
         n_channels=n_ch,
