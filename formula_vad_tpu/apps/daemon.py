@@ -126,7 +126,9 @@ class Daemon:
             return
         try:
             buffer = AudioBuffer.load_from_file(file_path)
-        except (OSError, ValueError) as e:
+        except (OSError, ValueError, RuntimeError) as e:
+            # RuntimeError: Ogg input on a host without the Vorbis codec —
+            # non-fatal like any other undecodable file (the loop continues).
             self.report_error(f"Error loading audio file: {e}. Command: {cmd}", False)
             return
         if buffer.n_channels != self.pipeline.config.n_channels:

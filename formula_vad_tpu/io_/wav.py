@@ -56,7 +56,9 @@ def _parse_header(f: BinaryIO) -> WavInfo:
             tag, n_ch, rate, _byte_rate, block_align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
-            if tag == WAVE_FORMAT_EXTENSIBLE and size >= 40:
+            if tag == WAVE_FORMAT_EXTENSIBLE:
+                if len(body) < 26:
+                    raise ValueError("malformed EXTENSIBLE fmt chunk (truncated)")
                 # SubFormat GUID: first two bytes are the real format tag
                 tag = struct.unpack("<H", body[24:26])[0]
             fmt = (tag, n_ch, rate, block_align, bits)
@@ -71,6 +73,10 @@ def _parse_header(f: BinaryIO) -> WavInfo:
     tag, n_ch, rate, block_align, bits = fmt
     if tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
         raise ValueError(f"unsupported WAV format tag {tag:#x}")
+    if tag == WAVE_FORMAT_IEEE_FLOAT and bits not in (32, 64):
+        raise ValueError(f"unsupported float bit depth {bits}")
+    if tag == WAVE_FORMAT_PCM and bits not in (8, 16, 24, 32):
+        raise ValueError(f"unsupported PCM bit depth {bits}")
     bytes_per_frame = n_ch * (bits // 8)
     if bytes_per_frame == 0 or rate == 0:
         raise ValueError(

@@ -7,8 +7,9 @@ codecs (io_/wav.py + native/fvadio.cpp, io_/ogg.py + native/fvadogg.cpp),
 so the contract needs its own tests.
 """
 
-import io
+import os
 import struct
+import tempfile
 
 import numpy as np
 import pytest
@@ -19,8 +20,6 @@ from formula_vad_tpu.io_.wav import WavStream, read_wav, write_wav
 
 
 def _wav_bytes(data: np.ndarray, rate: int = 48000) -> bytearray:
-    import tempfile, os
-
     with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
         path = f.name
     try:
@@ -87,27 +86,47 @@ class TestMalformedWav:
         assert 0 < got.shape[1] < stereo.shape[1]
         np.testing.assert_array_equal(got, stereo[:, : got.shape[1]])
 
-    def test_fuzzed_headers_raise_cleanly(self, stereo):
+    def test_truncated_extensible_fmt(self, tmp_path):
+        """EXTENSIBLE fmt chunk without room for the SubFormat GUID must be
+        a clean ValueError, not a struct.error escaping into the caller."""
+        body = struct.pack("<HHIIHH", 0xFFFE, 2, 48000, 0, 8, 32) + b"\x00" * 4
+        p = tmp_path / "ext.wav"
+        p.write_bytes(
+            b"RIFF\x00\x01\x00\x00WAVE"
+            + b"fmt " + struct.pack("<I", len(body)) + body
+            + b"data" + struct.pack("<I", 0)
+        )
+        with pytest.raises(ValueError):
+            WavStream(str(p))
+
+    def test_float_tag_with_pcm_bits_rejected(self, stereo, tmp_path):
+        """Format tag 3 (IEEE float) with bits=16 previously reinterpreted
+        the payload as float64 garbage; the header parser must reject it."""
+        raw = _wav_bytes(stereo)
+        raw[12 + 8 + 0 : 12 + 8 + 2] = struct.pack("<H", 3)  # tag float
+        raw[12 + 8 + 14 : 12 + 8 + 16] = struct.pack("<H", 16)  # bits 16
+        p = tmp_path / "f16.wav"
+        p.write_bytes(bytes(raw))
+        with pytest.raises(ValueError):
+            WavStream(str(p))
+
+    def test_fuzzed_headers_raise_cleanly(self, stereo, tmp_path):
         """Random single-byte corruptions of the header: decode must either
         succeed or raise ValueError — nothing else, and no hangs."""
         base = _wav_bytes(stereo)
         rng = np.random.default_rng(7)
-        import tempfile, os
-
+        path = str(tmp_path / "fuzz.wav")
         for _ in range(200):
             raw = bytearray(base)
             for _ in range(rng.integers(1, 4)):
                 raw[int(rng.integers(0, 44))] = int(rng.integers(0, 256))
-            with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+            with open(path, "wb") as f:
                 f.write(bytes(raw))
-                path = f.name
             try:
                 data, rate = read_wav(path)
                 assert data.ndim == 2  # survived corruption: sane shape
             except ValueError:
                 pass  # clean rejection
-            finally:
-                os.unlink(path)
 
 
 class TestMalformedOgg:
@@ -123,7 +142,9 @@ class TestMalformedOgg:
     def test_audio_buffer_sniffs_and_rejects(self, tmp_path):
         p = tmp_path / "bad.ogg"
         p.write_bytes(b"OggS" + b"\x00" * 64)
-        with pytest.raises((ValueError, OSError)):
+        # Codec present: decode error (ValueError/OSError). Codec absent:
+        # RuntimeError. Both are non-fatal in the daemon (apps/daemon.py).
+        with pytest.raises((ValueError, OSError, RuntimeError)):
             AudioBuffer.load_from_file(str(p))
 
 
