@@ -47,6 +47,7 @@ class SlabRunner:
         mesh=None,
         use_mesh: bool = True,
         use_pallas_fsm: bool | None = None,
+        prefetch_workers: int | None = None,  # decode threads (default min(8, B))
     ):
         if slab_chunks % SLAB_ALIGN_CHUNKS != 0:
             raise ValueError(f"slab_chunks must be a multiple of {SLAB_ALIGN_CHUNKS}")
@@ -66,6 +67,7 @@ class SlabRunner:
         self.slab_chunks = slab_chunks
         self.slab_samples = slab_chunks * self.st.chunk_size
         self.mesh = mesh if mesh is not None else (mesh_lib.data_mesh() if use_mesh else None)
+        self.prefetch_workers = prefetch_workers
         self._fn = None
 
     # ------------------------------------------------------------------
@@ -182,33 +184,40 @@ class SlabRunner:
         win_base = jnp.zeros((b_pad,), jnp.int32)
         windows_per_slab = self.slab_samples // self.st.fft_size
 
-        # Device handles are collected and fetched once at the end: dispatch
-        # is async, so host-side decode/assembly of slab k+1 overlaps the
-        # device compute (and H2D) of slab k. Per-slab outputs are tiny
-        # (~100 KB/stream), the audio itself never comes back.
+        # Host/device pipeline: a threaded prefetcher decodes the streams of
+        # slab k+1 in parallel (worker pool over the native codecs — the
+        # reference's thread-per-recording libsndfile loader re-expressed,
+        # simulator.zig:221-232) while the device crunches slab k; device
+        # handles are collected and fetched once at the end (dispatch is
+        # async). Per-slab outputs are tiny (~100 KB/stream), the audio
+        # itself never comes back.
+        from ..io_.prefetch import SlabPrefetcher
+
+        prefetcher = SlabPrefetcher(
+            readers,
+            valid_chunks,
+            n_slabs=n_slabs,
+            slab_chunks=self.slab_chunks,
+            chunk_size=chunk,
+            n_channels=self.st.n_channels,
+            b_pad=b_pad,
+            workers=self.prefetch_workers,
+        )
         slab_outs = []
         alt_outs = []
-        for s in range(n_slabs):
-            start_chunk = s * self.slab_chunks
-            slab = np.zeros((b_pad, self.st.n_channels, self.slab_samples), np.float32)
-            cv = np.zeros((b_pad, self.slab_chunks), bool)
-            for i in range(b):
-                n_valid = int(
-                    np.clip(valid_chunks[i] - start_chunk, 0, self.slab_chunks)
+        try:
+            for s in range(n_slabs):
+                slab, cv = prefetcher.get()
+                den_carry, fsm_carry, alt_carry, out, alt_out, va = self._fn(
+                    jnp.asarray(slab), den_carry, fsm_carry, alt_carry, win_base,
+                    jnp.asarray(cv),
                 )
-                if n_valid == 0:
-                    continue
-                data = readers[i](start_chunk * chunk, n_valid * chunk)
-                slab[i, :, : data.shape[1]] = data[:, : n_valid * chunk]
-                cv[i, :n_valid] = True
-            den_carry, fsm_carry, alt_carry, out, alt_out, va = self._fn(
-                jnp.asarray(slab), den_carry, fsm_carry, alt_carry, win_base,
-                jnp.asarray(cv),
-            )
-            win_base = win_base + jnp.int32(windows_per_slab)
-            slab_outs.append(out)
-            if alt_out is not None:
-                alt_outs.append(alt_out)
+                win_base = win_base + jnp.int32(windows_per_slab)
+                slab_outs.append(out)
+                if alt_out is not None:
+                    alt_outs.append(alt_out)
+        finally:
+            prefetcher.close()
 
         slab_outs = jax.device_get(slab_outs)
         alt_outs = jax.device_get(alt_outs) if alt_outs else None

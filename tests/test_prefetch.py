@@ -1,0 +1,92 @@
+"""SlabPrefetcher: ordering, ragged EOF handling, error propagation, and
+identity with the serial assembly it replaced."""
+
+import time
+
+import numpy as np
+import pytest
+
+from formula_vad_tpu.io_.prefetch import SlabPrefetcher
+
+CHUNK = 24000
+
+
+def _mk_reader(data):
+    def read(start, n):
+        return data[:, start : start + n]
+
+    return read
+
+
+def _serial_slab(datas, valid_chunks, s, slab_chunks, b_pad, c):
+    slab = np.zeros((b_pad, c, slab_chunks * CHUNK), np.float32)
+    cv = np.zeros((b_pad, slab_chunks), bool)
+    for i, d in enumerate(datas):
+        n_valid = int(np.clip(valid_chunks[i] - s * slab_chunks, 0, slab_chunks))
+        if n_valid == 0:
+            continue
+        data = d[:, s * slab_chunks * CHUNK : (s * slab_chunks + n_valid) * CHUNK]
+        slab[i, :, : data.shape[1]] = data
+        cv[i, :n_valid] = True
+    return slab, cv
+
+
+def test_matches_serial_assembly_ragged():
+    rng = np.random.default_rng(0)
+    lengths = [5 * CHUNK, 12 * CHUNK, 3 * CHUNK]  # ragged, not slab-aligned
+    datas = [rng.standard_normal((2, l)).astype(np.float32) for l in lengths]
+    valid = [l // CHUNK for l in lengths]
+    slab_chunks, b_pad = 4, 4  # includes one padding row
+    n_slabs = 3
+
+    pf = SlabPrefetcher(
+        [_mk_reader(d) for d in datas], valid,
+        n_slabs=n_slabs, slab_chunks=slab_chunks, chunk_size=CHUNK,
+        n_channels=2, b_pad=b_pad, workers=3,
+    )
+    try:
+        for s in range(n_slabs):
+            slab, cv = pf.get()
+            ref_slab, ref_cv = _serial_slab(datas, valid, s, slab_chunks, b_pad, 2)
+            np.testing.assert_array_equal(slab, ref_slab)
+            np.testing.assert_array_equal(cv, ref_cv)
+    finally:
+        pf.close()
+
+
+def test_reader_exception_propagates():
+    def bad_reader(start, n):
+        raise ValueError("decode failed")
+
+    pf = SlabPrefetcher(
+        [bad_reader], [8],
+        n_slabs=2, slab_chunks=4, chunk_size=CHUNK, n_channels=2, b_pad=1,
+    )
+    try:
+        with pytest.raises(ValueError, match="decode failed"):
+            pf.get()
+    finally:
+        pf.close()
+
+
+def test_readers_called_serially_per_stream():
+    """Slabs are produced in order, so a stateful reader never sees
+    concurrent or out-of-order calls."""
+    calls = []
+
+    def reader(start, n):
+        calls.append(start)
+        time.sleep(0.01)
+        return np.zeros((2, n), np.float32)
+
+    pf = SlabPrefetcher(
+        [reader], [8],
+        n_slabs=2, slab_chunks=4, chunk_size=CHUNK, n_channels=2, b_pad=1,
+        workers=4, depth=2,
+    )
+    try:
+        pf.get()
+        pf.get()
+    finally:
+        pf.close()
+    assert calls == [0, 4 * CHUNK]
