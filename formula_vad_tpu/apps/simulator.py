@@ -107,7 +107,8 @@ def _clip_writer(config: SimConfig):
 def _save_clips(
     params,
     inst: Instance,
-    audio: np.ndarray,
+    read_span,  # (start_sample, end_sample) -> [C, n] float32
+    total_len: int,
     n_chunks: int,
     chunk: int,
     config: SimConfig,
@@ -127,18 +128,24 @@ def _save_clips(
     # unprocessed tail), the denoised ring only whole processed chunks — so
     # an original clip exists iff sample_to <= stream length, a denoised one
     # iff sample_to <= processed length (MRBRecorder.zig:88-112).
-    total_len = audio.shape[1]
     processed_end = n_chunks * chunk
     ext, write = _clip_writer(config)
     for seg in inst.vad_segments or []:
         a, b = seg["sample_from"], seg["sample_to"]
         clips = []
         if b <= total_len:
-            clips.append(("original", audio[:, a:b]))
+            clips.append(("original", read_span(a, b)))
         if b <= processed_end:
             ka, kb = a // chunk, (b + chunk - 1) // chunk
+            # Bounded-horizon exact re-denoise over a windowed read: chunk
+            # k0 = ka - WARMUP_CHUNKS is where denoise_span's own warm-up
+            # would start, so reading [k0*chunk, kb*chunk) and re-denoising
+            # with start offset ka-k0 is bit-identical to passing the whole
+            # stream prefix (offline.denoise_span semantics).
+            k0 = max(0, ka - offline.WARMUP_CHUNKS)
+            span = read_span(k0 * chunk, kb * chunk)
             den = np.asarray(
-                offline.denoise_span(params, jnp.asarray(audio[:, : kb * chunk]), ka, kb)
+                offline.denoise_span(params, jnp.asarray(span), ka - k0, kb - k0)
             )
             clips.append(("denoised", den[:, a - ka * chunk : b - ka * chunk]))
         for kind, data in clips:
@@ -154,44 +161,61 @@ def run_batched(instances: list[Instance], config: SimConfig) -> None:
     from ..parallel.slab_runner import SlabRunner
 
     params = load_denoiser(config.vad_config.denoiser_model_path)
-    audios = []
+    srcs = []
     lengths = []
     for inst in instances:
-        src = AudioSource.preload(inst.audio_path)
+        src = AudioSource.open_stream(inst.audio_path)
         if src.sample_rate != 48000:
+            src.close()
             raise ValueError(f"{inst.name}: sample rate {src.sample_rate} != 48000")
-        audio = src.read_all()
-        audios.append(audio)
-        lengths.append(audio.shape[1])
+        srcs.append(src)
+        lengths.append(src.n_frames)
     max_t = max(lengths)
-    n_ch = audios[0].shape[0]
+    n_ch = srcs[0].n_channels
 
     use_slabs = config.use_slabs
     if use_slabs is None:
-        use_slabs = len(audios) * n_ch * max_t * 4 > SLAB_AUTO_BYTES
+        use_slabs = len(srcs) * n_ch * max_t * 4 > SLAB_AUTO_BYTES
 
     if use_slabs:
+        # Constant-memory: streams stay on disk; the prefetcher's worker pool
+        # decodes slab-by-slab (threaded, decode-ahead). PCM16 WAV sources
+        # ship raw int16 at half the H2D bytes (device dequant, bit-exact).
         runner = SlabRunner(params, config.vad_config, slab_chunks=config.slab_chunks)
-        readers = [
-            (lambda s, n, a=a: a[:, s : s + n]) for a in audios
-        ]
-        results = runner.run_readers(readers, lengths)
+        raw16 = all(src.supports_raw16 for src in srcs)
+
+        def mk_reader(src):
+            def read(start, n):
+                src.seek_to_sample(start)
+                return src.read_raw16(n) if raw16 else src.read(n)
+
+            return read
+
+        results = runner.run_readers([mk_reader(s) for s in srcs], lengths, raw16=raw16)
     else:
         batch_runner = BatchRunner(params, config.vad_config)
         chunk = batch_runner.st.chunk_size
         pad_t = ((max_t + chunk - 1) // chunk) * chunk
-        batch = np.zeros((len(audios), n_ch, pad_t), np.float32)
-        for i, a in enumerate(audios):
+        batch = np.zeros((len(srcs), n_ch, pad_t), np.float32)
+        for i, src in enumerate(srcs):
+            a = src.read(lengths[i])
             batch[i, :, : a.shape[1]] = a
         results = batch_runner.run(batch, lengths)
         runner = batch_runner
 
     chunk = runner.st.chunk_size
-    for inst, res, audio, length in zip(instances, results, audios, lengths):
+    for inst, res, src, length in zip(instances, results, srcs, lengths):
         inst.vad_segments = res.segments
         inst.alt_vad_segments = getattr(res, "alt_segments", [])
         if inst.out_dir:
-            _save_clips(params, inst, audio, length // chunk, chunk, config)
+
+            def read_span(a, b, src=src):
+                src.seek_to_sample(a)
+                return src.read(b - a)
+
+            _save_clips(params, inst, read_span, length, length // chunk, chunk, config)
+    for src in srcs:
+        src.close()
 
 
 def run_streaming(instances: list[Instance], config: SimConfig) -> None:

@@ -95,6 +95,29 @@ class AudioSource:
             raise TypeError("preloaded source has no incremental read; use read_all")
         return self._source.read(max_frames)
 
+    @property
+    def n_frames(self) -> int:
+        if isinstance(self._source, AudioBuffer):
+            return self._source.length
+        return self._source.n_frames
+
+    def seek_to_sample(self, frame: int) -> None:
+        if isinstance(self._source, AudioBuffer):
+            raise TypeError("preloaded source has no seek")
+        self._source.seek_to_sample(frame)
+
+    @property
+    def supports_raw16(self) -> bool:
+        """True when the stream can serve raw planar int16 PCM (PCM16 WAV) —
+        lets batch runners ship half the bytes to the device and dequantize
+        there (wav.WavStream.read_raw16)."""
+        return isinstance(self._source, wav.WavStream) and self._source.is_pcm16
+
+    def read_raw16(self, max_frames: int) -> np.ndarray:
+        if not self.supports_raw16:
+            raise TypeError("source is not a PCM16 WAV stream")
+        return self._source.read_raw16(max_frames)
+
     def close(self) -> None:
         if not isinstance(self._source, AudioBuffer):
             self._source.close()

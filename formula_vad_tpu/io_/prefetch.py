@@ -49,7 +49,9 @@ class SlabPrefetcher:
         b_pad: int,
         workers: int | None = None,
         depth: int = 2,
+        dtype=np.float32,  # np.int16 for raw-PCM16 slabs (device dequant)
     ):
+        self._dtype = dtype
         self._readers = list(readers)
         self._valid = np.asarray(valid_chunks, np.int64)
         self._n_slabs = n_slabs
@@ -83,7 +85,7 @@ class SlabPrefetcher:
                 if self._stop.is_set():
                     return
                 slab = np.zeros(
-                    (self._b_pad, self._c, self._slab_chunks * self._chunk), np.float32
+                    (self._b_pad, self._c, self._slab_chunks * self._chunk), self._dtype
                 )
                 cv = np.zeros((self._b_pad, self._slab_chunks), bool)
                 futs = [

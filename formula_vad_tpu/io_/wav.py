@@ -172,6 +172,32 @@ class WavStream:
         self._frame_pos += n_read
         return _decode_planar(raw[: n_read * bpf], self.info)
 
+    @property
+    def is_pcm16(self) -> bool:
+        return (
+            self.info.format_tag == WAVE_FORMAT_PCM
+            and self.info.bits_per_sample == 16
+        )
+
+    def read_raw16(self, max_frames: int) -> np.ndarray:
+        """Read up to max_frames as planar int16 (PCM16 files only).
+
+        Skips the host-side int16->float32 conversion so callers can ship
+        half the bytes to the device and dequantize there: f32(i) / 32768 on
+        device is bit-identical to the host decode (a 16-bit integer and a
+        power-of-two divide are both exact in f32)."""
+        if not self.is_pcm16:
+            raise ValueError("read_raw16 requires a PCM16 WAV")
+        n = min(max_frames, self.info.n_frames - self._frame_pos)
+        if n <= 0:
+            return np.zeros((self.info.n_channels, 0), np.int16)
+        bpf = self.info.n_channels * 2
+        raw = self._f.read(n * bpf)
+        n_read = len(raw) // bpf
+        self._frame_pos += n_read
+        x = np.frombuffer(raw[: n_read * bpf], dtype="<i2")
+        return np.ascontiguousarray(x.reshape(-1, self.info.n_channels).T)
+
     def seek_to_sample(self, frame: int) -> None:
         bpf = self.info.n_channels * (self.info.bits_per_sample // 8)
         self._f.seek(self.info.data_offset + frame * bpf)

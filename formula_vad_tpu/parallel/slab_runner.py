@@ -103,6 +103,11 @@ class SlabRunner:
             return fsm.scan_windows_rows(st.fsm_shape, params_rows, carry, mv, rt, wi, va)
 
         def slab_fn(audio, den_carry, fsm_carry, alt_carry, win_base, chunk_valids):
+            if audio.dtype == jnp.int16:
+                # Raw PCM16 shipped at half the H2D bytes; the dequant is
+                # exact in f32 (16-bit int and power-of-two divide), so this
+                # is bit-identical to host-side decode (io_/wav.py PCM16).
+                audio = audio.astype(jnp.float32) / np.float32(32768.0)
             b = audio.shape[0]
             n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
             den_carry, mv, rt, va = jax.vmap(one_stream)(audio, den_carry, n_valid)
@@ -159,13 +164,18 @@ class SlabRunner:
 
         return self.run_readers([lambda s, n, i=i: reader(i, s, n) for i in range(b)], lengths)
 
-    def run_readers(self, readers, lengths: Sequence[int]) -> list[StreamResult]:
+    def run_readers(
+        self, readers, lengths: Sequence[int], raw16: bool = False
+    ) -> list[StreamResult]:
         """Run over streams served by reader callables.
 
         Args:
           readers: list of ``read(start_sample, n_samples) -> [C, m]`` (m may
             be short at EOF; the tail is zero-padded).
           lengths: total per-stream sample counts.
+          raw16: readers return planar int16 PCM; slabs ship to the device at
+            half the bytes and dequantize there (bit-identical to f32 decode
+            on host — see slab_fn).
         Returns:
           one StreamResult per stream.
         """
@@ -202,6 +212,7 @@ class SlabRunner:
             n_channels=self.st.n_channels,
             b_pad=b_pad,
             workers=self.prefetch_workers,
+            dtype=np.int16 if raw16 else np.float32,
         )
         slab_outs = []
         alt_outs = []

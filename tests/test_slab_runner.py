@@ -84,6 +84,24 @@ class TestSlabRunner:
         assert a[0].segments == b[0].segments
         assert a[0].segments, "test audio must produce segments"
 
+    def test_raw16_matches_f32(self, params):
+        """Raw-int16 slabs with on-device dequant must be bit-identical to
+        host-side PCM16 decode: same segments, boundary for boundary."""
+        audio = speechy(40, [(2.0, 2.0)], seed=3)
+        q = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+        dec = q.astype(np.float32) / 32768.0  # what the host decoder yields
+
+        slab = SlabRunner(params, VADConfig(vad_machine_config=CFG), slab_chunks=32)
+        a = slab.run_readers(
+            [lambda s, n: dec[:, s : s + n]], [audio.shape[1]]
+        )
+        slab2 = SlabRunner(params, VADConfig(vad_machine_config=CFG), slab_chunks=32)
+        b = slab2.run_readers(
+            [lambda s, n: q[:, s : s + n]], [audio.shape[1]], raw16=True
+        )
+        assert a[0].segments == b[0].segments
+        assert a[0].segments, "test audio must produce segments"
+
 
 class TestSlabAltConfigs:
     def test_alt_configs_in_slab_mode(self, params):
