@@ -41,16 +41,28 @@ log = scoped("main")
 
 
 def spectra_from_audio(audio: np.ndarray, rate: int) -> tuple[np.ndarray, np.ndarray]:
-    """Mono audio -> (re, im) NSNet2-frame spectra at 16 kHz."""
+    """Mono audio -> (re, im) NSNet2-frame spectra at 16 kHz.
+
+    Runs on the host CPU backend even when the default device is an
+    accelerator: data prep pushes whole recordings through the device link
+    otherwise (on a tunneled TPU that costs minutes per corpus; only the
+    staged spectral pool should ever cross to the accelerator)."""
     if rate % 16000 != 0:
         raise ValueError(f"sample rate {rate} not divisible by 16000")
     ds_rate = rate // 16000
-    x = jnp.asarray(audio, jnp.float32)
-    if ds_rate > 1:
-        x = resample.downsample(x, ds_rate)
-    n = (x.shape[-1] // NSNET2_N_HOP) * NSNET2_N_HOP
-    re, im = stft.stft_segmat(x[..., :n], den_mod._WINDOW, NSNET2_N_FFT)
-    return np.asarray(re), np.asarray(im)
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    import contextlib
+
+    with jax.default_device(cpu) if cpu is not None else contextlib.nullcontext():
+        x = jnp.asarray(audio, jnp.float32)
+        if ds_rate > 1:
+            x = resample.downsample(x, ds_rate)
+        n = (x.shape[-1] // NSNET2_N_HOP) * NSNET2_N_HOP
+        re, im = stft.stft_segmat(x[..., :n], den_mod._WINDOW, NSNET2_N_FFT)
+        return np.asarray(re), np.asarray(im)
 
 
 def load_pairs(data_dir: str, n_frames: int):
