@@ -131,6 +131,22 @@ def main() -> int:
         sr = SlabRunner(params, cfg, n_channels=2, slab_chunks=32)
         seg_slab = sr.run(audio[None], [audio.shape[1]])[0].segments
 
+        # 5) slab runner fed raw int16 PCM with on-device dequant: must be
+        # bit-identical to host-decoded f32 of the same quantized samples.
+        q = np.clip(np.round(audio * 32768.0), -32768, 32767).astype(np.int16)
+        dec = q.astype(np.float32) / 32768.0
+        sr16a = SlabRunner(params, cfg, n_channels=2, slab_chunks=32)
+        seg_16f = sr16a.run_readers(
+            [lambda s, n: dec[:, s : s + n]], [audio.shape[1]]
+        )[0].segments
+        sr16b = SlabRunner(params, cfg, n_channels=2, slab_chunks=32)
+        seg_16r = sr16b.run_readers(
+            [lambda s, n: q[:, s : s + n]], [audio.shape[1]], raw16=True
+        )[0].segments
+        if not segs_equal(seg_16f, seg_16r):
+            print(f"seed {seed}: raw16 slab path differs from f32 decode")
+            failures += 1
+
         ok = segs_equal(seg_scan, seg_off) and segs_equal(seg_scan, seg_slab)
         if seg_pallas is not None:
             ok = ok and segs_equal(seg_scan, seg_pallas)
