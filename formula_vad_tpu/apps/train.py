@@ -101,7 +101,11 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, default=100, help="Frames per example window")
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--tp", type=int, default=1, help="Tensor-parallel axis size")
-    ap.add_argument("--out", default="nsnet2_weights.npz")
+    ap.add_argument(
+        "--out", default="nsnet2_weights.npz",
+        help="Output weights: .npz (native) or .onnx (ONNX-Runtime-ready, "
+        "loadable by the original reference)",
+    )
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--ckpt-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
@@ -199,7 +203,15 @@ def main(argv=None) -> int:
             checkpoint.save_train_state(args.ckpt_dir, params, opt_state, i + 1)
 
     gathered = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
-    nsnet2.save_npz(args.out, gathered)
+    if args.out.endswith(".onnx"):
+        # Round-trip to the reference's own consumption format
+        # (src/NSNet2.zig runs exactly this graph through ONNX Runtime).
+        from ..models import onnx_import
+
+        with open(args.out, "wb") as f:
+            f.write(onnx_import.export_nsnet2_onnx(gathered))
+    else:
+        nsnet2.save_npz(args.out, gathered)
     log.info("saved weights to %s", args.out)
     return 0
 

@@ -10,7 +10,9 @@ NSNet2 baseline graph shape onto ``NSNet2Params``.
 
 Note: the reference repo's copy of the ONNX file is an absent git-LFS blob
 (``/root/reference/.MISSING_LARGE_BLOBS``).  This importer is exercised in
-tests against a synthetic ONNX file serialized by ``_build_test_onnx``.
+tests against a synthetic ONNX file serialized by ``export_nsnet2_onnx``
+(which doubles as the real export path: weights trained here can be handed
+back to any ONNX Runtime consumer, including the original reference).
 """
 
 from __future__ import annotations
@@ -389,9 +391,12 @@ def _ser_node(op: str, inputs: list[str], outputs: list[str], attrs: bytes = b""
     return out
 
 
-def build_test_onnx(params: NSNet2Params) -> bytes:
-    """Serialize ``params`` as an ONNX model with the baseline graph layout
-    (Gemm, GRU x2 with transposes elided, Gemm+Relu x2, Gemm+Sigmoid)."""
+def export_nsnet2_onnx(params: NSNet2Params) -> bytes:
+    """Serialize ``params`` as a real ONNX model with the baseline graph
+    layout (Gemm, GRU x2, Gemm+Relu x2, Gemm+Sigmoid) — weights trained here
+    round-trip to ONNX Runtime consumers, including the original reference
+    (src/NSNet2.zig loads exactly this graph shape). Also used by the import
+    round-trip tests."""
 
     def np_(x):
         return np.asarray(x, np.float32)

@@ -105,7 +105,7 @@ class TestApply:
 class TestOnnxImport:
     def test_round_trip(self, params, tmp_path):
         """Serialize params to a real ONNX protobuf and re-import them."""
-        blob = onnx_import.build_test_onnx(params)
+        blob = onnx_import.export_nsnet2_onnx(params)
         path = tmp_path / "nsnet2.onnx"
         path.write_bytes(blob)
         loaded = nsnet2.load(str(path))

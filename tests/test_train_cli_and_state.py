@@ -4,6 +4,7 @@ import io
 import json
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -40,6 +41,25 @@ class TestTrainCli:
         )
         loaded = nsnet2.load(out)
         assert np.asarray(loaded.fc_in_w).shape == (161, 400)
+
+    def test_onnx_output_round_trips(self, tmp_path):
+        """--out model.onnx writes a real ONNX protobuf that the importer
+        (and the original reference's ONNX Runtime path) can load."""
+        from formula_vad_tpu.apps import train
+
+        out = str(tmp_path / "w.onnx")
+        assert (
+            train.main(
+                ["--synthetic", "4", "--steps", "2", "--batch", "2",
+                 "--frames", "8", "--out", out, "--device-data"]
+            )
+            == 0
+        )
+        loaded = nsnet2.load(out)
+        feats = jnp.asarray(
+            np.random.default_rng(0).standard_normal((5, 161)), jnp.float32
+        )
+        assert np.isfinite(np.asarray(nsnet2.apply(loaded, feats))).all()
 
     def test_wav_pair_training(self, tmp_path):
         from formula_vad_tpu.apps import train
