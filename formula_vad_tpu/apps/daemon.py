@@ -193,10 +193,18 @@ def main(argv=None) -> int:
         "classical gate",
     )
     ap.add_argument(
+        "--precision", choices=("highest", "high", "default"), default=None,
+        help="Matmul precision (see PARITY.md #2; 'highest' = full-f32 parity)",
+    )
+    ap.add_argument(
         "--state", default=None,
         help="Path to a state checkpoint: resumed at startup, written on exit",
     )
     args = ap.parse_args(argv)
+    if args.precision:
+        from ..ops.precision import set_matmul_precision
+
+        set_matmul_precision(args.precision)
 
     if not os.path.isdir(args.outdir) or not os.access(args.outdir, os.W_OK):
         sys.stdout.write(

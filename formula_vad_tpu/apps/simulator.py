@@ -265,7 +265,18 @@ def run_streaming(instances: list[Instance], config: SimConfig) -> None:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="Run the VAD simulation plan.")
     ap.add_argument("-i", "--input", required=True, help="Simulation plan (path to JSON)")
+    ap.add_argument(
+        "--precision", choices=("highest", "high", "default"), default=None,
+        help="Matmul precision: 'highest' = full-f32 parity (default); "
+        "'high'/'default' are ~1.4x/2x faster and measured boundary-identical "
+        "on the synthetic corpus sweep (benchmarks/precision_sweep.py), with "
+        "rare one-window shifts possible on marginal audio (PARITY.md #2)",
+    )
     args = ap.parse_args(argv)
+    if args.precision:
+        from ..ops.precision import set_matmul_precision
+
+        set_matmul_precision(args.precision)
 
     instances, config, base, plan_text = load_plan(args.input)
 

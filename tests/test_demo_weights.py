@@ -40,6 +40,21 @@ def test_demo_spec_loads_f32():
     assert np.isfinite(np.asarray(gains)).all()
 
 
+def test_missing_demo_weights_fall_back_with_loud_warning(monkeypatch, caplog):
+    """Default spec (None) must still work when the packaged npz is absent —
+    random-init NSNet2 with a WARNING naming the missing file — while the
+    explicit 'demo' spec raises."""
+    import logging
+
+    monkeypatch.setattr(registry, "DEMO_WEIGHTS", "/nonexistent/demo.npz")
+    with caplog.at_level(logging.WARNING, logger="fvad.pipeline"):
+        params = registry.load_denoiser(None)
+    assert isinstance(params, nsnet2.NSNet2Params)
+    assert any("RANDOM-INIT" in r.message for r in caplog.records)
+    with pytest.raises(FileNotFoundError):
+        registry.load_denoiser("demo")
+
+
 @needs_weights
 def test_demo_weights_detect_synthetic_speech():
     """Full pipeline with the packaged weights on a fresh (unseen-seed)
