@@ -58,12 +58,21 @@ def main() -> None:
             capture_output=True,
             text=True,
         )
+        got = None
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
-                results.append(json.loads(line))
+                got = json.loads(line)
                 break
             except json.JSONDecodeError:
                 continue
+        if got is not None:
+            results.append(got)
+        else:
+            print(
+                f"bench child {attempt} failed (rc={proc.returncode}): "
+                + proc.stderr.strip()[-2000:],
+                file=sys.stderr,
+            )
         if len(results) >= 2:
             vals = sorted(r["value"] for r in results)
             if vals[-1] <= 1.3 * vals[-2]:  # two runs agree: done

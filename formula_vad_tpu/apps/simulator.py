@@ -158,18 +158,25 @@ SLAB_AUTO_BYTES = 2 << 30  # switch to the constant-memory slab runner above ~2 
 
 
 def run_batched(instances: list[Instance], config: SimConfig) -> None:
-    from ..parallel.slab_runner import SlabRunner
-
     params = load_denoiser(config.vad_config.denoiser_model_path)
     srcs = []
     lengths = []
-    for inst in instances:
-        src = AudioSource.open_stream(inst.audio_path)
-        if src.sample_rate != 48000:
+    try:
+        for inst in instances:
+            src = AudioSource.open_stream(inst.audio_path)
+            srcs.append(src)
+            if src.sample_rate != 48000:
+                raise ValueError(f"{inst.name}: sample rate {src.sample_rate} != 48000")
+            lengths.append(src.n_frames)
+        _run_batched_srcs(instances, config, params, srcs, lengths)
+    finally:
+        for src in srcs:
             src.close()
-            raise ValueError(f"{inst.name}: sample rate {src.sample_rate} != 48000")
-        srcs.append(src)
-        lengths.append(src.n_frames)
+
+
+def _run_batched_srcs(instances, config, params, srcs, lengths) -> None:
+    from ..parallel.slab_runner import SlabRunner
+
     max_t = max(lengths)
     n_ch = srcs[0].n_channels
 
@@ -214,8 +221,6 @@ def run_batched(instances: list[Instance], config: SimConfig) -> None:
                 return src.read(b - a)
 
             _save_clips(params, inst, read_span, length, length // chunk, chunk, config)
-    for src in srcs:
-        src.close()
 
 
 def run_streaming(instances: list[Instance], config: SimConfig) -> None:

@@ -108,10 +108,19 @@ class SlabPrefetcher:
         return item
 
     def close(self):
+        """Stop production and WAIT until no reader is executing.
+
+        Joining the producer (which itself joins its per-stream futures)
+        guarantees callers may close the underlying streams afterwards
+        without racing an in-flight decode."""
         self._stop.set()
-        # Drain so the producer isn't blocked on a full queue.
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+        while self._producer.is_alive():
+            # Drain so the producer isn't blocked on a full queue, then give
+            # it a moment to observe the stop flag / finish in-flight reads.
+            try:
+                while True:
+                    self._q.get_nowait()
+            except queue.Empty:
+                pass
+            self._producer.join(timeout=0.1)
+        self._pool.shutdown(wait=True)

@@ -47,7 +47,10 @@ class SlabRunner:
         mesh=None,
         use_mesh: bool = True,
         use_pallas_fsm: bool | None = None,
-        prefetch_workers: int | None = None,  # decode threads (default min(8, B))
+        # decode threads (default min(8, B, cpu_count)) and pipeline depth:
+        # peak host RAM is ~(depth + 2) slabs, so depth=1 bounds it at ~3.
+        prefetch_workers: int | None = None,
+        prefetch_depth: int = 1,
     ):
         if slab_chunks % SLAB_ALIGN_CHUNKS != 0:
             raise ValueError(f"slab_chunks must be a multiple of {SLAB_ALIGN_CHUNKS}")
@@ -68,6 +71,7 @@ class SlabRunner:
         self.slab_samples = slab_chunks * self.st.chunk_size
         self.mesh = mesh if mesh is not None else (mesh_lib.data_mesh() if use_mesh else None)
         self.prefetch_workers = prefetch_workers
+        self.prefetch_depth = prefetch_depth
         self._fn = None
 
     # ------------------------------------------------------------------
@@ -212,6 +216,7 @@ class SlabRunner:
             n_channels=self.st.n_channels,
             b_pad=b_pad,
             workers=self.prefetch_workers,
+            depth=self.prefetch_depth,
             dtype=np.int16 if raw16 else np.float32,
         )
         slab_outs = []
