@@ -10,7 +10,9 @@ The codec itself is the system Xiph stack (libvorbisfile/libvorbisenc/
 libvorbis/libogg), driven by our native C++ runtime (``native/fvadogg.cpp``)
 and bound here via ctypes — the same system-library posture the reference
 takes with libsndfile. ``available()`` is False when the shared library
-can't be built or the system codec is absent; callers fall back to WAV.
+can't be built or the system codec is absent; clip WRITERS fall back to
+WAV (apps/simulator._clip_writer), while readers raise RuntimeError —
+which the daemon reports as a non-fatal decode error.
 
 ``quality`` follows the reference's knob: libsndfile's 0..1 VBR quality is
 passed straight through to ``vorbis_encode_init_vbr`` (range -0.1..1.0).
