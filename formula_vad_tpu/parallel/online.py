@@ -1,0 +1,121 @@
+"""Online multi-stream serving: one batched device step for N live streams.
+
+The reference serves exactly one radio stream per daemon process
+(src/main.zig); scaling to a race weekend means a process per driver and no
+MXU amortization. This server holds B carried VAD states on device and runs
+ONE vmapped (optionally mesh-sharded) ``chunk_step`` per 0.5 s tick for all
+streams in lockstep — the production serving shape: device time per tick is
+nearly flat in B (the matmuls batch), while recordings, segment assembly,
+callbacks, and checkpointing stay per-stream host objects (the full
+``AudioPipeline`` feature set via ``ingest_processed_chunk``).
+
+Streams without data this tick pass ``valid=False``: their carried state is
+FROZEN on device (`jnp.where` on the carry), unlike the reference's
+``skip_segment`` which pushes silence through the whole pipeline — freezing
+neither decays the rolling noise floor nor advances window indices, so a
+stream resumes exactly where it left off. (Push explicit zeros instead if
+silence-advance semantics are wanted; that matches the reference.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import PipelineConfig
+from ..models import nsnet2
+from ..pipeline import vad
+from ..pipeline.pipeline import AudioPipeline, Callbacks
+from . import mesh as mesh_lib
+
+
+class OnlineBatchServer:
+    """Lockstep online VAD over B streams with one batched device step."""
+
+    def __init__(
+        self,
+        config: PipelineConfig,
+        n_streams: int,
+        params: Optional[nsnet2.NSNet2Params] = None,
+        callbacks: Optional[Sequence[Optional[Callbacks]]] = None,
+        mesh=None,
+        use_mesh: bool = False,
+    ):
+        if params is None:
+            from ..models.registry import load_denoiser
+
+            params = load_denoiser(config.vad_config.denoiser_model_path)
+        self.params = params
+        self.config = config
+        self.n_streams = n_streams
+        cbs = list(callbacks) if callbacks is not None else [None] * n_streams
+        if len(cbs) != n_streams:
+            raise ValueError("callbacks must have one entry per stream")
+        self.pipelines = [
+            AudioPipeline(config, params, cb) for cb in cbs
+        ]
+        self.st = self.pipelines[0].st
+        self.chunk_size = self.st.chunk_size
+        self.mesh = mesh if mesh is not None else (
+            mesh_lib.data_mesh() if use_mesh else None
+        )
+
+        st = self.st
+        b = n_streams
+
+        def batched_step(carries, chunks, valid):
+            new_c, out = jax.vmap(
+                lambda c, a: vad.chunk_step(params, st, c, a)
+            )(carries, chunks)
+            # Freeze invalid streams' carries (their outputs are ignored on
+            # the host side).
+            def freeze(n, o):
+                v = valid.reshape((b,) + (1,) * (n.ndim - 1))
+                return jnp.where(v, n, o)
+
+            new_c = jax.tree_util.tree_map(freeze, new_c, carries)
+            return new_c, out
+
+        if self.mesh is not None:
+            sh = mesh_lib.batch_sharding(self.mesh)
+            self._step = jax.jit(batched_step, in_shardings=(sh, sh, sh))
+        else:
+            self._step = jax.jit(batched_step)
+        self._carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
+
+    def push(
+        self, chunks: np.ndarray, valid: Optional[np.ndarray] = None
+    ) -> None:
+        """Advance every valid stream by one chunk.
+
+        Args:
+          chunks: [B, C, chunk_size] float32 (rows of invalid streams are
+            ignored; pass zeros).
+          valid: [B] bool mask; default all true.
+        """
+        chunks = np.asarray(chunks, np.float32)
+        if chunks.shape != (self.n_streams, self.config.n_channels, self.chunk_size):
+            raise ValueError(
+                f"expected chunks of shape "
+                f"{(self.n_streams, self.config.n_channels, self.chunk_size)}, "
+                f"got {chunks.shape}"
+            )
+        if valid is None:
+            valid = np.ones((self.n_streams,), bool)
+        valid = np.asarray(valid, bool)
+        self._carries, out = self._step(
+            self._carries, jnp.asarray(chunks), jnp.asarray(valid)
+        )
+        out = jax.device_get(out)
+        for i in range(self.n_streams):
+            if not valid[i]:
+                continue
+            out_i = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], out)
+            self.pipelines[i].ingest_processed_chunk(chunks[i], out_i)
+
+    @property
+    def segments(self) -> list[list[dict]]:
+        return [p.segments for p in self.pipelines]

@@ -246,6 +246,21 @@ class AudioPipeline:
 
     def _process_chunk(self, chunk: np.ndarray) -> None:
         self._carry, out = self._step(self._carry, jnp.asarray(chunk))
+        self._consume_chunk_output(out)
+
+    def ingest_processed_chunk(self, chunk: np.ndarray, out) -> None:
+        """Server mode (parallel/online.py): ring writes + host-side event
+        assembly for one chunk whose DEVICE compute already ran in a shared
+        batched step. Keeps this pipeline's counters/recorders/segments in
+        exactly the state push_samples would have produced."""
+        chunk = np.asarray(chunk, np.float32)
+        self._write_and_record(
+            self.original_ring, self.original_recorder, chunk, "original"
+        )
+        self._read_count += chunk.shape[1]
+        self._consume_chunk_output(out)
+
+    def _consume_chunk_output(self, out) -> None:
         if self._alt_params is not None:
             self._alt_carry, alt_out = self._alt_step(
                 self._alt_carry, out.min_vol, out.ratios, out.win_indices,

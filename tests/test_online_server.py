@@ -1,0 +1,84 @@
+"""OnlineBatchServer: lockstep multi-stream serving must reproduce the
+single-stream AudioPipeline exactly (the batched device step replaces N
+solo steps; host assembly is the same code), and valid-mask freezing must
+resume streams where they left off."""
+
+import numpy as np
+import pytest
+
+from formula_vad_tpu.config import PipelineConfig, VADConfig, VADMachineConfig
+from formula_vad_tpu.models import nsnet2
+from formula_vad_tpu.parallel.online import OnlineBatchServer
+from formula_vad_tpu.pipeline.pipeline import AudioPipeline
+
+CFG = VADMachineConfig(long_term_speech_avg_sec=10.0)
+
+
+@pytest.fixture(scope="module")
+def params():
+    import jax
+
+    return nsnet2.init_params(jax.random.PRNGKey(42))
+
+
+def speechy(n_chunks, bursts, seed, chunk=24000):
+    rng = np.random.default_rng(seed)
+    t_total = n_chunks * chunk
+    t = np.arange(t_total) / 48000.0
+    base = 0.003 * rng.standard_normal((2, t_total))
+    env = np.zeros(t_total)
+    for s, d in bursts:
+        env[int(s * 48000) : int((s + d) * 48000)] = 1.0
+    sp = (0.25 * np.sin(2 * np.pi * 700 * t) + 0.15 * np.sin(2 * np.pi * 1300 * t)) * env
+    return (base + np.stack([sp, 0.9 * sp])).astype(np.float32)
+
+
+def _cfg():
+    return PipelineConfig(vad_config=VADConfig(vad_machine_config=CFG))
+
+
+def test_batched_matches_solo(params):
+    n_chunks = 16
+    audios = [
+        speechy(n_chunks, [(2.0, 2.0)], seed=1),
+        np.zeros((2, n_chunks * 24000), np.float32),
+        speechy(n_chunks, [(1.0, 1.5), (5.5, 1.5)], seed=2),
+    ]
+
+    solos = []
+    for a in audios:
+        p = AudioPipeline(_cfg(), params)
+        p.push_samples(a)
+        solos.append(p.segments)
+
+    server = OnlineBatchServer(_cfg(), n_streams=3, params=params)
+    for k in range(n_chunks):
+        chunks = np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios])
+        server.push(chunks)
+
+    assert server.segments == solos
+    assert any(solos), "test audio must produce segments"
+
+
+def test_valid_mask_freezes_and_resumes(params):
+    """A stream fed its chunks with idle (valid=False) ticks interleaved
+    must produce exactly the segments of contiguous processing."""
+    n_chunks = 12
+    audio = speechy(n_chunks, [(1.5, 2.0)], seed=3)
+
+    solo = AudioPipeline(_cfg(), params)
+    solo.push_samples(audio)
+
+    server = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    other = speechy(2 * n_chunks, [(4.0, 2.0)], seed=4)
+    zeros = np.zeros((2, 24000), np.float32)
+    for k in range(2 * n_chunks):
+        # stream 0 gets a real chunk only on even ticks; stream 1 runs
+        # continuously so the batch keeps advancing.
+        feed0 = k % 2 == 0 and k // 2 < n_chunks
+        c0 = audio[:, (k // 2) * 24000 : (k // 2 + 1) * 24000] if feed0 else zeros
+        c1 = other[:, k * 24000 : (k + 1) * 24000]
+        server.push(np.stack([c0, c1]), valid=np.array([feed0, True]))
+
+    assert server.pipelines[0].segments == solo.segments
+    assert solo.segments, "test audio must produce segments"
