@@ -119,3 +119,31 @@ class OnlineBatchServer:
     @property
     def segments(self) -> list[list[dict]]:
         return [p.segments for p in self.pipelines]
+
+    # ---- checkpoint / resume (serving failover) ---------------------------
+
+    def save_state(self, directory: str) -> None:
+        """Persist the batched device carries + every stream's host state so
+        a restarted server resumes all B streams bit-identically."""
+        import os
+
+        from ..utils import checkpoint
+
+        os.makedirs(directory, exist_ok=True)
+        checkpoint.save_carry(os.path.join(directory, "carries.npz"), self._carries)
+        for i, p in enumerate(self.pipelines):
+            # Per-stream host state (rings/counters); the per-pipeline carry
+            # inside this file is unused in server mode (the batched carries
+            # file above is authoritative).
+            p.save_state(os.path.join(directory, f"stream{i:04d}.npz"))
+
+    def load_state(self, directory: str) -> None:
+        import os
+
+        from ..utils import checkpoint
+
+        self._carries = checkpoint.load_carry(
+            os.path.join(directory, "carries.npz"), self._carries
+        )
+        for i, p in enumerate(self.pipelines):
+            p.load_state(os.path.join(directory, f"stream{i:04d}.npz"))

@@ -82,3 +82,31 @@ def test_valid_mask_freezes_and_resumes(params):
 
     assert server.pipelines[0].segments == solo.segments
     assert solo.segments, "test audio must produce segments"
+
+
+def test_server_checkpoint_resume(params, tmp_path):
+    """Kill the server mid-stream, restore, continue: segments must equal an
+    uninterrupted run (bit-identical failover)."""
+    n_chunks = 16
+    audios = [speechy(n_chunks, [(2.0, 2.0)], seed=5),
+              speechy(n_chunks, [(4.5, 2.0)], seed=6)]
+
+    ref = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    for k in range(n_chunks):
+        ref.push(np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios]))
+
+    half = n_chunks // 2
+    s1 = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    for k in range(half):
+        s1.push(np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios]))
+    s1.save_state(str(tmp_path / "ckpt"))
+    seg_before = [list(s) for s in s1.segments]
+
+    s2 = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    s2.load_state(str(tmp_path / "ckpt"))
+    for k in range(half, n_chunks):
+        s2.push(np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios]))
+
+    resumed = [a + b for a, b in zip(seg_before, s2.segments)]
+    assert resumed == ref.segments
+    assert any(ref.segments), "test audio must produce segments"
