@@ -62,6 +62,13 @@ class OnlineBatchServer:
         self.mesh = mesh if mesh is not None else (
             mesh_lib.data_mesh() if use_mesh else None
         )
+        if self.mesh is not None:
+            n_dev = int(np.prod(list(self.mesh.shape.values())))
+            if n_streams % n_dev:
+                raise ValueError(
+                    f"n_streams={n_streams} must be divisible by the mesh's "
+                    f"{n_dev} devices (pad with always-invalid streams)"
+                )
 
         st = self.st
         b = n_streams
@@ -95,6 +102,12 @@ class OnlineBatchServer:
           chunks: [B, C, chunk_size] float32 (rows of invalid streams are
             ignored; pass zeros).
           valid: [B] bool mask; default all true.
+
+        Transfer note: each tick moves the chunk batch H2D and the denoised
+        batch D2H (~192 KB/stream each way per 0.5 s) — the host pipelines
+        need the denoised audio for recordings. ~0.8 GB/s of PCIe at the
+        2,000-stream scale; well within a real host NIC/PCIe budget, but the
+        dominant cost through a tunneled development chip.
         """
         chunks = np.asarray(chunks, np.float32)
         if chunks.shape != (self.n_streams, self.config.n_channels, self.chunk_size):
