@@ -84,6 +84,59 @@ def test_valid_mask_freezes_and_resumes(params):
     assert solo.segments, "test audio must produce segments"
 
 
+def test_sharded_server_matches_solo(params):
+    """Serving sharded over the virtual 8-device mesh must equal solo
+    pipelines (the mesh only changes placement, not numerics)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+    n_chunks = 12
+    audios = [speechy(n_chunks, [(1.5, 1.5)], seed=10 + i) for i in range(8)]
+
+    solos = []
+    for a in audios:
+        p = AudioPipeline(_cfg(), params)
+        p.push_samples(a)
+        solos.append(p.segments)
+
+    server = OnlineBatchServer(_cfg(), n_streams=8, params=params, use_mesh=True)
+    for k in range(n_chunks):
+        server.push(np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios]))
+    assert server.segments == solos
+    assert any(solos)
+
+
+def test_random_valid_patterns_match_solo(params):
+    """Property: any interleaving of idle ticks reproduces contiguous
+    processing exactly, for every stream independently."""
+    rng = np.random.default_rng(0)
+    n_chunks = 8
+    audios = [speechy(n_chunks, [(1.0, 1.5)], seed=20 + i) for i in range(3)]
+
+    solos = []
+    for a in audios:
+        p = AudioPipeline(_cfg(), params)
+        p.push_samples(a)
+        solos.append(p.segments)
+
+    server = OnlineBatchServer(_cfg(), n_streams=3, params=params)
+    fed = [0, 0, 0]
+    zeros = np.zeros((2, 24000), np.float32)
+    while min(fed) < n_chunks:
+        valid = np.array([fed[i] < n_chunks and rng.random() < 0.6 for i in range(3)])
+        if not valid.any():
+            continue
+        chunks = np.stack([
+            audios[i][:, fed[i] * 24000 : (fed[i] + 1) * 24000] if valid[i] else zeros
+            for i in range(3)
+        ])
+        server.push(chunks, valid=valid)
+        for i in range(3):
+            fed[i] += int(valid[i])
+    assert server.segments == solos
+
+
 def test_server_checkpoint_resume(params, tmp_path):
     """Kill the server mid-stream, restore, continue: segments must equal an
     uninterrupted run (bit-identical failover)."""
