@@ -4,6 +4,11 @@ Times each component of process_batch_offline separately (distinct inputs
 per iteration, interleaved A/B within one process — see
 .claude/skills/verify/SKILL.md for the measurement gotchas) to locate the
 next optimization target. Run on the real chip (no JAX_PLATFORMS override).
+
+Numbers are comparable ONLY within one run: the tunnel hands some processes
+a connection throttled up to ~19x for their whole lifetime (stable but
+wrong absolutes), so never diff stage timings across runs — rerun the whole
+profile and compare ratios.
 """
 
 import os
