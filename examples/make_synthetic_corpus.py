@@ -79,8 +79,11 @@ def main(argv=None) -> int:
     ap.add_argument("--streams", type=int, default=3)
     ap.add_argument("--minutes", type=float, default=2.0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--format", choices=("wav", "ogg"), default="wav",
-                    help="Audio container (ogg requires the system Vorbis codec)")
+    ap.add_argument("--format", choices=("wav", "pcm16", "ogg"), default="wav",
+                    help="Audio container: 'wav' = float32 WAV, 'pcm16' = 16-bit "
+                         "WAV (half the disk; enables the raw-int16 H2D fast "
+                         "path in slab scoring), 'ogg' requires the system "
+                         "Vorbis codec")
     ap.add_argument("--denoiser", default="spectral_gate",
                     help="Denoiser spec written into the plan (default: the "
                          "weights-free spectral gate)")
@@ -98,12 +101,14 @@ def main(argv=None) -> int:
     for i in range(args.streams):
         name = f"synthetic-{i:02d}"
         audio, labels = synth_stream(rng, args.minutes * 60.0)
-        audio_file = f"{name}.{args.format}"
+        ext = "ogg" if args.format == "ogg" else "wav"
+        audio_file = f"{name}.{ext}"
         path = os.path.join(args.out, audio_file)
         if args.format == "ogg":
             ogg.write_ogg(path, audio, SR, quality=0.8)
         else:
-            write_wav(path, audio, SR)
+            write_wav(path, audio, SR,
+                      fmt="pcm16" if args.format == "pcm16" else "float32")
         ref_file = f"{name}.txt"
         with open(os.path.join(args.out, ref_file), "w") as f:
             f.writelines(f"{a}\t{b}\tspeech\n" for a, b in labels)
