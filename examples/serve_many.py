@@ -78,11 +78,14 @@ def main(argv=None) -> int:
 
     total_segs = sum(len(s) for s in server.segments)
     tt = np.asarray(tick_times[2:])  # skip compile ticks
-    print(
-        f"\n{args.streams} streams x {n_ticks} ticks: {total_segs} segments; "
-        f"tick p50 {np.median(tt)*1e3:.1f} ms / p99 {np.quantile(tt, 0.99)*1e3:.1f} ms "
-        f"(budget 500 ms)"
-    )
+    print(f"\n{args.streams} streams x {n_ticks} ticks: {total_segs} segments", end="")
+    if tt.size:
+        print(
+            f"; tick p50 {np.median(tt)*1e3:.1f} ms / "
+            f"p99 {np.quantile(tt, 0.99)*1e3:.1f} ms (budget 500 ms)"
+        )
+    else:
+        print(" (run >= 2 s of audio for tick statistics)")
     return 0
 
 

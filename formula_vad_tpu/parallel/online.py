@@ -54,10 +54,13 @@ class OnlineBatchServer:
         cbs = list(callbacks) if callbacks is not None else [None] * n_streams
         if len(cbs) != n_streams:
             raise ValueError("callbacks must have one entry per stream")
+        self.st = vad.statics_from_config(
+            config.vad_config, config.sample_rate, config.n_channels
+        )
         self.pipelines = [
-            AudioPipeline(config, params, cb) for cb in cbs
+            AudioPipeline(config, params, cb, statics=self.st, server_managed=True)
+            for cb in cbs
         ]
-        self.st = self.pipelines[0].st
         self.chunk_size = self.st.chunk_size
         self.mesh = mesh if mesh is not None else (
             mesh_lib.data_mesh() if use_mesh else None
@@ -74,17 +77,12 @@ class OnlineBatchServer:
         b = n_streams
 
         def batched_step(carries, chunks, valid):
-            new_c, out = jax.vmap(
-                lambda c, a: vad.chunk_step(params, st, c, a)
-            )(carries, chunks)
-            # Freeze invalid streams' carries (their outputs are ignored on
-            # the host side).
-            def freeze(n, o):
-                v = valid.reshape((b,) + (1,) * (n.ndim - 1))
-                return jnp.where(v, n, o)
-
-            new_c = jax.tree_util.tree_map(freeze, new_c, carries)
-            return new_c, out
+            # chunk_step's own chunk_valid path freezes the carry of invalid
+            # streams (the canonical ragged-batch semantics, vad.py) — their
+            # outputs are ignored on the host side.
+            return jax.vmap(
+                lambda c, a, v: vad.chunk_step(params, st, c, a, chunk_valid=v)
+            )(carries, chunks, valid)
 
         if self.mesh is not None:
             sh = mesh_lib.batch_sharding(self.mesh)
@@ -119,6 +117,10 @@ class OnlineBatchServer:
         if valid is None:
             valid = np.ones((self.n_streams,), bool)
         valid = np.asarray(valid, bool)
+        if valid.shape != (self.n_streams,):
+            raise ValueError(
+                f"valid mask must have shape ({self.n_streams},), got {valid.shape}"
+            )
         self._carries, out = self._step(
             self._carries, jnp.asarray(chunks), jnp.asarray(valid)
         )

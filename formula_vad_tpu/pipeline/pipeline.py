@@ -21,6 +21,7 @@ reference's ``src/AudioPipeline.zig`` + ``MRBRecorder.zig`` + ``Recorder.zig``:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Callable, Optional
 
 import jax
@@ -153,7 +154,15 @@ class AudioPipeline:
         config: PipelineConfig,
         params: Optional[nsnet2.NSNet2Params] = None,
         callbacks: Optional[Callbacks] = None,
+        *,
+        statics: Optional[vad.VADStatics] = None,
+        server_managed: bool = False,
     ):
+        """server_managed=True skips the per-stream device carry and solo
+        jitted step: the stream's device compute runs in a shared batched
+        step (parallel/online.py) and results arrive via
+        ``ingest_processed_chunk``. ``statics`` shares one precomputed
+        VADStatics across many pipelines."""
         self.config = config
         self.callbacks = callbacks or Callbacks()
         if params is None:
@@ -161,7 +170,7 @@ class AudioPipeline:
 
             params = load_denoiser(config.vad_config.denoiser_model_path)
         self.params = params
-        self.st = vad.statics_from_config(
+        self.st = statics if statics is not None else vad.statics_from_config(
             config.vad_config, config.sample_rate, config.n_channels
         )
         self.chunk_size = self.st.chunk_size
@@ -172,10 +181,14 @@ class AudioPipeline:
         self.denoised_recorder = StreamRecorder(self.denoised_ring, config.sample_rate)
         # Samples consumed by the VAD so far (VADPipeline.pipeline_read_count).
         self._read_count = 0
-        self._carry = vad.init_carry(self.st)
-        self._step = jax.jit(
-            lambda carry, chunk: vad.chunk_step(self.params, self.st, carry, chunk)
-        )
+        if server_managed:
+            self._carry = None
+            self._step = None
+        else:
+            self._carry = vad.init_carry(self.st)
+            self._step = jax.jit(
+                lambda carry, chunk: vad.chunk_step(self.params, self.st, carry, chunk)
+            )
         self.segments: list[dict] = []
         self._margin = 2 * config.sample_rate
 
@@ -245,6 +258,11 @@ class AudioPipeline:
             self._process_chunk(chunk)
 
     def _process_chunk(self, chunk: np.ndarray) -> None:
+        if self._step is None:
+            raise RuntimeError(
+                "pipeline is server-managed: feed it through "
+                "OnlineBatchServer.push, not push_samples"
+            )
         self._carry, out = self._step(self._carry, jnp.asarray(chunk))
         self._consume_chunk_output(out)
 
@@ -324,15 +342,36 @@ class AudioPipeline:
 
     def save_state(self, path: str) -> None:
         """Serialize the full streaming state (device carry + alt-machine
-        carries + rings + counters) so a restarted process resumes
-        bit-identically. Active recordings are not persisted (they finalize
-        from ring history). Host counters are stored as true numpy int64
-        (NOT jnp — JAX's x64-disabled mode would truncate a >2^31-sample
-        daemon stream, ~12 h at 48 kHz)."""
+        carries + rings + counters + in-flight recorder state) so a
+        restarted process resumes bit-identically — including recordings
+        that were active at checkpoint time (their accumulated buffers ride
+        in a ``<path>.rec.npz`` sidecar, since they are variable-length and
+        may outlive the ring's history). Host counters are stored as true
+        numpy int64 (NOT jnp — JAX's x64-disabled mode would truncate a
+        >2^31-sample daemon stream, ~12 h at 48 kHz)."""
         from ..utils import checkpoint
 
+        rec = {}
+        for prefix, r in (
+            ("orig", self.original_recorder),
+            ("den", self.denoised_recorder),
+        ):
+            rec[f"{prefix}_recording"] = np.bool_(r.recording)
+            rec[f"{prefix}_start"] = np.int64(r.start_index)
+            rec[f"{prefix}_stop_at"] = np.int64(-1 if r.stop_at is None else r.stop_at)
+            rec[f"{prefix}_keep"] = np.bool_(r.keep)
+            rec[f"{prefix}_buffer"] = (
+                r.buffer
+                if r.buffer is not None
+                else np.zeros((self.config.n_channels, 0), np.float32)
+            )
+        np.savez(path + ".rec.npz", **rec)
+
         state = {
-            "carry": self._carry,
+            # Server-managed pipelines have no solo carry (the server's
+            # batched carries file is authoritative); save a placeholder so
+            # the file layout stays uniform.
+            "carry": self._carry if self._carry is not None else vad.init_carry(self.st),
             # np scalars survive save/load exactly (no jnp round-trip)
             "read_count": np.int64(self._read_count),
             "orig_ring": np.asarray(self.original_ring.data),
@@ -369,6 +408,20 @@ class AudioPipeline:
         self.original_ring.total_written = int(state["orig_written"])
         self.denoised_ring.data = np.array(state["den_ring"])  # writable copy
         self.denoised_ring.total_written = int(state["den_written"])
+
+        rec_path = path + ".rec.npz"
+        if os.path.exists(rec_path):
+            z = np.load(rec_path)
+            for prefix, r in (
+                ("orig", self.original_recorder),
+                ("den", self.denoised_recorder),
+            ):
+                r.recording = bool(z[f"{prefix}_recording"])
+                r.start_index = int(z[f"{prefix}_start"])
+                stop_at = int(z[f"{prefix}_stop_at"])
+                r.stop_at = None if stop_at < 0 else stop_at
+                r.keep = bool(z[f"{prefix}_keep"])
+                r.buffer = np.array(z[f"{prefix}_buffer"]) if r.recording else None
 
     def _emit(self, buf: Optional[AudioBuffer], kind: str) -> None:
         if buf is None:

@@ -138,24 +138,46 @@ def test_random_valid_patterns_match_solo(params):
 
 
 def test_server_checkpoint_resume(params, tmp_path):
-    """Kill the server mid-stream, restore, continue: segments must equal an
-    uninterrupted run (bit-identical failover)."""
+    """Kill the server mid-stream (while a recording is in flight), restore,
+    continue: segments AND recordings must equal an uninterrupted run
+    (bit-identical failover, including the in-flight recorder buffers)."""
+    from formula_vad_tpu.pipeline.pipeline import Callbacks
+
     n_chunks = 16
     audios = [speechy(n_chunks, [(2.0, 2.0)], seed=5),
               speechy(n_chunks, [(4.5, 2.0)], seed=6)]
 
-    ref = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    def collectors(n):
+        recs = [[] for _ in range(n)]
+        cbs = [
+            Callbacks(
+                on_original_recording=lambda b, i=i: recs[i].append(
+                    (b.global_start_frame_number, b.channel_pcm.tobytes())
+                )
+            )
+            for i in range(n)
+        ]
+        return recs, cbs
+
+    ref_recs, ref_cbs = collectors(2)
+    ref = OnlineBatchServer(_cfg(), n_streams=2, params=params, callbacks=ref_cbs)
     for k in range(n_chunks):
         ref.push(np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios]))
 
-    half = n_chunks // 2
-    s1 = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    half = n_chunks // 2  # 4 s: stream 0's 2-4 s burst recording is ACTIVE
+    r1, cbs1 = collectors(2)
+    s1 = OnlineBatchServer(_cfg(), n_streams=2, params=params, callbacks=cbs1)
     for k in range(half):
         s1.push(np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios]))
+    assert s1.pipelines[0].original_recorder.recording, (
+        "checkpoint must land while a recording is in flight for this test "
+        "to exercise recorder persistence"
+    )
     s1.save_state(str(tmp_path / "ckpt"))
     seg_before = [list(s) for s in s1.segments]
 
-    s2 = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    r2, cbs2 = collectors(2)
+    s2 = OnlineBatchServer(_cfg(), n_streams=2, params=params, callbacks=cbs2)
     s2.load_state(str(tmp_path / "ckpt"))
     for k in range(half, n_chunks):
         s2.push(np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios]))
@@ -163,3 +185,6 @@ def test_server_checkpoint_resume(params, tmp_path):
     resumed = [a + b for a, b in zip(seg_before, s2.segments)]
     assert resumed == ref.segments
     assert any(ref.segments), "test audio must produce segments"
+    resumed_recs = [a + b for a, b in zip(r1, r2)]
+    assert resumed_recs == ref_recs
+    assert any(ref_recs), "test audio must produce recordings"
