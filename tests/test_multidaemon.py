@@ -1,0 +1,96 @@
+"""Multiplexed daemon: protocol, per-stream recordings, and equivalence
+with the single-stream daemon fed the same audio."""
+
+import io
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from formula_vad_tpu.apps.daemon import Daemon
+from formula_vad_tpu.apps.multidaemon import MultiDaemon
+from formula_vad_tpu.io_.wav import write_wav
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "examples")
+)
+import make_synthetic_corpus  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def corpus_wavs(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mdaemon")
+    paths = []
+    rng = np.random.default_rng(31)
+    for i in range(2):
+        audio, _ = make_synthetic_corpus.synth_stream(rng, 24.0)
+        p = str(d / f"s{i}.wav")
+        write_wav(p, audio, 48000)
+        paths.append(p)
+    return paths
+
+
+def _events(out):
+    return [json.loads(l) for l in out.getvalue().strip().splitlines() if l]
+
+
+def test_per_stream_recordings_match_solo_daemons(corpus_wavs, tmp_path):
+    # Two solo daemons (the reference shape: one process per stream).
+    solo_events = []
+    for i, p in enumerate(corpus_wavs):
+        out = io.StringIO()
+        d_dir = tmp_path / f"solo{i}"
+        d_dir.mkdir()
+        d = Daemon("SOLO", str(d_dir), "spectral_gate", stdout=out)
+        d.process_line(json.dumps(
+            {"action": "segment", "file_path": p, "playhead_timestamp_ms": 1000 * i}
+        ))
+        solo_events.append([e for e in _events(out) if e["action"] == "recording"])
+
+    # One multiplexed daemon serving both.
+    out = io.StringIO()
+    m_dir = tmp_path / "multi"
+    m_dir.mkdir()
+    md = MultiDaemon("MULTI", str(m_dir), ["a", "b"], "spectral_gate", stdout=out)
+    for i, (s, p) in enumerate(zip(["a", "b"], corpus_wavs)):
+        md.process_line(json.dumps(
+            {"action": "segment", "stream": s, "file_path": p,
+             "playhead_timestamp_ms": 1000 * i}
+        ))
+    events = _events(out)
+    assert not [e for e in events if e["action"] == "error"]
+    recs = [e for e in events if e["action"] == "recording"]
+    assert recs, "expected at least one recording"
+
+    # Same detections per stream as the solo daemons: playhead, duration,
+    # and the recorded file names (start-frame-stamped) must all agree.
+    for stream, solo in zip(["a", "b"], solo_events):
+        mine = [e for e in recs if e["stream"] == stream]
+        assert [
+            (os.path.basename(e["file_path"]), e["playhead_timestamp_ms"], e["duration_ms"])
+            for e in mine
+        ] == [
+            (os.path.basename(e["file_path"]), e["playhead_timestamp_ms"], e["duration_ms"])
+            for e in solo
+        ]
+        for e in mine:
+            assert os.path.exists(e["file_path"])
+            assert f"/{stream}/" in e["file_path"]
+
+
+def test_protocol_errors_nonfatal(tmp_path):
+    out = io.StringIO()
+    md = MultiDaemon("M", str(tmp_path), ["x"], "spectral_gate", stdout=out)
+    md.process_line("not json")
+    md.process_line(json.dumps({"action": "segment", "file_path": "f.wav"}))  # no stream
+    md.process_line(json.dumps({"action": "segment", "stream": "nope", "file_path": "f.wav"}))
+    md.process_line(json.dumps({"action": "bogus", "stream": "x"}))
+    md.process_line(json.dumps(
+        {"action": "segment", "stream": "x", "file_path": "/nonexistent.wav",
+         "playhead_timestamp_ms": 0}
+    ))
+    events = _events(out)
+    assert len(events) == 5
+    assert all(e["action"] == "error" and not e["fatal"] for e in events)
