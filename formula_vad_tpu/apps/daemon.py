@@ -34,6 +34,77 @@ from ..models.registry import load_denoiser
 from ..pipeline.pipeline import AudioPipeline, Callbacks
 
 
+def recording_event(
+    name: str,
+    buf: AudioBuffer,
+    path: str,
+    correlated_sample_index: int,
+    correlated_timestamp_ms: int,
+    extra: dict | None = None,
+) -> dict:
+    """The reference's OutRecordingJSON (main.zig:45-52, 370-394): playhead
+    correlation via signed truncating division, and the approximate
+    speech_duration_ms = duration - 3500 ms. Shared by the solo daemon and
+    the multiplexed daemon so the math lives in exactly one place."""
+    duration_ms = int(buf.duration_seconds * 1000)
+    samples_since = buf.global_start_frame_number - correlated_sample_index
+    ms_since = (1000 * samples_since) // buf.sample_rate if samples_since >= 0 else -(
+        (1000 * -samples_since) // buf.sample_rate
+    )
+    ev = {
+        "action": "recording",
+        "name": name,
+        "file_path": path,
+        "playhead_timestamp_ms": correlated_timestamp_ms + ms_since,
+        "duration_ms": duration_ms,
+        "speech_duration_ms": duration_ms - min(duration_ms, 3500),
+    }
+    if extra:
+        ev.update(extra)
+    return ev
+
+
+def load_segment_audio(cmd: dict, config, report_error, on_channel_mismatch):
+    """Validate and load a ``segment`` command's audio file with the
+    reference's exact error semantics (main.zig:216-270): distinct
+    missing-field messages, non-fatal load/channel errors (the latter via
+    ``on_channel_mismatch`` — a skip_segment for continuity), and a FATAL
+    sample-rate mismatch (SystemExit). Returns (AudioBuffer, playhead) or
+    (None, None)."""
+    file_path = cmd.get("file_path")
+    playhead = cmd.get("playhead_timestamp_ms")
+    if file_path is None:
+        report_error(f"Missing file_path in command: {cmd}", False)
+        return None, None
+    if playhead is None:
+        report_error(f"Missing playhead_timestamp_ms in command: {cmd}", False)
+        return None, None
+    try:
+        buffer = AudioBuffer.load_from_file(file_path)
+    except (OSError, ValueError, RuntimeError) as e:
+        # RuntimeError: Ogg input on a host without the Vorbis codec —
+        # non-fatal like any other undecodable file (the loop continues).
+        report_error(f"Error loading audio file: {e}. Command: {cmd}", False)
+        return None, None
+    if buffer.n_channels != config.n_channels:
+        report_error(
+            f"Audio file has {buffer.n_channels} channels, but pipeline has "
+            f"{config.n_channels} channels. Command: {cmd}",
+            False,
+        )
+        # Possibly transient: keep continuity (main.zig:242-257).
+        on_channel_mismatch()
+        return None, None
+    if buffer.sample_rate != config.sample_rate:
+        report_error(
+            f"Audio file has SR of {buffer.sample_rate}, but pipeline has SR of "
+            f"{config.sample_rate}. Command: {cmd}",
+            True,
+        )
+        raise SystemExit(1)  # fatal (main.zig:259-270)
+    return buffer, playhead
+
+
 class Daemon:
     def __init__(self, name: str, out_dir: str, denoiser_path: str | None,
                  stdout=None, state_path: str | None = None):
@@ -79,21 +150,11 @@ class Daemon:
         # Only original recordings are announced (main.zig:367-370).
         if kind != "original":
             return
-        duration_ms = int(buf.duration_seconds * 1000)
-        samples_since = buf.global_start_frame_number - self.correlated_sample_index
-        ms_since = (1000 * samples_since) // buf.sample_rate if samples_since >= 0 else -(
-            (1000 * -samples_since) // buf.sample_rate
-        )
         self._emit(
-            {
-                "action": "recording",
-                "name": self.name,
-                "file_path": path,
-                "playhead_timestamp_ms": self.correlated_timestamp_ms + ms_since,
-                "duration_ms": duration_ms,
-                # Approximate, like the reference (main.zig:394).
-                "speech_duration_ms": duration_ms - min(duration_ms, 3500),
-            }
+            recording_event(
+                self.name, buf, path,
+                self.correlated_sample_index, self.correlated_timestamp_ms,
+            )
         )
 
     # ---- commands ----------------------------------------------------------
@@ -116,37 +177,11 @@ class Daemon:
             self.report_error(f"Unknown action: {action}", False)
 
     def _process_segment(self, cmd: dict) -> None:
-        file_path = cmd.get("file_path")
-        playhead = cmd.get("playhead_timestamp_ms")
-        if file_path is None:
-            self.report_error(f"Missing file_path in command: {cmd}", False)
+        buffer, playhead = load_segment_audio(
+            cmd, self.pipeline.config, self.report_error, self._process_skip
+        )
+        if buffer is None:
             return
-        if playhead is None:
-            self.report_error(f"Missing playhead_timestamp_ms in command: {cmd}", False)
-            return
-        try:
-            buffer = AudioBuffer.load_from_file(file_path)
-        except (OSError, ValueError, RuntimeError) as e:
-            # RuntimeError: Ogg input on a host without the Vorbis codec —
-            # non-fatal like any other undecodable file (the loop continues).
-            self.report_error(f"Error loading audio file: {e}. Command: {cmd}", False)
-            return
-        if buffer.n_channels != self.pipeline.config.n_channels:
-            self.report_error(
-                f"Audio file has {buffer.n_channels} channels, but pipeline has "
-                f"{self.pipeline.config.n_channels} channels. Command: {cmd}",
-                False,
-            )
-            # Possibly transient: keep continuity (main.zig:242-257).
-            self._process_skip()
-            return
-        if buffer.sample_rate != self.pipeline.config.sample_rate:
-            self.report_error(
-                f"Audio file has SR of {buffer.sample_rate}, but pipeline has SR of "
-                f"{self.pipeline.config.sample_rate}. Command: {cmd}",
-                True,
-            )
-            raise SystemExit(1)  # fatal (main.zig:259-270)
         first_idx = self.pipeline.push_samples(buffer.channel_pcm)
         self.correlated_sample_index = first_idx
         self.correlated_timestamp_ms = playhead

@@ -4,7 +4,7 @@ The reference daemon (src/main.zig) serves exactly one stream per process;
 scaling a race weekend means a process per driver with no MXU amortization.
 This daemon multiplexes the same newline-JSON protocol over N named streams
 and runs their device compute through ONE batched step per 0.5 s tick
-(``parallel.online.OnlineBatchServer``).
+(``parallel.online.OnlineBatchServer.tick_pending``).
 
 Protocol (the reference's, plus a required ``stream`` field):
 
@@ -15,11 +15,12 @@ Protocol (the reference's, plus a required ``stream`` field):
 * stdout: the reference's ``recording``/``error`` events, each carrying a
   ``stream`` field; recordings land under ``OUTDIR/<stream>/``.
 
-Streams feed at their own pace: a device tick advances exactly the streams
-holding >= one full chunk (0.5 s) of buffered audio; the others' carried
-state is frozen on device and resumes untouched. Audio below one chunk
-stays buffered until more arrives (like the reference, trailing partial
-chunks are never processed).
+Streams feed at their own pace. Ingestion mirrors the solo pipeline's
+cadence exactly (AudioPipeline.zig:118-143): EVERY sample — trailing
+sub-chunk tails included — lands in the stream's ring immediately
+(``pipeline.buffer_samples``), so deferred recording stops finalize at the
+same sample a solo daemon would; a device tick then advances exactly the
+streams holding >= one full unprocessed chunk, freezing the rest on device.
 
 Usage:
   python -m formula_vad_tpu.apps.multidaemon -o OUTDIR -n NAME \
@@ -29,7 +30,6 @@ Usage:
 from __future__ import annotations
 
 import argparse
-import collections
 import json
 import os
 import sys
@@ -40,6 +40,7 @@ from ..config import PipelineConfig, VADConfig
 from ..io_.audio import AudioBuffer
 from ..models.registry import load_denoiser
 from ..pipeline.pipeline import Callbacks
+from .daemon import load_segment_audio, recording_event
 
 
 class MultiDaemon:
@@ -83,13 +84,10 @@ class MultiDaemon:
         )
         self.chunk = self.server.chunk_size
 
-        # Per-stream host state: pending-sample FIFO + playhead correlation.
-        self._pending: list[collections.deque] = [collections.deque() for _ in range(b)]
-        self._pending_len = [0] * b
+        # Per-stream playhead correlation (main.zig ProcessLoopState).
         self.correlated_sample_index = [0] * b
         self.correlated_timestamp_ms = [0] * b
         self.last_segment_length = [0] * b
-        self._enqueued = [0] * b
 
     # ---- output ------------------------------------------------------------
 
@@ -113,58 +111,34 @@ class MultiDaemon:
             return
         if kind != "original":  # only originals are announced (main.zig:367-370)
             return
-        duration_ms = int(buf.duration_seconds * 1000)
-        samples_since = buf.global_start_frame_number - self.correlated_sample_index[i]
-        ms_since = (1000 * samples_since) // buf.sample_rate if samples_since >= 0 else -(
-            (1000 * -samples_since) // buf.sample_rate
-        )
         self._emit(
-            {
-                "action": "recording",
-                "name": self.name,
-                "stream": stream,
-                "file_path": path,
-                "playhead_timestamp_ms": self.correlated_timestamp_ms[i] + ms_since,
-                "duration_ms": duration_ms,
-                "speech_duration_ms": duration_ms - min(duration_ms, 3500),
-            }
+            recording_event(
+                self.name, buf, path,
+                self.correlated_sample_index[i], self.correlated_timestamp_ms[i],
+                extra={"stream": stream},
+            )
         )
 
-    # ---- ticking -----------------------------------------------------------
+    # ---- ingestion ---------------------------------------------------------
 
-    def _enqueue(self, i: int, samples: np.ndarray) -> None:
-        if samples.shape[1]:
-            self._pending[i].append(np.asarray(samples, np.float32))
-            self._pending_len[i] += samples.shape[1]
-        self._enqueued[i] += samples.shape[1]
-
-    def _pop_chunk(self, i: int) -> np.ndarray:
-        parts = []
-        need = self.chunk
-        while need > 0:
-            head = self._pending[i][0]
-            if head.shape[1] <= need:
-                parts.append(self._pending[i].popleft())
-                need -= head.shape[1]
-            else:
-                parts.append(head[:, :need])
-                self._pending[i][0] = head[:, need:]
-                need = 0
-        self._pending_len[i] -= self.chunk
-        return np.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-
-    def tick_while_ready(self) -> None:
-        """Advance the batch while ANY stream holds a full chunk."""
-        b = len(self.streams)
-        zeros = np.zeros((self.config.n_channels, self.chunk), np.float32)
-        while True:
-            valid = np.array([self._pending_len[i] >= self.chunk for i in range(b)])
-            if not valid.any():
-                return
-            chunks = np.stack(
-                [self._pop_chunk(i) if valid[i] else zeros for i in range(b)]
-            )
-            self.server.push(chunks, valid=valid)
+    def _buffer_and_tick(self, i: int, samples: np.ndarray) -> int:
+        """Feed samples into stream i's ring in the solo path's capacity/2
+        slabs, ticking the batched device step between slabs; returns the
+        absolute index of the first sample."""
+        p = self.server.pipelines[i]
+        slab = p.original_ring.capacity // 2
+        first_index = None
+        pos = 0
+        n = samples.shape[1]
+        while pos < n or first_index is None:
+            part = samples[:, pos : pos + slab]
+            pos += part.shape[1]
+            idx = p.buffer_samples(part)
+            if first_index is None:
+                first_index = idx
+            while self.server.tick_pending():
+                pass
+        return first_index
 
     # ---- commands ----------------------------------------------------------
 
@@ -193,50 +167,27 @@ class MultiDaemon:
             self._process_skip(i)
         else:
             self.report_error(f"Unknown action: {action}", False, stream)
-        self.tick_while_ready()
 
     def _process_segment(self, i: int, cmd: dict) -> None:
         stream = self.streams[i]
-        file_path = cmd.get("file_path")
-        playhead = cmd.get("playhead_timestamp_ms")
-        if file_path is None or playhead is None:
-            self.report_error(
-                f"Missing file_path or playhead_timestamp_ms in command: {cmd}",
-                False, stream,
-            )
+        buffer, playhead = load_segment_audio(
+            cmd,
+            self.config,
+            lambda m, f: self.report_error(m, f, stream),
+            lambda: self._process_skip(i),
+        )
+        if buffer is None:
             return
-        try:
-            buffer = AudioBuffer.load_from_file(file_path)
-        except (OSError, ValueError, RuntimeError) as e:
-            self.report_error(f"Error loading audio file: {e}. Command: {cmd}", False, stream)
-            return
-        if buffer.n_channels != self.config.n_channels:
-            self.report_error(
-                f"Audio file has {buffer.n_channels} channels, but pipeline has "
-                f"{self.config.n_channels} channels. Command: {cmd}",
-                False, stream,
-            )
-            self._process_skip(i)
-            return
-        if buffer.sample_rate != self.config.sample_rate:
-            self.report_error(
-                f"Audio file has SR of {buffer.sample_rate}, but pipeline has SR of "
-                f"{self.config.sample_rate}. Command: {cmd}",
-                True, stream,
-            )
-            raise SystemExit(1)  # fatal (main.zig:259-270)
         # Reference ordering (main.zig:273-281): the correlation updates
         # AFTER the push completes, so recordings fired while processing
         # THIS file still use the previous correlation point.
-        first_idx = self._enqueued[i]
-        self._enqueue(i, buffer.channel_pcm)
-        self.tick_while_ready()
+        first_idx = self._buffer_and_tick(i, buffer.channel_pcm)
         self.correlated_sample_index[i] = first_idx
         self.correlated_timestamp_ms[i] = playhead
         self.last_segment_length[i] = buffer.length
 
     def _process_skip(self, i: int) -> None:
-        self._enqueue(
+        self._buffer_and_tick(
             i, np.zeros((self.config.n_channels, self.last_segment_length[i]), np.float32)
         )
 
@@ -261,25 +212,26 @@ def main(argv=None) -> int:
         help="Matmul precision (see PARITY.md #2)",
     )
     args = ap.parse_args(argv)
+
+    def fatal(message: str) -> int:
+        sys.stdout.write(
+            json.dumps({"action": "error", "message": message, "fatal": True}) + "\n"
+        )
+        return 2
+
     if args.precision:
         from ..ops.precision import set_matmul_precision
 
         set_matmul_precision(args.precision)
     if not os.path.isdir(args.outdir) or not os.access(args.outdir, os.W_OK):
-        sys.stdout.write(
-            json.dumps(
-                {
-                    "action": "error",
-                    "message": f"Output directory {args.outdir} isn't writeable",
-                    "fatal": True,
-                }
-            )
-            + "\n"
+        return fatal(f"Output directory {args.outdir} isn't writeable")
+    try:
+        daemon = MultiDaemon(
+            args.name, args.outdir, [s for s in args.streams.split(",") if s],
+            args.denoiser,
         )
-        return 2
-    daemon = MultiDaemon(
-        args.name, args.outdir, [s for s in args.streams.split(",") if s], args.denoiser
-    )
+    except (ValueError, OSError) as e:
+        return fatal(f"Could not start multidaemon: {e}")
     return daemon.run()
 
 

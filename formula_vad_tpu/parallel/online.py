@@ -131,6 +131,35 @@ class OnlineBatchServer:
             out_i = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], out)
             self.pipelines[i].ingest_processed_chunk(chunks[i], out_i)
 
+    def tick_pending(self) -> bool:
+        """Advance every stream holding >= one full chunk in its ring.
+
+        The ring-buffered companion to ``push``: callers feed audio through
+        ``pipeline.buffer_samples`` (which, like the solo path, lands every
+        sample — sub-chunk tails included — in the ring immediately, so
+        deferred recordings finalize exactly as a solo daemon's would), and
+        this drains full chunks through one batched device step. Returns
+        False when no stream had a full chunk.
+        """
+        valid = np.array([p.pending_chunks >= 1 for p in self.pipelines])
+        if not valid.any():
+            return False
+        zeros = np.zeros((self.config.n_channels, self.chunk_size), np.float32)
+        chunks = np.stack(
+            [
+                p.peek_pending_chunk() if v else zeros
+                for p, v in zip(self.pipelines, valid)
+            ]
+        )
+        self._carries, out = self._step(
+            self._carries, jnp.asarray(chunks), jnp.asarray(valid)
+        )
+        out = jax.device_get(out)
+        for i, p in enumerate(self.pipelines):
+            if valid[i]:
+                p.complete_chunk(jax.tree_util.tree_map(lambda x: np.asarray(x)[i], out))
+        return True
+
     @property
     def segments(self) -> list[list[dict]]:
         return [p.segments for p in self.pipelines]

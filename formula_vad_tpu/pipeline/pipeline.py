@@ -278,6 +278,48 @@ class AudioPipeline:
         self._read_count += chunk.shape[1]
         self._consume_chunk_output(out)
 
+    # ---- server mode, ring-buffered ingestion (multidaemon) ---------------
+    # The solo push_samples path writes ALL samples into the original ring
+    # immediately (trailing sub-chunk samples included — the reference's
+    # AudioPipeline.zig:118-143 cadence) and lets the VAD read count trail.
+    # These three methods expose the same split for a shared batched device
+    # step: buffer_samples = the write phase, peek/complete = the process
+    # phase driven externally (OnlineBatchServer.tick_pending).
+
+    def buffer_samples(self, channel_pcm: np.ndarray) -> int:
+        """Write samples into the original ring + recorder WITHOUT running
+        the device step; returns the absolute index of the first sample.
+        Callers must interleave ticking so no more than ring capacity of
+        samples is ever unprocessed (the solo path's capacity/2 cadence)."""
+        channel_pcm = np.asarray(channel_pcm, np.float32)
+        unread = self.original_ring.total_written - self._read_count
+        if unread + channel_pcm.shape[1] > self.original_ring.capacity:
+            raise ValueError(
+                "buffer_samples would overwrite unprocessed audio: tick the "
+                "server between slabs (see OnlineBatchServer.tick_pending)"
+            )
+        first_index = self.original_ring.total_written
+        self._write_and_record(
+            self.original_ring, self.original_recorder, channel_pcm, "original"
+        )
+        return first_index
+
+    @property
+    def pending_chunks(self) -> int:
+        """Full unprocessed chunks sitting in the original ring."""
+        return (self.original_ring.total_written - self._read_count) // self.chunk_size
+
+    def peek_pending_chunk(self) -> np.ndarray:
+        """The next unprocessed chunk (does not advance the read count)."""
+        return self.original_ring.read(
+            self._read_count, self._read_count + self.chunk_size
+        )
+
+    def complete_chunk(self, out) -> None:
+        """Advance past the chunk last peeked and consume its device output."""
+        self._read_count += self.chunk_size
+        self._consume_chunk_output(out)
+
     def _consume_chunk_output(self, out) -> None:
         if self._alt_params is not None:
             self._alt_carry, alt_out = self._alt_step(

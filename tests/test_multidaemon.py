@@ -1,5 +1,8 @@
 """Multiplexed daemon: protocol, per-stream recordings, and equivalence
-with the single-stream daemon fed the same audio."""
+with the single-stream daemon fed the same audio — including audio whose
+length is NOT a multiple of the 0.5 s chunk (the sub-chunk tail must land
+in the ring immediately, like the solo path, so deferred recordings
+finalize at the same sample)."""
 
 import io
 import json
@@ -18,6 +21,9 @@ sys.path.insert(
 )
 import make_synthetic_corpus  # noqa: E402
 
+# Deliberately NOT chunk-aligned: 23.37 s = 46 chunks + 17760 samples tail.
+SECONDS = 23.37
+
 
 @pytest.fixture(scope="module")
 def corpus_wavs(tmp_path_factory):
@@ -25,7 +31,7 @@ def corpus_wavs(tmp_path_factory):
     paths = []
     rng = np.random.default_rng(31)
     for i in range(2):
-        audio, _ = make_synthetic_corpus.synth_stream(rng, 24.0)
+        audio, _ = make_synthetic_corpus.synth_stream(rng, SECONDS)
         p = str(d / f"s{i}.wav")
         write_wav(p, audio, 48000)
         paths.append(p)
@@ -39,6 +45,7 @@ def _events(out):
 def test_per_stream_recordings_match_solo_daemons(corpus_wavs, tmp_path):
     # Two solo daemons (the reference shape: one process per stream).
     solo_events = []
+    solo_writes = []
     for i, p in enumerate(corpus_wavs):
         out = io.StringIO()
         d_dir = tmp_path / f"solo{i}"
@@ -48,6 +55,7 @@ def test_per_stream_recordings_match_solo_daemons(corpus_wavs, tmp_path):
             {"action": "segment", "file_path": p, "playhead_timestamp_ms": 1000 * i}
         ))
         solo_events.append([e for e in _events(out) if e["action"] == "recording"])
+        solo_writes.append(d.pipeline.total_write_count)
 
     # One multiplexed daemon serving both.
     out = io.StringIO()
@@ -63,6 +71,12 @@ def test_per_stream_recordings_match_solo_daemons(corpus_wavs, tmp_path):
     assert not [e for e in events if e["action"] == "error"]
     recs = [e for e in events if e["action"] == "recording"]
     assert recs, "expected at least one recording"
+
+    # The rings must hold EVERY sample, sub-chunk tail included (the solo
+    # path's cadence), so deferred stops finalize identically.
+    for i in range(2):
+        assert md.server.pipelines[i].total_write_count == solo_writes[i]
+        assert solo_writes[i] == int(SECONDS * 48000)
 
     # Same detections per stream as the solo daemons: playhead, duration,
     # and the recorded file names (start-frame-stamped) must all agree.
@@ -87,10 +101,16 @@ def test_protocol_errors_nonfatal(tmp_path):
     md.process_line(json.dumps({"action": "segment", "file_path": "f.wav"}))  # no stream
     md.process_line(json.dumps({"action": "segment", "stream": "nope", "file_path": "f.wav"}))
     md.process_line(json.dumps({"action": "bogus", "stream": "x"}))
+    md.process_line(json.dumps({"action": "segment", "stream": "x"}))  # no file_path
+    md.process_line(json.dumps({"action": "segment", "stream": "x", "file_path": "f.wav"}))
     md.process_line(json.dumps(
         {"action": "segment", "stream": "x", "file_path": "/nonexistent.wav",
          "playhead_timestamp_ms": 0}
     ))
     events = _events(out)
-    assert len(events) == 5
+    assert len(events) == 7
     assert all(e["action"] == "error" and not e["fatal"] for e in events)
+    # The reference's distinct per-field messages (main.zig:224-235), shared
+    # with the solo daemon via load_segment_audio.
+    assert "Missing file_path" in events[4]["message"]
+    assert "Missing playhead_timestamp_ms" in events[5]["message"]
