@@ -88,6 +88,12 @@ class MultiDaemon:
         self.correlated_sample_index = [0] * b
         self.correlated_timestamp_ms = [0] * b
         self.last_segment_length = [0] * b
+        # Streams dropped after a per-stream fatal error (sample-rate
+        # mismatch). A solo daemon exits there (main.zig:259-270); with N
+        # multiplexed streams that would amplify one bad file's blast radius
+        # from one stream to all N, so the fatal is contained: the stream is
+        # dropped (its state frozen), the other N-1 keep serving.
+        self.dropped: set[str] = set()
 
     # ---- output ------------------------------------------------------------
 
@@ -159,6 +165,14 @@ class MultiDaemon:
                 False,
             )
             return
+        if stream in self.dropped:
+            self.report_error(
+                f"Stream {stream!r} was dropped after a fatal error; "
+                f"command ignored: {cmd}",
+                False,
+                stream,
+            )
+            return
         i = self.index[stream]
         action = cmd.get("action")
         if action == "segment":
@@ -170,12 +184,18 @@ class MultiDaemon:
 
     def _process_segment(self, i: int, cmd: dict) -> None:
         stream = self.streams[i]
-        buffer, playhead = load_segment_audio(
-            cmd,
-            self.config,
-            lambda m, f: self.report_error(m, f, stream),
-            lambda: self._process_skip(i),
-        )
+        try:
+            buffer, playhead = load_segment_audio(
+                cmd,
+                self.config,
+                lambda m, f: self.report_error(m, f, stream),
+                lambda: self._process_skip(i),
+            )
+        except SystemExit:
+            # The fatal error event (fatal=True, stream-tagged) was already
+            # emitted by load_segment_audio; contain the exit to this stream.
+            self.dropped.add(stream)
+            return
         if buffer is None:
             return
         # Reference ordering (main.zig:273-281): the correlation updates

@@ -77,6 +77,10 @@ class SlabPrefetcher:
             return
         data = self._readers[i](start_chunk * self._chunk, n_valid * self._chunk)
         slab[i, :, : data.shape[1]] = data[:, : n_valid * self._chunk]
+        # A truncated file (header overstates n_frames) yields a short read;
+        # only chunks actually backed by decoded samples are marked valid so
+        # the zero-padded tail isn't scored as real audio.
+        n_valid = min(n_valid, data.shape[1] // self._chunk)
         cv[i, :n_valid] = True
 
     def _produce(self):

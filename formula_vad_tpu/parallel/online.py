@@ -121,6 +121,22 @@ class OnlineBatchServer:
             raise ValueError(
                 f"valid mask must have shape ({self.n_streams},), got {valid.shape}"
             )
+        # push() ingests the chunk directly; mixing it with the ring-buffered
+        # path (buffer_samples/tick_pending) while unprocessed samples sit in
+        # a ring would write the pushed chunk AFTER that tail and advance the
+        # read count past samples the device never saw, silently
+        # desynchronizing recordings. Drain via tick_pending() first.
+        stale = [
+            i
+            for i, p in enumerate(self.pipelines)
+            if p.original_ring.total_written != p._read_count
+        ]
+        if stale:
+            raise RuntimeError(
+                f"push() called while streams {stale} hold unprocessed "
+                "buffered samples; drain them with tick_pending() before "
+                "mixing push() with buffer_samples()"
+            )
         self._carries, out = self._step(
             self._carries, jnp.asarray(chunks), jnp.asarray(valid)
         )

@@ -114,3 +114,30 @@ def test_protocol_errors_nonfatal(tmp_path):
     # with the solo daemon via load_segment_audio.
     assert "Missing file_path" in events[4]["message"]
     assert "Missing playhead_timestamp_ms" in events[5]["message"]
+
+
+def test_sr_mismatch_drops_only_that_stream(tmp_path):
+    """A fatal sample-rate mismatch kills a solo daemon (main.zig:259-270);
+    the multidaemon contains it to the offending stream — the fatal error is
+    emitted stream-tagged, later commands to that stream are rejected
+    non-fatally, and the other streams keep serving."""
+    bad = str(tmp_path / "bad_sr.wav")
+    write_wav(bad, np.zeros((2, 4410), np.float32), 44100)
+    out = io.StringIO()
+    md = MultiDaemon("M", str(tmp_path), ["x", "y"], "spectral_gate", stdout=out)
+    md.process_line(json.dumps(
+        {"action": "segment", "stream": "x", "file_path": bad,
+         "playhead_timestamp_ms": 0}
+    ))
+    events = _events(out)
+    assert events[-1]["fatal"] and events[-1]["stream"] == "x"
+    assert "x" in md.dropped and "y" not in md.dropped
+
+    # Stream x is dead: commands are ignored with a non-fatal error.
+    md.process_line(json.dumps({"action": "skip_segment", "stream": "x"}))
+    assert not _events(out)[-1]["fatal"]
+    assert "dropped" in _events(out)[-1]["message"]
+
+    # Stream y still works end-to-end.
+    md.process_line(json.dumps({"action": "skip_segment", "stream": "y"}))
+    assert len(_events(out)) == 2  # no new error from y's skip

@@ -188,3 +188,17 @@ def test_server_checkpoint_resume(params, tmp_path):
     resumed_recs = [a + b for a, b in zip(r1, r2)]
     assert resumed_recs == ref_recs
     assert any(ref_recs), "test audio must produce recordings"
+
+
+def test_push_rejects_unprocessed_buffered_samples(params):
+    """Mixing push() with the ring-buffered path while a ring holds samples
+    the device hasn't seen would desynchronize recordings (ADVICE round 1):
+    push() must refuse until tick_pending() drains them."""
+    server = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    chunk = np.zeros((2, 2, server.chunk_size), np.float32)
+    server.pipelines[0].buffer_samples(np.zeros((2, server.chunk_size), np.float32))
+    with pytest.raises(RuntimeError, match="unprocessed"):
+        server.push(chunk)
+    while server.tick_pending():
+        pass
+    server.push(chunk)  # drained: fine again

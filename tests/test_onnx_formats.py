@@ -1,0 +1,348 @@
+"""ONNX importer vs a matrix of structurally-distinct encodings.
+
+The real ``nsnet2-20ms-baseline.onnx`` is an absent LFS blob upstream
+(src/NSNet2.zig:56, .MISSING_LARGE_BLOBS), so the importer must be proven
+against the encodings a foreign exporter could have used, not just our own
+canonical export: each test below serializes the SAME network a different
+way (PyTorch-export idiom with Constant weights + state subgraphs, typed
+tensor payloads, fp16/f64 storage, scrambled names/order, transB=0) and
+asserts the imported parameters produce identical forward outputs.
+Malformed files must fail with clean ValueErrors, never silent garbage.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from formula_vad_tpu.models import nsnet2
+from formula_vad_tpu.models.onnx_import import (
+    _len_field,
+    _ser_attr_int,
+    _ser_attr_ints,
+    _ser_attr_str,
+    _ser_attr_tensor,
+    _ser_node,
+    _ser_tensor,
+    _ser_value_info,
+    _WT_VARINT,
+    _encode_varint,
+    _write_tag,
+    export_nsnet2_onnx,
+    load_nsnet2_graph,
+    parse_model,
+)
+
+
+@pytest.fixture(scope="module")
+def params():
+    return nsnet2.init_params(jax.random.PRNGKey(7))
+
+
+@pytest.fixture(scope="module")
+def feats():
+    return jnp.asarray(
+        np.random.default_rng(11).standard_normal((8, 161)), jnp.float32
+    )
+
+
+def _model(nodes: list[bytes], inits: list[bytes], inputs: list[str] = (),
+           outputs: list[str] = ()) -> bytes:
+    graph = b"".join(_len_field(1, n) for n in nodes)
+    graph += b"".join(_len_field(5, i) for i in inits)
+    graph += b"".join(_len_field(11, _ser_value_info(n)) for n in inputs)
+    graph += b"".join(_len_field(12, _ser_value_info(n)) for n in outputs)
+    return _len_field(7, graph)
+
+
+def _import_and_check(blob: bytes, ref_params, feats, atol=0.0):
+    loaded = load_nsnet2_graph(parse_model(blob))
+    got = np.asarray(nsnet2.apply(loaded, feats))
+    want = np.asarray(nsnet2.apply(ref_params, feats))
+    np.testing.assert_allclose(got, want, atol=atol)
+
+
+def _np(x, dt=np.float32):
+    return np.asarray(x, dt)
+
+
+def test_canonical_gemm_export(params, feats):
+    _import_and_check(export_nsnet2_onnx(params), params, feats)
+
+
+def _ser_int64_tensor(name: str, values) -> bytes:
+    arr = np.asarray(values, "<i8")
+    t = b""
+    for d in arr.shape:
+        t += _write_tag(1, _WT_VARINT) + _encode_varint(d)
+    t += _write_tag(2, _WT_VARINT) + _encode_varint(7)  # int64
+    t += _len_field(9, arr.tobytes())
+    t += _len_field(8, name.encode())
+    return t
+
+
+def test_pytorch_idiom_graph(params, feats):
+    """The idiom torch.onnx.export produces for nn.GRU stacks: weights as
+    Constant nodes (not initializers), MatMul+Add linears with [in,out]
+    weights (bias on either Add operand), Unsqueeze/Transpose/Reshape
+    wrapping, GRUs with the full 6-input signature whose initial state comes
+    from a Shape->Gather->Unsqueeze->Concat->ConstantOfShape subgraph, and
+    opset-13 Squeeze (axes as a tensor input, not an attribute)."""
+    p = params
+    lbr = _ser_attr_int("linear_before_reset", 1)
+    fwd = _ser_attr_str("direction", b"forward")
+    hidden = _np(p.gru1.wh).shape[0]
+    hs = _ser_attr_int("hidden_size", hidden)
+
+    consts = []
+
+    def const(name, arr):
+        consts.append(
+            _ser_node("Constant", [], [name],
+                      _ser_attr_tensor("value", _ser_tensor(name, arr)))
+        )
+        return name
+
+    def gru_b(gp):
+        return np.concatenate([_np(gp.bi), _np(gp.bh)])[None]
+
+    inits = [
+        _ser_int64_tensor("sq_axes", [1]),
+        _ser_int64_tensor("g_idx", 0),
+        _ser_int64_tensor("h_dims", [1, hidden]),
+        _ser_int64_tensor("rsh", [-1, hidden]),
+    ]
+
+    # Initial-state subgraph hanging off the activations (bypassed by the
+    # chain walk; ConstantOfShape yields zeros = the semantics we assume).
+    state_nodes = [
+        _ser_node("Shape", ["x_in"], ["shp"]),
+        _ser_node("Gather", ["shp", "g_idx"], ["dim0"]),
+        _ser_node("Unsqueeze", ["dim0"], ["dim0u"], _ser_attr_ints("axes", (0,))),
+        _ser_node("Concat", ["dim0u", "h_dims"], ["h_shape"], _ser_attr_int("axis", 0)),
+        _ser_node("ConstantOfShape", ["h_shape"], ["h0"]),
+    ]
+
+    nodes = [
+        # fc_in as MatMul + Add, weights via Constant nodes.
+        _ser_node("MatMul", ["x_in", const("c_w0", _np(p.fc_in_w))], ["m0"]),
+        _ser_node("Add", ["m0", const("c_b0", _np(p.fc_in_b)[None])], ["a0"]),
+        # [T, F] -> [T, 1, F] and through GRU 1 with full input signature.
+        _ser_node("Unsqueeze", ["a0"], ["a0u"], _ser_attr_ints("axes", (1,))),
+        *state_nodes,
+        _ser_node(
+            "GRU",
+            ["a0u", const("c_g1w", _np(p.gru1.wi).T[None]),
+             const("c_g1r", _np(p.gru1.wh).T[None]), const("c_g1b", gru_b(p.gru1)),
+             "", "h0"],
+            ["y1", "y1h"],
+            lbr + fwd + hs,
+        ),
+        # Y is [T, D, 1, H]: Transpose then Reshape down to [T, H].
+        _ser_node("Transpose", ["y1"], ["y1t"], _ser_attr_ints("perm", (0, 2, 1, 3))),
+        _ser_node("Reshape", ["y1t", "rsh"], ["x1"]),
+        _ser_node("Unsqueeze", ["x1"], ["x1u"], _ser_attr_ints("axes", (1,))),
+        _ser_node(
+            "GRU",
+            ["x1u", const("c_g2w", _np(p.gru2.wi).T[None]),
+             const("c_g2r", _np(p.gru2.wh).T[None]), const("c_g2b", gru_b(p.gru2))],
+            ["y2"],
+            lbr + hs,
+        ),
+        # opset-13 Squeeze: axes arrives as a tensor input.
+        _ser_node("Squeeze", ["y2", "sq_axes"], ["x2"]),
+        _ser_node("MatMul", ["x2", const("c_w1", _np(p.ff1_w))], ["m1"]),
+        _ser_node("Add", [const("c_b1", _np(p.ff1_b)), "m1"], ["a1"]),  # bias first
+        _ser_node("Relu", ["a1"], ["r1"]),
+        _ser_node("MatMul", ["r1", const("c_w2", _np(p.ff2_w))], ["m2"]),
+        _ser_node("Add", ["m2", const("c_b2", _np(p.ff2_b))], ["a2"]),
+        _ser_node("Relu", ["a2"], ["r2"]),
+        _ser_node("MatMul", ["r2", const("c_w3", _np(p.out_w))], ["m3"]),
+        _ser_node("Add", ["m3", const("c_b3", _np(p.out_b))], ["a3"]),
+        _ser_node("Sigmoid", ["a3"], ["out"]),
+    ]
+
+    blob = _model(consts + nodes, inits, inputs=["x_in"], outputs=["out"])
+    _import_and_check(blob, params, feats)
+
+
+def _plain_graph(p, *, dtype="f32", encoding="raw", trans_b=True,
+                 scramble=False, names=None):
+    """One flexible serializer: Gemm-based graph with controllable tensor
+    dtype/encoding/orientation, optionally scrambled initializer order with
+    adversarial names."""
+    n = names or {}
+
+    def nm(default):
+        return n.get(default, default)
+
+    lbr = _ser_attr_int("linear_before_reset", p.gru1.linear_before_reset)
+    gemm_attrs = _ser_attr_int("transB", 1) if trans_b else b""
+
+    def lin_w(w):
+        return _np(w).T if trans_b else _np(w)
+
+    inits = {
+        nm("w0"): _ser_tensor(nm("w0"), lin_w(p.fc_in_w), dtype, encoding),
+        nm("b0"): _ser_tensor(nm("b0"), _np(p.fc_in_b), dtype, encoding),
+        nm("g1W"): _ser_tensor(nm("g1W"), _np(p.gru1.wi).T[None], dtype, encoding),
+        nm("g1R"): _ser_tensor(nm("g1R"), _np(p.gru1.wh).T[None], dtype, encoding),
+        nm("g1B"): _ser_tensor(
+            nm("g1B"), np.concatenate([_np(p.gru1.bi), _np(p.gru1.bh)])[None], dtype, encoding
+        ),
+        nm("g2W"): _ser_tensor(nm("g2W"), _np(p.gru2.wi).T[None], dtype, encoding),
+        nm("g2R"): _ser_tensor(nm("g2R"), _np(p.gru2.wh).T[None], dtype, encoding),
+        nm("g2B"): _ser_tensor(
+            nm("g2B"), np.concatenate([_np(p.gru2.bi), _np(p.gru2.bh)])[None], dtype, encoding
+        ),
+        nm("w1"): _ser_tensor(nm("w1"), lin_w(p.ff1_w), dtype, encoding),
+        nm("b1"): _ser_tensor(nm("b1"), _np(p.ff1_b), dtype, encoding),
+        nm("w2"): _ser_tensor(nm("w2"), lin_w(p.ff2_w), dtype, encoding),
+        nm("b2"): _ser_tensor(nm("b2"), _np(p.ff2_b), dtype, encoding),
+        nm("w3"): _ser_tensor(nm("w3"), lin_w(p.out_w), dtype, encoding),
+        nm("b3"): _ser_tensor(nm("b3"), _np(p.out_b), dtype, encoding),
+    }
+    nodes = [
+        _ser_node("Gemm", ["input", nm("w0"), nm("b0")], ["x0"], gemm_attrs),
+        _ser_node("GRU", ["x0", nm("g1W"), nm("g1R"), nm("g1B")], ["x1"], lbr),
+        _ser_node("Squeeze", ["x1"], ["x1s"]),
+        _ser_node("GRU", ["x1s", nm("g2W"), nm("g2R"), nm("g2B")], ["x2"], lbr),
+        _ser_node("Squeeze", ["x2"], ["x2s"]),
+        _ser_node("Gemm", ["x2s", nm("w1"), nm("b1")], ["x3"], gemm_attrs),
+        _ser_node("Relu", ["x3"], ["x4"]),
+        _ser_node("Gemm", ["x4", nm("w2"), nm("b2")], ["x5"], gemm_attrs),
+        _ser_node("Relu", ["x5"], ["x6"]),
+        _ser_node("Gemm", ["x6", nm("w3"), nm("b3")], ["x7"], gemm_attrs),
+        _ser_node("Sigmoid", ["x7"], ["output"]),
+    ]
+    init_list = list(inits.values())
+    if scramble:
+        rng = np.random.default_rng(3)
+        init_list = [init_list[i] for i in rng.permutation(len(init_list))]
+    return _model(nodes, init_list)
+
+
+def test_typed_float_data_transb0_scrambled_names(params, feats):
+    """Typed float_data payloads, weights stored [in,out] (transB absent),
+    initializers in random file order under MISLEADING names (the name of a
+    different layer): only topology may drive resolution."""
+    misleading = {
+        "w0": "ff2.weight", "b0": "gru1.bias", "w1": "fc_in.w",
+        "b1": "out_b", "w2": "out.weight", "b2": "fc_in.b",
+        "w3": "ff1.weight", "b3": "ff1.bias",
+        "g1W": "gru2_W", "g1R": "gru2_R", "g1B": "gru2_B",
+        "g2W": "gru1_W", "g2R": "gru1_R", "g2B": "gru1_B",
+    }
+    blob = _plain_graph(params, encoding="typed", trans_b=False,
+                        scramble=True, names=misleading)
+    _import_and_check(blob, params, feats)
+
+
+def _quantized(params, np_dtype):
+    return jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x, np.float32).astype(np_dtype).astype(np.float32))
+        if hasattr(x, "dtype") else x,
+        params,
+    )
+
+
+def test_fp16_raw(params, feats):
+    """fp16 raw_data storage: import must equal applying the fp16-quantized
+    weights exactly (storage precision, not import error)."""
+    p16 = _quantized(params, np.float16)
+    blob = _plain_graph(params, dtype="f16", encoding="raw")
+    _import_and_check(blob, p16, feats)
+
+
+def test_fp16_typed_int32_data(params, feats):
+    """The spec's odd typed encoding: float16 payloads ride int32_data as
+    uint16 values."""
+    p16 = _quantized(params, np.float16)
+    blob = _plain_graph(params, dtype="f16", encoding="typed")
+    _import_and_check(blob, p16, feats)
+
+
+def test_f64_typed_double_data(params, feats):
+    blob = _plain_graph(params, dtype="f64", encoding="typed")
+    _import_and_check(blob, params, feats)
+
+
+def test_f64_raw(params, feats):
+    blob = _plain_graph(params, dtype="f64", encoding="raw")
+    _import_and_check(blob, params, feats)
+
+
+# ---------------------------------------------------------------------------
+# Malformed inputs: clean ValueError, never silent garbage.
+# ---------------------------------------------------------------------------
+
+
+def test_truncated_file(params):
+    blob = export_nsnet2_onnx(params)
+    with pytest.raises(ValueError):
+        load_nsnet2_graph(parse_model(blob[: len(blob) // 2]))
+
+
+def test_garbage_bytes():
+    with pytest.raises(ValueError):
+        parse_model(b"\xff" * 64 + b"not an onnx file" * 10)
+
+
+def test_empty_model():
+    with pytest.raises(ValueError, match="no graph"):
+        parse_model(b"")
+
+
+def test_wrong_architecture_missing_gru(params):
+    p = params
+    lbr = _ser_attr_int("linear_before_reset", 1)
+    tb = _ser_attr_int("transB", 1)
+    inits = [
+        _ser_tensor("w0", _np(p.fc_in_w).T),
+        _ser_tensor("g1W", _np(p.gru1.wi).T[None]),
+        _ser_tensor("g1R", _np(p.gru1.wh).T[None]),
+    ]
+    nodes = [
+        _ser_node("Gemm", ["input", "w0"], ["x0"], tb),
+        _ser_node("GRU", ["x0", "g1W", "g1R"], ["x1"], lbr),
+        _ser_node("Sigmoid", ["x1"], ["output"]),
+    ]
+    with pytest.raises(ValueError, match="unexpected NSNet2 graph shape"):
+        load_nsnet2_graph(parse_model(_model(nodes, inits)))
+
+
+def test_unsupported_op_on_data_path(params):
+    inits = [_ser_tensor("w0", _np(params.fc_in_w).T)]
+    nodes = [
+        _ser_node("Gemm", ["input", "w0"], ["x0"], _ser_attr_int("transB", 1)),
+        _ser_node("Softmax", ["x0"], ["output"]),
+    ]
+    with pytest.raises(ValueError, match="Softmax"):
+        load_nsnet2_graph(parse_model(_model(nodes, inits)))
+
+
+def test_gemm_alpha_rejected(params):
+    inits = [_ser_tensor("w0", _np(params.fc_in_w).T)]
+    alpha = _len_field(
+        5, _len_field(1, b"alpha") + _write_tag(2, 5) + np.float32(2.0).tobytes()
+    )
+    nodes = [_ser_node("Gemm", ["input", "w0"], ["output"], alpha)]
+    with pytest.raises(ValueError, match="alpha"):
+        load_nsnet2_graph(parse_model(_model(nodes, inits)))
+
+
+def test_external_data_rejected():
+    t = b""
+    t += _write_tag(1, _WT_VARINT) + _encode_varint(4)
+    t += _write_tag(2, _WT_VARINT) + _encode_varint(1)
+    t += _write_tag(14, _WT_VARINT) + _encode_varint(1)  # EXTERNAL
+    t += _len_field(8, b"w_ext")
+    with pytest.raises(ValueError, match="external"):
+        parse_model(_model([], [t]))
+
+
+def test_matmul_constant_left_rejected(params):
+    inits = [_ser_tensor("w0", _np(params.fc_in_w))]
+    nodes = [_ser_node("MatMul", ["w0", "input"], ["output"])]
+    with pytest.raises(ValueError, match="left operand"):
+        load_nsnet2_graph(parse_model(_model(nodes, inits)))

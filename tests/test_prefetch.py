@@ -90,3 +90,29 @@ def test_readers_called_serially_per_stream():
     finally:
         pf.close()
     assert calls == [0, 4 * CHUNK]
+
+
+def test_truncated_reader_invalidates_padded_tail():
+    """A WAV whose header overstates its length yields short reads; the
+    zero-padded tail chunks must NOT be marked valid (ADVICE round 1)."""
+    rng = np.random.default_rng(7)
+    declared_chunks = 6
+    actual = rng.standard_normal((2, 3 * CHUNK + CHUNK // 2)).astype(np.float32)
+
+    pf = SlabPrefetcher(
+        [_mk_reader(actual)], [declared_chunks],
+        n_slabs=2, slab_chunks=4, chunk_size=CHUNK,
+        n_channels=2, b_pad=1, workers=1,
+    )
+    try:
+        slab0, cv0 = pf.get()
+        slab1, cv1 = pf.get()
+    finally:
+        pf.close()
+    # Slab 0: 4 chunks requested, but the reader only backs 3.5 — chunk 3
+    # is half zero-padding and must be invalid.
+    np.testing.assert_array_equal(cv0[0], [True, True, True, False])
+    np.testing.assert_array_equal(slab0[0, :, : 3 * CHUNK + CHUNK // 2], actual)
+    # Slab 1: chunks 4-5 declared but past EOF entirely.
+    np.testing.assert_array_equal(cv1[0], [False, False, False, False])
+    assert not slab1.any()
