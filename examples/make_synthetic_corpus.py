@@ -73,6 +73,93 @@ def synth_stream(rng: np.random.Generator, seconds: float, components: bool = Fa
     return audio.astype(np.float32), labels
 
 
+def _burst(rng: np.random.Generator, t: np.ndarray, amp: float) -> np.ndarray:
+    """AM-modulated multi-tone speech-band burst (same family as
+    synth_stream's bursts)."""
+    out = np.zeros(t.shape[0], np.float32)
+    for _ in range(4):
+        f = rng.uniform(500.0, 2000.0)
+        out += np.sin(2 * np.pi * f * t + rng.uniform(0, 6.28)).astype(np.float32)
+    syllable = 0.55 + 0.45 * np.sign(np.sin(2 * np.pi * rng.uniform(3.0, 5.0) * t))
+    return amp * out * syllable.astype(np.float32)
+
+
+# Adversarial event scripts: (kind, start_sec, *kind_args). Events are
+# spaced >= 15 s so an unlabeled burst's detection (+-2 s margins) clears
+# the scoring extrusion (extrude_start=5/extrude_end=10, simulator.zig:
+# 127-133) of every labeled neighbour and scores as genuine FP seconds.
+HARD_SCRIPTS = [
+    [
+        ("normal", 5.0, 2.0),          # clean TP
+        ("quiet", 22.0, 2.0),          # labeled but below threshold -> FN
+        ("fp", 40.0, 2.0),             # loud but UNLABELED -> FP
+        ("short", 58.0, 0.4),          # < 0.7 s: FSM aborts; ref ignored
+        ("edge", 75.0, 0.85),          # just over the 0.7 s minimum -> TP
+        ("gappy", 92.0, 1.2, 1.6, 1.2),  # in-speech gap < max_gap: one seg
+    ],
+    [
+        ("mono", 6.0, 2.5),            # one-channel only: ratio cue -> FN
+        ("normal", 24.0, 3.0),         # TP
+        ("fp", 42.0, 1.5),             # FP
+        ("normal", 60.0, 1.8),         # TP
+        ("quiet", 78.0, 2.2),          # FN
+        ("pair", 96.0, 1.0, 2.5, 1.0),  # gap > max_gap: two segments/refs
+    ],
+]
+
+
+def synth_hard_stream(rng: np.random.Generator, script) -> tuple[np.ndarray, list]:
+    """Adversarial stream from an event script: produces FN (quiet or
+    single-channel labeled speech), FP (unlabeled loud bursts), aborted
+    FSM segments (sub-0.7 s bursts), min-duration-edge segments, in-speech
+    gaps near ``max_gap``, and refs under the 0.7 s scoring floor — so the
+    full pipeline -> evaluator -> report chain is exercised with
+    TPR/PPV < 100% (statistics.zig:191-256 FP math included)."""
+    seconds = 120.0
+    n = int(seconds * SR)
+    t = np.arange(n) / SR
+    rpm = 90.0 + 40.0 * np.sin(2 * np.pi * 0.05 * t + rng.uniform(0, 6.28))
+    phase = 2 * np.pi * np.cumsum(rpm) / SR
+    audio = rng.standard_normal((2, n)).astype(np.float32) * 0.015
+    for harmonic, amp in ((1, 0.10), (2, 0.06), (3, 0.03)):
+        audio += (amp * np.sin(harmonic * phase)).astype(np.float32)
+
+    labels = []
+
+    def add(pos, dur, amp, ch1_scale=0.85, labeled=True):
+        sl = slice(int(pos * SR), int((pos + dur) * SR))
+        b = _burst(rng, t[sl], amp)
+        audio[0, sl] += b
+        audio[1, sl] += ch1_scale * b
+        if labeled:
+            labels.append((round(pos, 3), round(pos + dur, 3)))
+
+    for ev in script:
+        kind, pos = ev[0], ev[1]
+        if kind == "normal" or kind == "edge":
+            add(pos, ev[2], 0.12)
+        elif kind == "quiet":
+            add(pos, ev[2], 0.018)
+        elif kind == "mono":
+            add(pos, ev[2], 0.14, ch1_scale=0.0)
+        elif kind == "fp":
+            add(pos, ev[2], 0.14, labeled=False)
+        elif kind == "short":
+            add(pos, ev[2], 0.14)
+        elif kind == "gappy":
+            d1, gap, d2 = ev[2], ev[3], ev[4]
+            add(pos, d1, 0.12, labeled=False)
+            add(pos + d1 + gap, d2, 0.12, labeled=False)
+            labels.append((round(pos, 3), round(pos + d1 + gap + d2, 3)))
+        elif kind == "pair":
+            d1, gap, d2 = ev[2], ev[3], ev[4]
+            add(pos, d1, 0.12)
+            add(pos + d1 + gap, d2, 0.12)
+        else:
+            raise ValueError(kind)
+    return audio.astype(np.float32), labels
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--out", required=True, help="Corpus output directory")
@@ -90,6 +177,10 @@ def main(argv=None) -> int:
     ap.add_argument("--train-pairs", type=int, default=0,
                     help="Also write N mono <name>.noisy.wav/<name>.clean.wav "
                          "pairs for `apps.train --data` (clean = bursts only)")
+    ap.add_argument("--hard", action="store_true",
+                    help="Adversarial corpus (2 fixed 2-minute streams): "
+                         "deliberate FN/FP/aborted-segment/min-duration-edge "
+                         "constructs so scores are meaningfully below 100%%")
     args = ap.parse_args(argv)
 
     from formula_vad_tpu.io_ import ogg
@@ -98,9 +189,13 @@ def main(argv=None) -> int:
     os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     instances = []
-    for i in range(args.streams):
-        name = f"synthetic-{i:02d}"
-        audio, labels = synth_stream(rng, args.minutes * 60.0)
+    n_streams = len(HARD_SCRIPTS) if args.hard else args.streams
+    for i in range(n_streams):
+        name = f"hard-{i:02d}" if args.hard else f"synthetic-{i:02d}"
+        if args.hard:
+            audio, labels = synth_hard_stream(rng, HARD_SCRIPTS[i])
+        else:
+            audio, labels = synth_stream(rng, args.minutes * 60.0)
         ext = "ogg" if args.format == "ogg" else "wav"
         audio_file = f"{name}.{ext}"
         path = os.path.join(args.out, audio_file)
