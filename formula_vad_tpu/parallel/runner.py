@@ -161,10 +161,30 @@ class BatchRunner:
 
         if self._fn is None:
             self._fn = self._build()
-        audio_dev = jnp.asarray(audio_batch[:, :, : n_chunks * chunk])
-        outs, alt_outs = self._fn(audio_dev, jnp.asarray(chunk_valids))
-        outs = jax.device_get(outs)
-        alt_outs = jax.device_get(alt_outs) if alt_outs is not None else None
+        audio_np = audio_batch[:, :, : n_chunks * chunk]
+        multiprocess = self.mesh is not None and jax.process_count() > 1
+        if multiprocess:
+            # Multi-host execution (BASELINE config 5): every process holds
+            # the same full host batch; device_put extracts each process's
+            # addressable shards, the jitted shard_map runs one SPMD program
+            # over ICI+DCN, and the sharded outputs are allgathered so every
+            # host can assemble the full segment lists.
+            from jax.experimental import multihost_utils
+
+            sh = mesh_lib.batch_sharding(self.mesh)
+            audio_dev = jax.device_put(jnp.asarray(audio_np), sh)
+            cv_dev = jax.device_put(jnp.asarray(chunk_valids), sh)
+            outs, alt_outs = self._fn(audio_dev, cv_dev)
+            outs = multihost_utils.process_allgather(outs, tiled=True)
+            alt_outs = (
+                multihost_utils.process_allgather(alt_outs, tiled=True)
+                if alt_outs is not None
+                else None
+            )
+        else:
+            outs, alt_outs = self._fn(jnp.asarray(audio_np), jnp.asarray(chunk_valids))
+            outs = jax.device_get(outs)
+            alt_outs = jax.device_get(alt_outs) if alt_outs is not None else None
 
         results = []
         for i in range(b):
