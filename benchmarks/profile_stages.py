@@ -108,23 +108,21 @@ def main():
     ]
     t_gru = timed("nsnet2.apply (GRU stack)", jax.jit(lambda m: nsnet2.apply(params, m)), [(m,) for m in model_ins])
 
-    # --- stage 3: iSTFT/OLA + upsample ---
+    # --- stage 3: iSTFT/OLA to 16 kHz (the scoring path stops here) ---
     def recon(r, i):
-        ola = stft.istft_segmat(r, i, den_mod._WINDOW, 320)
-        from formula_vad_tpu.ops import resample
-        up, _ = resample.upsample(ola[..., : K * 8000], jnp.zeros((B * 2,), jnp.float32), 3)
-        return up
-    t_ola = timed("istft_segmat + upsample", jax.jit(recon), [(re, im), (re * 1.01, im)])
+        return stft.istft_segmat(r, i, den_mod._WINDOW, 320)
+    t_ola = timed("istft_segmat (to 16k)", jax.jit(recon), [(re, im), (re * 1.01, im)])
 
-    # --- stage 4: 1024-pt magnitude band volumes ---
-    den = jnp.zeros((B, 2, T), jnp.float32) + audios[0]
+    # --- stage 4: fused 16k band volumes + chunk RMS glue ---
+    c16 = jnp.zeros((B, 2, K * 8000), jnp.float32) + audios[0][..., : K * 8000] * 0.3
+    nw = T // st.fft_size
     def band(d):
-        nw = T // st.fft_size
-        fr = d[..., : nw * st.fft_size].reshape(B, 2, nw, st.fft_size)
-        return stft.band_volume_windows(
-            fr, vad._hann(st.fft_size), st.fft_size, st.norm_factor, st.min_bin, st.max_bin
+        band_v = stft.band_volume_16k(
+            d, jnp.zeros(d.shape[:-1], jnp.float32), vad._hann(st.fft_size),
+            st.fft_size, st.norm_factor, st.min_bin, st.max_bin, nw,
         )
-    t_band = timed("band_volume_windows (1024 DFT)", jax.jit(band), [(den,), (den * 1.01,)])
+        return jnp.min(band_v, axis=1)
+    t_band = timed("band_volume_16k (fused)", jax.jit(band), [(c16,), (c16 * 1.01,)])
 
     # --- stage 5: FSM Pallas kernel ---
     nw = T // st.fft_size
@@ -140,6 +138,7 @@ def main():
     audio_sec = B * K * 0.5
     print(f"\naudio processed per call: {audio_sec:.0f} s")
     print(f"sum of stages: {(t_seg+t_gru+t_ola+t_band+t_fsm)*1e3:.2f} ms  vs full {t_full*1e3:.2f} ms")
+    print(f"unaccounted (model_in assembly, feats, RMS, valid logic): {(t_wi-t_seg-t_gru-t_ola-t_band)*1e3:.2f} ms")
     print(f"realtime factor (full): {audio_sec/t_full:.0f}x")
 
 

@@ -246,6 +246,99 @@ def _band_basis(window_key: int, n_fft: int, min_bin: int, max_bin: int) -> np.n
     ).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _band16_basis(
+    window_key: int, n_fft: int, min_bin: int, max_bin: int, rate: int
+) -> np.ndarray:
+    """Upsample-folded band DFT basis: [n_fft + 1, rate * 2 * n_band].
+
+    One "superframe" of ``n_fft`` consecutive 16 kHz samples (plus the one
+    sample before it, the lerp carry) covers exactly ``rate`` adjacent
+    n_fft-sample 48 kHz analysis windows. The lerp-upsample operator
+    (resample.zig:32-65) is LINEAR, so it folds into the windowed band DFT:
+    band volumes come straight off the 16 kHz denoiser output and the
+    upsampled stream is never materialized on the scoring path (PARITY.md
+    controlled deviation: values match upsample-then-DFT to ~1e-6 rel).
+    Column blocks per window w in 0..rate-1: [re(n_band) | im(n_band)]."""
+    window = _SEGMAT_WINDOWS[window_key].astype(np.float64)
+    n_band = max_bin - min_bin + 1
+    # U: [rate*n_fft 48k samples, n_fft+1 = prev + 16k samples] lerp matrix.
+    u = np.zeros((rate * n_fft, n_fft + 1))
+    i = np.arange(n_fft)
+    for j in range(rate):
+        f = (j + 1) / rate
+        rows = i * rate + j
+        if j == rate - 1:
+            u[rows, i + 1] = 1.0
+        else:
+            u[rows, i] = 1.0 - f
+            u[rows, i + 1] = f
+    n = np.arange(n_fft, dtype=np.float64)[:, None]
+    k = np.arange(min_bin, max_bin + 1, dtype=np.float64)[None, :]
+    phase = -2.0 * np.pi * n * k / n_fft
+    wd = np.concatenate(
+        [window[:, None] * np.cos(phase), window[:, None] * np.sin(phase)], axis=1
+    )  # [n_fft, 2*n_band]
+    blocks = []
+    for w in range(rate):
+        a = np.zeros((rate * n_fft, 2 * n_band))
+        a[w * n_fft : (w + 1) * n_fft, :] = wd
+        blocks.append(u.T @ a)
+    return np.concatenate(blocks, axis=1).astype(np.float32)
+
+
+def band_volume_16k(
+    x16: jnp.ndarray,
+    prev: jnp.ndarray,
+    window: np.ndarray,
+    n_fft: int,
+    norm_factor: float,
+    min_bin: int,
+    max_bin: int,
+    n_windows: int,
+    rate: int = 3,
+) -> jnp.ndarray:
+    """Speech-band volumes of ``n_windows`` 48 kHz analysis windows computed
+    directly from the 16 kHz denoiser output with the lerp upsample folded
+    into the DFT basis (``_band16_basis``) — the offline/slab scoring paths'
+    band stage, replacing materialize-upsample + 48 kHz frame DFT (~4 ms of
+    the 21-stream bench call; paths that *emit* audio still upsample).
+
+    Args:
+      x16: [..., T16] denoised 16 kHz stream (a slab or whole stream).
+      prev: [...] the 16 kHz sample immediately before ``x16`` (0 at stream
+        start; the previous slab's final sample when chaining — slabs are
+        lcm-aligned so superframes line up across slab boundaries).
+      n_windows: number of 48 kHz windows to emit (tail windows padded with
+        zeros are the caller's invalid region).
+    Returns [..., n_windows]."""
+    key = hash(np.asarray(window, np.float32).tobytes())
+    _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
+    basis = jnp.asarray(_band16_basis(key, n_fft, min_bin, max_bin, rate))
+    n_band = max_bin - min_bin + 1
+    nsw = -(-n_windows // rate)
+    need = nsw * n_fft
+    t = x16.shape[-1]
+    if t < need:
+        x16 = jnp.pad(x16, [(0, 0)] * (x16.ndim - 1) + [(0, need - t)])
+    # Superframes by pure reshape (a 1-element lane-axis prepend would
+    # relayout the whole stream); the single carried prev sample per
+    # superframe enters as a rank-1 term on the basis's prev row instead.
+    main = x16[..., :need].reshape(x16.shape[:-1] + (nsw, n_fft))
+    prevs = jnp.concatenate(
+        [jnp.asarray(prev, x16.dtype)[..., None], main[..., :-1, -1]], axis=-1
+    )  # [..., nsw]: sample before each superframe
+    prod = (
+        jnp.matmul(main, basis[1:], precision=matmul_precision())
+        + prevs[..., None] * basis[0]
+    )
+    prod = prod.reshape(prod.shape[:-1] + (rate, 2, n_band))
+    mags = jnp.sqrt(prod[..., 0, :] ** 2 + prod[..., 1, :] ** 2)
+    band = jnp.sum(mags, axis=-1) * np.float32(norm_factor)  # [..., nsw, rate]
+    band = band.reshape(band.shape[:-2] + (nsw * rate,))
+    return band[..., :n_windows]
+
+
 def band_volume_windows(
     frames: jnp.ndarray,
     window: np.ndarray,

@@ -9,15 +9,23 @@ This kernel runs the ENTIRE window scan inside Pallas programs with no
 per-step dispatch:
 
 * grid = (n_streams, n_tiles): the tile axis is minor, so for each stream
-  the tiles execute sequentially on the core — the scan state survives
-  across tiles in scratch (TPU scratch persists along the grid).
-* per-window scalars (inputs and outputs) live in SMEM blocks — Mosaic
-  cannot index single VMEM lanes dynamically, but SMEM is scalar memory.
-* the three rolling-average ring buffers live in VMEM scratch; a ring push
-  is a masked whole-buffer select and the average is a full VPU reduction,
-  matching the reference's recompute-on-push semantics
-  (RollingAverage.zig:45-56).
-* FSM registers (state, indices, accumulators) persist in SMEM scratch.
+  the tiles execute sequentially on the core — per-stream state survives
+  across tiles in the output blocks (constant index_map) and SMEM scratch.
+* per-window scalars (inputs and outputs) live in SMEM blocks.
+* the three rolling-average ring buffers are FLAT SMEM ARRAYS, aliased
+  input->output (``input_output_aliases``) so the kernel mutates them in
+  place with single scalar stores. The running averages are maintained as
+  Kahan-compensated incremental sums in the loop carry (seeded per call
+  with an exact ``jnp.sum`` of the ring, so the value is always within
+  ~1 ulp of the reference's recompute-on-push sum, RollingAverage.zig:
+  45-56 — see PARITY.md deviation 1). This design is the third iteration:
+  masked whole-buffer VMEM writes + full VPU re-reductions measured
+  ~250 ns/window of serial VMEM latency; 8-row sub-blocked and dynamic-row
+  (`pl.ds`) variants measured no better or worse; SMEM scalar ring ops
+  measure ~40 ns/window because the scalar core's dependent-access latency
+  is far lower than the VPU's VMEM RMW+reduce chain.
+* the 13 FSM registers thread through the ``fori_loop`` carry (SSA machine
+  registers), spilled to the register-file output block once per tile.
 
 Semantics are identical to ``fsm.step_window`` (asserted by tests, which
 run the kernel in interpreter mode on CPU against the scan reference).
@@ -35,10 +43,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import fsm
 
-LANES = 128
 TILE = 512  # windows per grid step (~10.9 s of audio)
+MAX_RING = 1 << 16  # SMEM ring cap (~23 min of rolling window)
 
-# SMEM register file layout (int32 / float32 scratch arrays)
+# Register-file layout (int32 / float32 carry blocks)
 I_LONG_IDX, I_LONG_CNT, I_SHORT_IDX, I_SHORT_CNT, I_RATIO_IDX, I_RATIO_CNT, \
     I_STATE, I_START, I_END, I_SEG_CNT = range(10)
 NI = 10
@@ -46,13 +54,9 @@ F_LONG_LAST, F_SEG_SUM, F_MET_SEC = range(3)
 NF = 3
 
 
-def _rows(n: int) -> int:
-    return max(1, (n + LANES - 1) // LANES)
-
-
 def _kernel(
     shape: fsm.FSMShape,
-    # inputs (SMEM blocks [1, 1, TILE] except scalars [1, 1])
+    # inputs (SMEM blocks [1, 1, TILE] except scalars [1, 1, 1])
     minvol_ref,
     ratio_ref,
     valid_ref,
@@ -62,14 +66,14 @@ def _kernel(
     mg_ref,
     md_ref,
     ia_ref,
-    win_base_ref,  # [1, 1] i32: global index of this stream's first window
-    # initial carry (per stream): ring buffers in VMEM, registers in SMEM
-    long_in,  # [1, rows(L), 128] f32
-    short_in,  # [1, rows(S), 128] f32
-    ratio_in,  # [1, rows(R), 128] f32
-    ireg_in,  # [1, NI] i32
-    freg_in,  # [1, NF] f32
-    # outputs (SMEM blocks [1, 1, TILE]) + final carry
+    win_base_ref,  # [1, 1, 1] i32: global index of this stream's first window
+    sums_ref,  # [1, 1, 3] f32: exact initial ring sums (long, short, ratio)
+    long_in,  # aliased to long_io — unused (the out ref is the live buffer)
+    short_in,
+    ratio_in,
+    ireg_in,
+    freg_in,
+    # outputs (SMEM blocks [1, 1, TILE]) + carry (aliased, in-place)
     event_ref,
     eventwin_ref,
     segvalid_ref,
@@ -77,17 +81,13 @@ def _kernel(
     segend_ref,
     segratio_ref,
     segmet_ref,
-    long_out,  # [1, rows(L), 128] f32
-    short_out,
-    ratio_out,
-    ireg_out,  # [1, NI] i32
-    freg_out,  # [1, NF] f32
+    long_io,  # [1, 1, L] f32 flat ring (SMEM, aliased input 11)
+    short_io,  # [1, 1, S]
+    ratio_io,  # [1, 1, R]
+    ireg_io,  # [1, 1, NI] i32
+    freg_io,  # [1, 1, NF] f32
     # scratch
-    long_buf,  # VMEM [rows(L), 128] f32
-    short_buf,  # VMEM [rows(S), 128] f32
-    ratio_buf,  # VMEM [rows(R), 128] f32
-    ireg,  # SMEM (NI,) i32
-    freg,  # SMEM (NF,) f32
+    ksum,  # SMEM (6,) f32: cross-tile Kahan (sum, comp) x (long, short, ratio)
 ):
     L, S, R = shape.long_window, shape.short_window, shape.ratio_window
     fftsz = np.int32(shape.fft_size)
@@ -99,75 +99,48 @@ def _kernel(
     min_consec = mc_ref[0, 0, 0]
     max_gap = mg_ref[0, 0, 0]
     min_dur = md_ref[0, 0, 0]
-    init_avg = ia_ref[0, 0, 0]
 
     tile_idx = pl.program_id(1)
     tile_base = tile_idx * np.int32(TILE)
 
-    lrows = _rows(L)
-    l_row_ids = jax.lax.broadcasted_iota(jnp.int32, (lrows, LANES), 0)
-    l_col_ids = jax.lax.broadcasted_iota(jnp.int32, (lrows, LANES), 1)
-    l_flat = l_row_ids * LANES + l_col_ids
-
-    def make_ring_set(buf, n):
-        rows = _rows(n)
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1)
-        flat = row_ids * LANES + col_ids
-        def ring_set(idx, value):
-            # One masked whole-buffer write. (A row-predicated variant —
-            # @pl.when per row so only the written row is touched — measured
-            # 1.6-1.9x SLOWER on chip: the 66 scalar-unit branches per push
-            # cost more than the 66-vreg masked RMW they avoid.)
-            buf[:, :] = jnp.where(flat == idx, value, buf[:, :])
-
-        return ring_set
-
-    long_set = make_ring_set(long_buf, L)
-    short_set = make_ring_set(short_buf, S)
-    ratio_set = make_ring_set(ratio_buf, R)
-
-    # --- load the carried state at the first tile of each stream ---
+    # Seed the Kahan accumulators from the exact per-call ring sums.
     @pl.when(tile_idx == 0)
     def _():
-        long_buf[:, :] = long_in[0, :, :]
-        short_buf[:, :] = short_in[0, :, :]
-        ratio_buf[:, :] = ratio_in[0, :, :]
-        for i in range(NI):
-            ireg[i] = ireg_in[0, 0, i]
-        for i in range(NF):
-            freg[i] = freg_in[0, 0, i]
+        for k in range(3):
+            ksum[2 * k] = sums_ref[0, 0, k]
+            ksum[2 * k + 1] = jnp.float32(0.0)
 
-    def step(t, _):
+    def ring_push(ref, n, idx, val, s, comp, do_push):
+        """Overwrite ring slot ``idx`` with ``val`` (when do_push) and
+        return the compensated updated (sum, comp): s + (val - evicted).
+
+        The store is UNCONDITIONAL with a selected value (old when not
+        pushing) — a data-dependent ``pl.when`` around a dynamic SMEM
+        store miscompiled/hung on real Mosaic; the select-store is
+        branch-free and semantically identical."""
+        old = ref[0, 0, idx]
+        ref[0, 0, idx] = jnp.where(do_push, val, old)
+        y = (val - old) - comp
+        t2 = s + y
+        c2 = (t2 - s) - y
+        return jnp.where(do_push, t2, s), jnp.where(do_push, c2, comp)
+
+    def step(t, carry):
+        (long_idx, long_cnt, long_last, short_idx, short_cnt, ratio_idx,
+         ratio_cnt, state, start_win, end_win, seg_sum, seg_cnt, met_sec,
+         ls, lc, ss, sc, rs, rc) = carry
         valid = valid_ref[0, 0, t] != 0
         mv = minvol_ref[0, 0, t]
         vr = ratio_ref[0, 0, t]
         win_idx = win_base_ref[0, 0, 0] + tile_base + t
 
-        long_idx = ireg[I_LONG_IDX]
-        long_cnt = ireg[I_LONG_CNT]
-        long_last = freg[F_LONG_LAST]
-        short_idx = ireg[I_SHORT_IDX]
-        short_cnt = ireg[I_SHORT_CNT]
-        ratio_idx = ireg[I_RATIO_IDX]
-        ratio_cnt = ireg[I_RATIO_CNT]
-        state = ireg[I_STATE]
-        start_win = ireg[I_START]
-        end_win = ireg[I_END]
-        seg_sum = freg[F_SEG_SUM]
-        seg_cnt = ireg[I_SEG_CNT]
-        met_sec = freg[F_MET_SEC]
-
         # --- rolling averages (RollingAverage.zig semantics) ---
-        @pl.when(valid)
-        def _():
-            short_set(short_idx, mv)
-            ratio_set(ratio_idx, vr)
-
+        ss, sc = ring_push(short_io, S, short_idx, mv, ss, sc, valid)
+        rs, rc = ring_push(ratio_io, R, ratio_idx, vr, rs, rc, valid)
         short_cnt2 = jnp.minimum(short_cnt + 1, np.int32(S))
         ratio_cnt2 = jnp.minimum(ratio_cnt + 1, np.int32(R))
-        short_avg = jnp.sum(short_buf[:, :]) / short_cnt2.astype(jnp.float32)
-        ratio_avg = jnp.sum(ratio_buf[:, :]) / ratio_cnt2.astype(jnp.float32)
+        short_avg = ss / short_cnt2.astype(jnp.float32)
+        ratio_avg = rs / ratio_cnt2.astype(jnp.float32)
 
         if shape.has_initial_avg:
             base = long_last
@@ -176,13 +149,10 @@ def _kernel(
         met = (short_avg > base * tf) & (ratio_avg > rth)
 
         # long-term only advances when the threshold is NOT met
-        @pl.when(valid & jnp.logical_not(met))
-        def _():
-            long_set(long_idx, mv)
-
-        long_cnt2 = jnp.minimum(long_cnt + 1, np.int32(L))
-        long_avg2 = jnp.sum(long_buf[:, :]) / long_cnt2.astype(jnp.float32)
         push_long = jnp.logical_not(met)
+        ls, lc = ring_push(long_io, L, long_idx, mv, ls, lc, valid & push_long)
+        long_cnt2 = jnp.minimum(long_cnt + 1, np.int32(L))
+        long_avg2 = ls / long_cnt2.astype(jnp.float32)
 
         # --- state machine ---
         is_closed = state == fsm.CLOSED
@@ -248,60 +218,66 @@ def _kernel(
         new_seg_cnt = jnp.where(is_open, new_seg_cnt + 1, new_seg_cnt)
         new_met_sec = jnp.where(is_open & met, new_met_sec + win_sec, new_met_sec)
 
-        # Register writeback, gated on validity (invalid windows freeze all
-        # state; the ring writes above were already gated).
-        @pl.when(valid)
-        def _():
-            ireg[I_LONG_IDX] = jnp.where(
-                push_long, jax.lax.rem(long_idx + 1, np.int32(L)), long_idx
-            )
-            ireg[I_LONG_CNT] = jnp.where(push_long, long_cnt2, long_cnt)
-            freg[F_LONG_LAST] = jnp.where(push_long, long_avg2, long_last)
-            ireg[I_SHORT_IDX] = jax.lax.rem(short_idx + 1, np.int32(S))
-            ireg[I_SHORT_CNT] = short_cnt2
-            ireg[I_RATIO_IDX] = jax.lax.rem(ratio_idx + 1, np.int32(R))
-            ireg[I_RATIO_CNT] = ratio_cnt2
-            ireg[I_STATE] = new_state
-            ireg[I_START] = new_start
-            ireg[I_END] = new_end
-            freg[F_SEG_SUM] = new_seg_sum
-            ireg[I_SEG_CNT] = new_seg_cnt
-            freg[F_MET_SEC] = new_met_sec
+        # Carry update, gated on validity via selects (invalid windows
+        # freeze all state; the ring/sum writes above were already gated).
+        def sel(new, old):
+            return jnp.where(valid, new, old)
 
-        return 0
+        return (
+            sel(jnp.where(push_long, jax.lax.rem(long_idx + 1, np.int32(L)), long_idx),
+                long_idx),
+            sel(jnp.where(push_long, long_cnt2, long_cnt), long_cnt),
+            sel(jnp.where(push_long, long_avg2, long_last), long_last),
+            sel(jax.lax.rem(short_idx + 1, np.int32(S)), short_idx),
+            sel(short_cnt2, short_cnt),
+            sel(jax.lax.rem(ratio_idx + 1, np.int32(R)), ratio_idx),
+            sel(ratio_cnt2, ratio_cnt),
+            sel(new_state, state),
+            sel(new_start, start_win),
+            sel(new_end, end_win),
+            sel(new_seg_sum, seg_sum),
+            sel(new_seg_cnt, seg_cnt),
+            sel(new_met_sec, met_sec),
+            ls, lc, ss, sc, rs, rc,
+        )
 
-    jax.lax.fori_loop(0, TILE, step, 0)
+    carry0 = (
+        ireg_io[0, 0, I_LONG_IDX], ireg_io[0, 0, I_LONG_CNT],
+        freg_io[0, 0, F_LONG_LAST],
+        ireg_io[0, 0, I_SHORT_IDX], ireg_io[0, 0, I_SHORT_CNT],
+        ireg_io[0, 0, I_RATIO_IDX], ireg_io[0, 0, I_RATIO_CNT],
+        ireg_io[0, 0, I_STATE], ireg_io[0, 0, I_START], ireg_io[0, 0, I_END],
+        freg_io[0, 0, F_SEG_SUM], ireg_io[0, 0, I_SEG_CNT],
+        freg_io[0, 0, F_MET_SEC],
+        ksum[0], ksum[1], ksum[2], ksum[3], ksum[4], ksum[5],
+    )
+    final = jax.lax.fori_loop(0, TILE, step, carry0)
 
-    # --- emit the final carry at the last tile ---
-    @pl.when(tile_idx == pl.num_programs(1) - 1)
-    def _():
-        long_out[0, :, :] = long_buf[:, :]
-        short_out[0, :, :] = short_buf[:, :]
-        ratio_out[0, :, :] = ratio_buf[:, :]
-        for i in range(NI):
-            ireg_out[0, 0, i] = ireg[i]
-        for i in range(NF):
-            freg_out[0, 0, i] = freg[i]
-
-
-def _ring_to_kernel(buf_1d: jnp.ndarray, n: int) -> jnp.ndarray:
-    """[..., n] ring buffer -> [..., rows(n), 128] kernel layout (zero pad)."""
-    rows = _rows(n)
-    pad = rows * LANES - n
-    x = jnp.pad(buf_1d, [(0, 0)] * (buf_1d.ndim - 1) + [(0, pad)])
-    return x.reshape(x.shape[:-1] + (rows, LANES))
-
-
-def _ring_from_kernel(buf_2d: jnp.ndarray, n: int) -> jnp.ndarray:
-    return buf_2d.reshape(buf_2d.shape[:-2] + (-1,))[..., :n]
+    # Spill the register file / Kahan state once per tile; the aliased
+    # register block doubles as the cross-tile store and the final output.
+    ireg_io[0, 0, I_LONG_IDX] = final[0]
+    ireg_io[0, 0, I_LONG_CNT] = final[1]
+    freg_io[0, 0, F_LONG_LAST] = final[2]
+    ireg_io[0, 0, I_SHORT_IDX] = final[3]
+    ireg_io[0, 0, I_SHORT_CNT] = final[4]
+    ireg_io[0, 0, I_RATIO_IDX] = final[5]
+    ireg_io[0, 0, I_RATIO_CNT] = final[6]
+    ireg_io[0, 0, I_STATE] = final[7]
+    ireg_io[0, 0, I_START] = final[8]
+    ireg_io[0, 0, I_END] = final[9]
+    freg_io[0, 0, F_SEG_SUM] = final[10]
+    ireg_io[0, 0, I_SEG_CNT] = final[11]
+    freg_io[0, 0, F_MET_SEC] = final[12]
+    for k in range(6):
+        ksum[k] = final[13 + k]
 
 
 def pack_carry(shape: fsm.FSMShape, carry: dict) -> tuple:
     """fsm.init_carry-style dict [B, ...] -> kernel arrays
-    (long [B,rows,128], short, ratio, ireg [B,NI] i32, freg [B,NF] f32)."""
-    long_b = _ring_to_kernel(carry["long_buf"], shape.long_window)
-    short_b = _ring_to_kernel(carry["short_buf"], shape.short_window)
-    ratio_b = _ring_to_kernel(carry["ratio_buf"], shape.ratio_window)
+    (long [B,1,L], short, ratio flat f32; ireg [B,1,NI] i32; freg [B,1,NF])."""
+    long_b = carry["long_buf"][:, None, :]
+    short_b = carry["short_buf"][:, None, :]
+    ratio_b = carry["ratio_buf"][:, None, :]
     ireg = jnp.stack(
         [
             carry["long_idx"], carry["long_cnt"], carry["short_idx"],
@@ -310,31 +286,31 @@ def pack_carry(shape: fsm.FSMShape, carry: dict) -> tuple:
             carry["seg_ratio_cnt"],
         ],
         axis=-1,
-    ).astype(jnp.int32)
+    ).astype(jnp.int32)[:, None, :]
     freg = jnp.stack(
         [carry["long_last"], carry["seg_ratio_sum"], carry["met_sec"]], axis=-1
-    ).astype(jnp.float32)
+    ).astype(jnp.float32)[:, None, :]
     return long_b, short_b, ratio_b, ireg, freg
 
 
 def unpack_carry(shape: fsm.FSMShape, long_b, short_b, ratio_b, ireg, freg) -> dict:
     return {
-        "long_buf": _ring_from_kernel(long_b, shape.long_window),
-        "long_idx": ireg[..., I_LONG_IDX],
-        "long_cnt": ireg[..., I_LONG_CNT],
-        "long_last": freg[..., F_LONG_LAST],
-        "short_buf": _ring_from_kernel(short_b, shape.short_window),
-        "short_idx": ireg[..., I_SHORT_IDX],
-        "short_cnt": ireg[..., I_SHORT_CNT],
-        "ratio_buf": _ring_from_kernel(ratio_b, shape.ratio_window),
-        "ratio_idx": ireg[..., I_RATIO_IDX],
-        "ratio_cnt": ireg[..., I_RATIO_CNT],
-        "state": ireg[..., I_STATE],
-        "start_win": ireg[..., I_START],
-        "end_win": ireg[..., I_END],
-        "seg_ratio_sum": freg[..., F_SEG_SUM],
-        "seg_ratio_cnt": ireg[..., I_SEG_CNT],
-        "met_sec": freg[..., F_MET_SEC],
+        "long_buf": long_b[:, 0, :],
+        "long_idx": ireg[:, 0, I_LONG_IDX],
+        "long_cnt": ireg[:, 0, I_LONG_CNT],
+        "long_last": freg[:, 0, F_LONG_LAST],
+        "short_buf": short_b[:, 0, :],
+        "short_idx": ireg[:, 0, I_SHORT_IDX],
+        "short_cnt": ireg[:, 0, I_SHORT_CNT],
+        "ratio_buf": ratio_b[:, 0, :],
+        "ratio_idx": ireg[:, 0, I_RATIO_IDX],
+        "ratio_cnt": ireg[:, 0, I_RATIO_CNT],
+        "state": ireg[:, 0, I_STATE],
+        "start_win": ireg[:, 0, I_START],
+        "end_win": ireg[:, 0, I_END],
+        "seg_ratio_sum": freg[:, 0, F_SEG_SUM],
+        "seg_ratio_cnt": ireg[:, 0, I_SEG_CNT],
+        "met_sec": freg[:, 0, F_MET_SEC],
     }
 
 
@@ -360,30 +336,37 @@ def scan_windows_pallas(
     b, w = min_volumes.shape
     w_pad = ((w + TILE - 1) // TILE) * TILE
     n_tiles = w_pad // TILE
+    if max(shape.long_window, shape.short_window, shape.ratio_window) > MAX_RING:
+        raise NotImplementedError(
+            f"rolling windows above {MAX_RING} slots exceed the kernel's "
+            "SMEM ring budget; use the lax.scan path (fsm.scan_windows)"
+        )
 
     if carry is None:
         carry = jax.vmap(lambda _: fsm.init_carry(shape, params))(jnp.arange(b))
     if win_base is None:
         win_base = jnp.zeros((b,), jnp.int32)
     long_b, short_b, ratio_b, ireg, freg = pack_carry(shape, carry)
+    # Exact per-call seeds for the in-kernel Kahan sums.
+    sums = jnp.stack(
+        [
+            jnp.sum(long_b[:, 0, :], axis=-1),
+            jnp.sum(short_b[:, 0, :], axis=-1),
+            jnp.sum(ratio_b[:, 0, :], axis=-1),
+        ],
+        axis=-1,
+    )[:, None, :]
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, w_pad - w)))
 
     kernel = functools.partial(_kernel, shape)
 
-    lrows = _rows(shape.long_window)
-    srows = _rows(shape.short_window)
-    rrows = _rows(shape.ratio_window)
-
     in_spec = pl.BlockSpec((1, 1, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.SMEM)
     # Per-stream scalar/register arrays live as [B, 1, N] so every block's
     # trailing two dims equal the array dims (the Mosaic tiling rule).
     per_stream_smem = pl.BlockSpec((1, 1, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((1, 1, TILE), lambda i, j: (i, 0, j), memory_space=pltpu.SMEM)
-
-    def ring_spec(rows):
-        return pl.BlockSpec((1, rows, LANES), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
 
     def reg_spec(n):
         return pl.BlockSpec((1, 1, n), lambda i, j: (i, 0, 0), memory_space=pltpu.SMEM)
@@ -395,15 +378,17 @@ def scan_windows_pallas(
             x = jnp.broadcast_to(x, (b,))
         return x.reshape(b, 1, 1)
 
+    L, S, R = shape.long_window, shape.short_window, shape.ratio_window
     outs = pl.pallas_call(
         kernel,
         grid=(b, n_tiles),
         in_specs=[in_spec, in_spec, in_spec]
         + [per_stream_smem] * 6
         + [per_stream_smem]
-        + [ring_spec(lrows), ring_spec(srows), ring_spec(rrows), reg_spec(NI), reg_spec(NF)],
+        + [reg_spec(3)]
+        + [reg_spec(L), reg_spec(S), reg_spec(R), reg_spec(NI), reg_spec(NF)],
         out_specs=[out_spec] * 7
-        + [ring_spec(lrows), ring_spec(srows), ring_spec(rrows), reg_spec(NI), reg_spec(NF)],
+        + [reg_spec(L), reg_spec(S), reg_spec(R), reg_spec(NI), reg_spec(NF)],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # event
             jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # event_win
@@ -412,18 +397,17 @@ def scan_windows_pallas(
             jax.ShapeDtypeStruct((b, 1, w_pad), jnp.int32),  # seg_end
             jax.ShapeDtypeStruct((b, 1, w_pad), jnp.float32),  # seg_ratio
             jax.ShapeDtypeStruct((b, 1, w_pad), jnp.float32),  # seg_met
-            jax.ShapeDtypeStruct((b, lrows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, srows, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, rrows, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, L), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, R), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, NI), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, NF), jnp.float32),
         ],
+        # The carry rings/registers are mutated in place: input k lands in
+        # output k-11 (rings start at input 11, output 7).
+        input_output_aliases={11: 7, 12: 8, 13: 9, 14: 10, 15: 11},
         scratch_shapes=[
-            pltpu.VMEM((lrows, LANES), jnp.float32),
-            pltpu.VMEM((srows, LANES), jnp.float32),
-            pltpu.VMEM((rrows, LANES), jnp.float32),
-            pltpu.SMEM((NI,), jnp.int32),
-            pltpu.SMEM((NF,), jnp.float32),
+            pltpu.SMEM((6,), jnp.float32),  # Kahan (sum, comp) x 3 rings
         ],
         interpret=interpret,
     )(
@@ -437,11 +421,12 @@ def scan_windows_pallas(
         smem_scalar(params.min_duration_sec, jnp.float32),
         smem_scalar(params.initial_long_term_avg, jnp.float32),
         win_base.astype(jnp.int32)[:, None, None],
+        sums,
         long_b,
         short_b,
         ratio_b,
-        ireg[:, None, :],
-        freg[:, None, :],
+        ireg,
+        freg,
     )
     event, event_win, seg_valid, seg_start, seg_end, seg_ratio, seg_met = (
         o[:, 0, :w] for o in outs[:7]
@@ -458,5 +443,5 @@ def scan_windows_pallas(
     if not return_carry:
         return win_out
     lb, sb, rb, ireg_o, freg_o = outs[7:]
-    new_carry = unpack_carry(shape, lb, sb, rb, ireg_o[:, 0, :], freg_o[:, 0, :])
+    new_carry = unpack_carry(shape, lb, sb, rb, ireg_o, freg_o)
     return win_out, new_carry

@@ -66,21 +66,25 @@ def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32
     }
 
 
-def denoise_offline_carry(
+def denoise_offline_16k(
     params: nsnet2.NSNet2Params,
     audio: jnp.ndarray,
     carry: dict,
     downsample_rate: int = 3,
 ):
-    """Chunk-parallel denoise of one slab with explicit boundary state.
+    """Chunk-parallel denoise of one slab, stopping at the 16 kHz output.
 
-    Chaining slabs through the carry is bit-identical to one whole-stream
-    ``denoise_offline`` run (and hence to the streaming chunk chain).
+    The full pipeline's scoring path never needs the upsampled 48 kHz
+    stream (its only consumer is the band DFT, which ``stft.band_volume_16k``
+    computes directly from the 16 kHz signal with the lerp fold) — callers
+    that must EMIT audio wrap this with ``resample.upsample`` via
+    ``denoise_offline_carry``.
 
     Args:
       audio: [..., C, S] slab, S a multiple of the 24000-sample chunk.
     Returns:
-      (denoised [..., C, S], new_carry).
+      (completed16 [..., C, S/rate], prev16 [..., C] — the 16 kHz sample
+       preceding this slab (the lerp carry), new_carry).
     """
     t48 = audio.shape[-1]
     chunk48 = NSNET2_CHUNK_16K * downsample_rate
@@ -131,13 +135,35 @@ def denoise_offline_carry(
     ola = ola.at[..., :NSNET2_N_HOP].add(carry["out_tail"])
     completed = ola[..., : k * NSNET2_CHUNK_16K]
 
-    up, new_last = resample.upsample(completed, carry["last_sample"], downsample_rate)
     new_carry = {
         "raw_tail": audio[..., -NSNET2_N_HOP * downsample_rate :],
         "feat_ctx": feats[..., -NSNET2_CONTEXT_FRAMES:, :],
         "out_tail": ola[..., k * NSNET2_CHUNK_16K :],
-        "last_sample": new_last,
+        "last_sample": completed[..., -1],
     }
+    return completed, carry["last_sample"], new_carry
+
+
+def denoise_offline_carry(
+    params: nsnet2.NSNet2Params,
+    audio: jnp.ndarray,
+    carry: dict,
+    downsample_rate: int = 3,
+):
+    """Chunk-parallel denoise of one slab with explicit boundary state.
+
+    Chaining slabs through the carry is bit-identical to one whole-stream
+    ``denoise_offline`` run (and hence to the streaming chunk chain).
+
+    Args:
+      audio: [..., C, S] slab, S a multiple of the 24000-sample chunk.
+    Returns:
+      (denoised [..., C, S], new_carry).
+    """
+    completed, prev16, new_carry = denoise_offline_16k(
+        params, audio, carry, downsample_rate
+    )
+    up, _ = resample.upsample(completed, prev16, downsample_rate)
     return up, new_carry
 
 
@@ -217,21 +243,30 @@ def window_inputs_carry(
     k = t // chunk
     audio = audio[:, : k * chunk]
 
-    denoised, den_carry = denoise_offline_carry(
-        params, audio, den_carry, st.downsample_rate
-    )  # [C, T]
-
     n_windows = (k * chunk) // st.fft_size
-    frames = denoised[:, : n_windows * st.fft_size].reshape(c, n_windows, st.fft_size)
-    band = stft.band_volume_windows(
-        frames, vad._hann(st.fft_size), st.fft_size, st.norm_factor,
-        st.min_bin, st.max_bin,
+    completed16, prev16, den_carry = denoise_offline_16k(
+        params, audio, den_carry, st.downsample_rate
+    )
+    # Scoring-path band volumes come straight from the 16 kHz signal with
+    # the lerp upsample folded into the DFT basis — the 48 kHz denoised
+    # stream (3x the bytes) is materialized only when a caller asks for it.
+    band = stft.band_volume_16k(
+        completed16, prev16, vad._hann(st.fft_size), st.fft_size,
+        st.norm_factor, st.min_bin, st.max_bin, n_windows,
+        rate=st.downsample_rate,
     )
     min_vol = jnp.min(band, axis=0)
+    denoised = None
+    if collect_denoised:
+        denoised, _ = resample.upsample(completed16, prev16, st.downsample_rate)
 
-    ratio_chunk, _, _ = jax.vmap(volume.volume_analysis)(
-        audio.reshape(c, k, chunk).transpose(1, 0, 2)
-    )
+    # Channel-axis reductions directly on the [C, K, chunk] layout (a
+    # [K, C, chunk] transpose relayouts the entire stream on TPU); values
+    # are bitwise those of volume.volume_analysis per chunk.
+    vols = volume.rms_volume(audio.reshape(c, k, chunk))  # [C, K]
+    vol_min = jnp.minimum(jnp.min(vols, axis=0), 1.0)
+    vol_max = jnp.maximum(jnp.max(vols, axis=0), 0.0)
+    ratio_chunk = jnp.where(vol_max == 0.0, 0.0, vol_min / vol_max)
     w = jnp.arange(n_windows)
     w_start = w * st.fft_size
     w_end = w_start + st.fft_size
@@ -252,7 +287,7 @@ def window_inputs_carry(
     # identity of seg_ratio.
     ratios = jnp.where(c0 == c1, r0, weighted)
     valid = w_end <= n_valid_chunks * chunk
-    return den_carry, min_vol, ratios, valid, (denoised if collect_denoised else None)
+    return den_carry, min_vol, ratios, valid, denoised
 
 
 def window_inputs(
