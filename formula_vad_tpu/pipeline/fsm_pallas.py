@@ -68,7 +68,7 @@ def _kernel(
     ia_ref,
     win_base_ref,  # [1, 1, 1] i32: global index of this stream's first window
     sums_ref,  # [1, 1, 3] f32: exact initial ring sums (long, short, ratio)
-    long_in,  # aliased to long_io — unused (the out ref is the live buffer)
+    long_in,  # initial carry (copied into the *_io outputs at tile 0)
     short_in,
     ratio_in,
     ireg_in,
@@ -81,13 +81,14 @@ def _kernel(
     segend_ref,
     segratio_ref,
     segmet_ref,
-    long_io,  # [1, 1, L] f32 flat ring (SMEM, aliased input 11)
+    long_io,  # [1, 1, L] f32 flat ring (SMEM; the live mutable ring)
     short_io,  # [1, 1, S]
     ratio_io,  # [1, 1, R]
     ireg_io,  # [1, 1, NI] i32
     freg_io,  # [1, 1, NF] f32
     # scratch
     ksum,  # SMEM (6,) f32: cross-tile Kahan (sum, comp) x (long, short, ratio)
+    copy_sem,  # DMA semaphores (3,) for the tile-0 carry copies
 ):
     L, S, R = shape.long_window, shape.short_window, shape.ratio_window
     fftsz = np.int32(shape.fft_size)
@@ -103,12 +104,28 @@ def _kernel(
     tile_idx = pl.program_id(1)
     tile_base = tile_idx * np.int32(TILE)
 
-    # Seed the Kahan accumulators from the exact per-call ring sums.
+    # Seed the output-resident carry state from the input blocks at tile 0.
+    # (input_output_aliases would make this free, but on real Mosaic an
+    # aliased SMEM output does NOT see the input data before its first
+    # write — reads returned zeros while the interpreter behaved; the ring
+    # copy is a single SMEM->SMEM DMA instead.)
     @pl.when(tile_idx == 0)
     def _():
         for k in range(3):
             ksum[2 * k] = sums_ref[0, 0, k]
             ksum[2 * k + 1] = jnp.float32(0.0)
+        for i in range(NI):
+            ireg_io[0, 0, i] = ireg_in[0, 0, i]
+        for i in range(NF):
+            freg_io[0, 0, i] = freg_in[0, 0, i]
+        for src, dst, sem_slot in (
+            (long_in, long_io, 0), (short_in, short_io, 1), (ratio_in, ratio_io, 2)
+        ):
+            pltpu.make_async_copy(src, dst, copy_sem.at[sem_slot]).start()
+        for src, dst, sem_slot in (
+            (long_in, long_io, 0), (short_in, short_io, 1), (ratio_in, ratio_io, 2)
+        ):
+            pltpu.make_async_copy(src, dst, copy_sem.at[sem_slot]).wait()
 
     def ring_push(ref, n, idx, val, s, comp, do_push):
         """Overwrite ring slot ``idx`` with ``val`` (when do_push) and
@@ -403,11 +420,9 @@ def scan_windows_pallas(
             jax.ShapeDtypeStruct((b, 1, NI), jnp.int32),
             jax.ShapeDtypeStruct((b, 1, NF), jnp.float32),
         ],
-        # The carry rings/registers are mutated in place: input k lands in
-        # output k-11 (rings start at input 11, output 7).
-        input_output_aliases={11: 7, 12: 8, 13: 9, 14: 10, 15: 11},
         scratch_shapes=[
             pltpu.SMEM((6,), jnp.float32),  # Kahan (sum, comp) x 3 rings
+            pltpu.SemaphoreType.DMA((3,)),  # tile-0 carry-copy semaphores
         ],
         interpret=interpret,
     )(
