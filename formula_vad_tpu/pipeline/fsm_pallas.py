@@ -12,18 +12,24 @@ per-step dispatch:
   the tiles execute sequentially on the core — per-stream state survives
   across tiles in the output blocks (constant index_map) and SMEM scratch.
 * per-window scalars (inputs and outputs) live in SMEM blocks.
-* the three rolling-average ring buffers are FLAT SMEM ARRAYS, aliased
-  input->output (``input_output_aliases``) so the kernel mutates them in
-  place with single scalar stores. The running averages are maintained as
-  Kahan-compensated incremental sums in the loop carry (seeded per call
-  with an exact ``jnp.sum`` of the ring, so the value is always within
-  ~1 ulp of the reference's recompute-on-push sum, RollingAverage.zig:
-  45-56 — see PARITY.md deviation 1). This design is the third iteration:
-  masked whole-buffer VMEM writes + full VPU re-reductions measured
-  ~250 ns/window of serial VMEM latency; 8-row sub-blocked and dynamic-row
-  (`pl.ds`) variants measured no better or worse; SMEM scalar ring ops
-  measure ~40 ns/window because the scalar core's dependent-access latency
-  is far lower than the VPU's VMEM RMW+reduce chain.
+* the three rolling-average ring buffers are FLAT SMEM ARRAYS living in
+  the OUTPUT blocks, seeded from the input blocks at tile 0 by SMEM->SMEM
+  DMA and then mutated in place with single branch-free scalar
+  select-stores. The running averages are maintained as Kahan-compensated
+  incremental sums in the loop carry (seeded per call with an exact
+  ``jnp.sum`` of the ring, so the value is always within ~1 ulp of the
+  reference's recompute-on-push sum, RollingAverage.zig:45-56 — see
+  PARITY.md deviation 9). This design is the fourth iteration; measured
+  on chip at the bench shape: masked whole-buffer VMEM writes + full VPU
+  re-reductions cost ~250 ns/window of serial VMEM latency (7.0 ms);
+  8-row sub-blocked and dynamic-row (`pl.ds`) variants were no better or
+  worse; SMEM scalar ring ops measure ~40 ns/window (2.7 ms kernel)
+  because the scalar core's dependent-access latency is far below the
+  VPU's VMEM RMW+reduce chain. Two real-Mosaic pitfalls cost a debugging
+  cycle and are load-bearing here: ``input_output_aliases`` on SMEM
+  blocks does NOT seed outputs with input data before the first write
+  (reads give zeros; the interpreter seeds them), and a data-dependent
+  ``pl.when`` around a dynamic SMEM store miscompiles/hangs.
 * the 13 FSM registers thread through the ``fori_loop`` carry (SSA machine
   registers), spilled to the register-file output block once per tile.
 
