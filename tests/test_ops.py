@@ -189,3 +189,72 @@ class TestVolume:
         chunk = jnp.zeros((2, 100))
         ratio, _, _ = volume.volume_analysis(chunk)
         assert float(ratio) == 0.0
+
+
+class TestFusedBand16:
+    """band_volume_16k (upsample folded into the band DFT, PARITY.md
+    deviation 8) vs materialize-upsample + band_volume_windows."""
+
+    def _ref(self, x16, prev, n_windows):
+        from formula_vad_tpu.ops import resample, stft as stft_mod
+
+        up, _ = resample.upsample(jnp.asarray(x16), jnp.asarray(prev), 3)
+        frames = np.asarray(up)[..., : n_windows * 1024].reshape(
+            x16.shape[:-1] + (n_windows, 1024)
+        )
+        w = windows.hann_periodic(1024)
+        norm = float(windows.window_norm_factor(w) / np.float32(1024))
+        return np.asarray(
+            stft_mod.band_volume_windows(jnp.asarray(frames), w, 1024, norm, 11, 43)
+        )
+
+    def test_matches_upsample_then_band(self):
+        from formula_vad_tpu.ops import stft as stft_mod
+
+        rng = np.random.default_rng(5)
+        t16 = 16000 * 4  # 4 s -> 187 full windows (non-multiple of 3)
+        x16 = (0.1 * rng.standard_normal((2, t16))).astype(np.float32)
+        prev = np.asarray([0.03, -0.02], np.float32)
+        n_windows = t16 * 3 // 1024
+        w = windows.hann_periodic(1024)
+        norm = float(windows.window_norm_factor(w) / np.float32(1024))
+        got = np.asarray(
+            stft_mod.band_volume_16k(
+                jnp.asarray(x16), jnp.asarray(prev), w, 1024, norm, 11, 43, n_windows
+            )
+        )
+        want = self._ref(x16, prev, n_windows)
+        assert got.shape == want.shape == (2, n_windows)
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-7)
+
+    def test_slab_chaining_matches_single_shot(self):
+        """Two chained slabs (prev carried across) == one whole-stream call
+        bitwise — slabs are superframe-aligned by construction."""
+        from formula_vad_tpu.ops import stft as stft_mod
+
+        rng = np.random.default_rng(6)
+        w = windows.hann_periodic(1024)
+        norm = float(windows.window_norm_factor(w) / np.float32(1024))
+        sf = 1024  # superframe = 1024 16k samples = 3 windows
+        t16 = sf * 20
+        x16 = (0.1 * rng.standard_normal((1, t16))).astype(np.float32)
+        whole = np.asarray(
+            stft_mod.band_volume_16k(
+                jnp.asarray(x16), jnp.zeros((1,), jnp.float32), w, 1024, norm,
+                11, 43, 60,
+            )
+        )
+        half = t16 // 2
+        a = np.asarray(
+            stft_mod.band_volume_16k(
+                jnp.asarray(x16[:, :half]), jnp.zeros((1,), jnp.float32), w, 1024,
+                norm, 11, 43, 30,
+            )
+        )
+        b = np.asarray(
+            stft_mod.band_volume_16k(
+                jnp.asarray(x16[:, half:]), jnp.asarray(x16[:, half - 1]), w, 1024,
+                norm, 11, 43, 30,
+            )
+        )
+        np.testing.assert_array_equal(np.concatenate([a, b], axis=-1), whole)
