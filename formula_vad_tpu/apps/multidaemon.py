@@ -24,7 +24,13 @@ streams holding >= one full unprocessed chunk, freezing the rest on device.
 
 Usage:
   python -m formula_vad_tpu.apps.multidaemon -o OUTDIR -n NAME \
-      --streams perez,sainz,alonso [--denoiser MODEL] [--precision P]
+      --streams perez,sainz,alonso [--denoiser MODEL] [--precision P] \
+      [--state DIR]
+
+``--state DIR`` persists the whole fleet on exit and resumes it at startup
+(batched device carries + per-stream rings/recorders + playhead correlation
++ dropped-stream containment) — a restarted multidaemon continues all N
+streams bit-identically, recordings in flight included (tests).
 """
 
 from __future__ import annotations
@@ -51,6 +57,7 @@ class MultiDaemon:
         streams: list[str],
         denoiser_path: str | None = None,
         stdout=None,
+        state_dir: str | None = None,
     ):
         from ..parallel.online import OnlineBatchServer
 
@@ -94,6 +101,42 @@ class MultiDaemon:
         # from one stream to all N, so the fatal is contained: the stream is
         # dropped (its state frozen), the other N-1 keep serving.
         self.dropped: set[str] = set()
+        self.state_dir = state_dir
+
+    # ---- failover state (beyond the reference, like the solo --state) ------
+
+    def save_state(self) -> None:
+        """Persist the batched device carries, every stream's host pipeline
+        state, and the multiplexer's per-stream protocol state, so a
+        restarted multidaemon resumes all N streams bit-identically —
+        including playhead correlation and dropped-stream containment."""
+        self.server.save_state(self.state_dir)
+        with open(os.path.join(self.state_dir, "multidaemon.json"), "w") as f:
+            json.dump(
+                {
+                    "streams": self.streams,
+                    "correlated_sample_index": self.correlated_sample_index,
+                    "correlated_timestamp_ms": self.correlated_timestamp_ms,
+                    "last_segment_length": self.last_segment_length,
+                    "dropped": sorted(self.dropped),
+                },
+                f,
+            )
+
+    def load_state(self) -> None:
+        path = os.path.join(self.state_dir, "multidaemon.json")
+        with open(path) as f:
+            meta = json.load(f)
+        if meta["streams"] != self.streams:
+            raise ValueError(
+                f"state checkpoint serves streams {meta['streams']}, "
+                f"this daemon serves {self.streams}"
+            )
+        self.server.load_state(self.state_dir)
+        self.correlated_sample_index = list(meta["correlated_sample_index"])
+        self.correlated_timestamp_ms = list(meta["correlated_timestamp_ms"])
+        self.last_segment_length = list(meta["last_segment_length"])
+        self.dropped = set(meta["dropped"])
 
     # ---- output ------------------------------------------------------------
 
@@ -212,9 +255,23 @@ class MultiDaemon:
         )
 
     def run(self, stdin=None) -> int:
+        if self.state_dir and os.path.exists(
+            os.path.join(self.state_dir, "multidaemon.json")
+        ):
+            try:
+                self.load_state()
+            except (ValueError, OSError, KeyError) as e:
+                self.report_error(f"Could not resume state: {e}", False)
         stdin = stdin or sys.stdin
-        for line in stdin:
-            self.process_line(line)
+        try:
+            for line in stdin:
+                self.process_line(line)
+        finally:
+            if self.state_dir:
+                try:
+                    self.save_state()
+                except OSError as e:
+                    self.report_error(f"Could not save state: {e}", False)
         return 0
 
 
@@ -231,6 +288,12 @@ def main(argv=None) -> int:
         "--precision", choices=("highest", "high", "default"), default=None,
         help="Matmul precision (see PARITY.md #2)",
     )
+    ap.add_argument(
+        "--state", default=None,
+        help="State checkpoint directory: resumed at startup, written on "
+             "exit (all N streams, bit-identical — incl. playhead "
+             "correlation and dropped-stream containment)",
+    )
     args = ap.parse_args(argv)
 
     def fatal(message: str) -> int:
@@ -245,10 +308,12 @@ def main(argv=None) -> int:
         set_matmul_precision(args.precision)
     if not os.path.isdir(args.outdir) or not os.access(args.outdir, os.W_OK):
         return fatal(f"Output directory {args.outdir} isn't writeable")
+    if args.state:
+        os.makedirs(args.state, exist_ok=True)
     try:
         daemon = MultiDaemon(
             args.name, args.outdir, [s for s in args.streams.split(",") if s],
-            args.denoiser,
+            args.denoiser, state_dir=args.state,
         )
     except (ValueError, OSError) as e:
         return fatal(f"Could not start multidaemon: {e}")

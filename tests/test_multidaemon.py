@@ -141,3 +141,62 @@ def test_sr_mismatch_drops_only_that_stream(tmp_path):
     # Stream y still works end-to-end.
     md.process_line(json.dumps({"action": "skip_segment", "stream": "y"}))
     assert len(_events(out)) == 2  # no new error from y's skip
+
+
+def test_state_failover_resumes_bit_identically(corpus_wavs, tmp_path):
+    """A multidaemon killed between commands and restarted with --state must
+    produce exactly the events of an uninterrupted run — including deferred
+    recordings in flight at the checkpoint (non-chunk-aligned audio) and
+    per-stream playhead correlation."""
+    streams = ["x", "y"]
+    cmds = [
+        {"action": "segment", "stream": "x", "file_path": corpus_wavs[0],
+         "playhead_timestamp_ms": 0},
+        {"action": "segment", "stream": "y", "file_path": corpus_wavs[1],
+         "playhead_timestamp_ms": 100},
+        {"action": "segment", "stream": "x", "file_path": corpus_wavs[1],
+         "playhead_timestamp_ms": 40000},
+        {"action": "skip_segment", "stream": "y"},
+        {"action": "segment", "stream": "y", "file_path": corpus_wavs[0],
+         "playhead_timestamp_ms": 90000},
+    ]
+
+    # Uninterrupted reference run.
+    out_a = io.StringIO()
+    dir_a = tmp_path / "a"
+    for s in streams:
+        os.makedirs(dir_a / s, exist_ok=True)
+    md = MultiDaemon("M", str(dir_a), streams, "spectral_gate", stdout=out_a)
+    md.run(stdin=io.StringIO("".join(json.dumps(c) + "\n" for c in cmds)))
+
+    # Same commands split across a restart with --state.
+    out_b = io.StringIO()
+    dir_b = tmp_path / "b"
+    state = str(tmp_path / "state")
+    for s in streams:
+        os.makedirs(dir_b / s, exist_ok=True)
+    md1 = MultiDaemon("M", str(dir_b), streams, "spectral_gate", stdout=out_b,
+                      state_dir=state)
+    md1.run(stdin=io.StringIO("".join(json.dumps(c) + "\n" for c in cmds[:2])))
+    md2 = MultiDaemon("M", str(dir_b), streams, "spectral_gate", stdout=out_b,
+                      state_dir=state)
+    md2.run(stdin=io.StringIO("".join(json.dumps(c) + "\n" for c in cmds[2:])))
+
+    ev_a = _events(out_a)
+    ev_b = _events(out_b)
+    # Identical apart from the output directory in file paths.
+    norm = lambda evs: [
+        {**e, "file_path": e.get("file_path", "").replace(str(dir_b), str(dir_a))}
+        for e in evs
+    ]
+    assert norm(ev_b) == ev_a
+    assert any(e["action"] == "recording" for e in ev_a), "must exercise recordings"
+
+    # Mismatched stream lists are rejected cleanly.
+    out_c = io.StringIO()
+    md3 = MultiDaemon("M", str(dir_b), ["x", "z"], "spectral_gate", stdout=out_c,
+                      state_dir=state)
+    md3.process_line("")  # construct only; resume happens in run()
+    md3.run(stdin=io.StringIO(""))
+    errs = [e for e in _events(out_c) if e["action"] == "error"]
+    assert errs and "streams" in errs[0]["message"]
