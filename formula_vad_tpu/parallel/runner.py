@@ -49,10 +49,25 @@ class BatchRunner:
         use_mesh: bool = True,
         use_offline: bool = True,
         use_pallas_fsm: bool | None = None,
+        use_host_fsm: bool | None = None,
     ):
         vad_config = vad_config or VADConfig()
         self.params = params
         self.use_offline = use_offline
+        if use_host_fsm is None:
+            # Default: decode the FSM on the host (native/fvadfsm.cpp) in
+            # single-process runs — it removes the only serial stage from
+            # the device step and overlaps device compute (ROOFLINE.md).
+            # Multi-process runs keep the FSM on device (outputs are
+            # sharded across hosts).
+            from ..pipeline import fsm_host
+
+            use_host_fsm = (
+                use_offline
+                and fsm_host.available()
+                and jax.process_count() == 1
+            )
+        self.use_host_fsm = use_host_fsm and use_offline
         if use_pallas_fsm is None:
             # The Pallas kernel needs a real TPU backend; CPU runs (tests)
             # fall back to the vmapped lax.scan.
@@ -74,6 +89,19 @@ class BatchRunner:
         st = self.st
         params = self.params
         alt_params = self.alt_params
+
+        if self.use_host_fsm:
+            # Host-FSM path: the device computes ONLY the chunk-parallel
+            # front-end; the serial FSM runs in native code on the host
+            # from the fetched [B, W] window inputs (pipeline/fsm_host.py).
+            def frontend_fn(audio, chunk_valids):
+                n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
+                return offline.window_inputs_batch(params, st, audio, n_valid)
+
+            if self.mesh is not None:
+                sh = mesh_lib.batch_sharding(self.mesh)
+                return jax.jit(frontend_fn, in_shardings=(sh, sh))
+            return jax.jit(frontend_fn)
 
         if self.use_offline:
             # Chunk-parallel path (pipeline/offline.py): batched front-end,
@@ -162,6 +190,8 @@ class BatchRunner:
         if self._fn is None:
             self._fn = self._build()
         audio_np = audio_batch[:, :, : n_chunks * chunk]
+        if self.use_host_fsm:
+            return self._run_host_fsm(audio_np, chunk_valids, b)
         multiprocess = self.mesh is not None and jax.process_count() > 1
         if multiprocess:
             # Multi-host execution (BASELINE config 5): every process holds
@@ -204,3 +234,59 @@ class BatchRunner:
                     alt_segs.append(vad.segments_from_outputs(self.st, alt_stream))
             results.append(StreamResult(segments=segs, alt_segments=alt_segs))
         return results[:b]
+
+    def _run_host_fsm(self, audio_np, chunk_valids, b: int) -> list[StreamResult]:
+        """Device front-end + native host FSM decode (single-process)."""
+        from ..pipeline import fsm_host
+
+        st = self.st
+        mv, rt, va = self._fn(jnp.asarray(audio_np), jnp.asarray(chunk_valids))
+        mv, rt, va = np.asarray(mv), np.asarray(rt), np.asarray(va)
+
+        win_out = fsm_host.scan_windows_host(st.fsm_shape, st.fsm_params, mv, rt, va)
+        alt_win = None
+        n_alt = len(self.alt_configs)
+        if n_alt:
+            # (stream, machine) rows, b-major — per-row params like the
+            # slab runner's alt path; outputs fold back to [B, W, K] to
+            # match the device paths' machine-axis-last layout.
+            rows = fsm.FSMParams(
+                *[
+                    np.tile(np.asarray(leaf), mv.shape[0])
+                    for leaf in self.alt_params
+                ]
+            )
+            alt_rows_out = fsm_host.scan_windows_host(
+                st.fsm_shape, rows,
+                np.repeat(mv, n_alt, axis=0),
+                np.repeat(rt, n_alt, axis=0),
+                np.repeat(va, n_alt, axis=0),
+            )
+            alt_win = jax.tree_util.tree_map(
+                lambda x: np.moveaxis(
+                    x.reshape((mv.shape[0], n_alt) + x.shape[1:]), 1, -1
+                ),
+                alt_rows_out,
+            )
+
+        results = []
+        for i in range(b):
+            stream_out = vad.ChunkOutput(
+                windows=jax.tree_util.tree_map(lambda x: x[i], win_out),
+                window_valid=va[i],
+                denoised=None,
+            )
+            segs = vad.segments_from_outputs(st, stream_out)
+            alt_segs = []
+            if alt_win is not None:
+                for k in range(n_alt):
+                    alt_stream = vad.ChunkOutput(
+                        windows=jax.tree_util.tree_map(
+                            lambda x: x[i][..., k], alt_win
+                        ),
+                        window_valid=None,
+                        denoised=None,
+                    )
+                    alt_segs.append(vad.segments_from_outputs(st, alt_stream))
+            results.append(StreamResult(segments=segs, alt_segments=alt_segs))
+        return results

@@ -47,6 +47,7 @@ class SlabRunner:
         mesh=None,
         use_mesh: bool = True,
         use_pallas_fsm: bool | None = None,
+        use_host_fsm: bool | None = None,
         # decode threads (default min(8, B, cpu_count)) and pipeline depth:
         # peak host RAM is ~(depth + 2) slabs, so depth=1 bounds it at ~3.
         prefetch_workers: int | None = None,
@@ -54,6 +55,14 @@ class SlabRunner:
     ):
         if slab_chunks % SLAB_ALIGN_CHUNKS != 0:
             raise ValueError(f"slab_chunks must be a multiple of {SLAB_ALIGN_CHUNKS}")
+        if use_host_fsm is None:
+            # Default: host-FSM decode (native/fvadfsm.cpp) in single-process
+            # runs — the device step drops its only serial stage and the
+            # decode overlaps the next slab's device work (ROOFLINE.md).
+            from ..pipeline import fsm_host
+
+            use_host_fsm = fsm_host.available() and jax.process_count() == 1
+        self.use_host_fsm = use_host_fsm
         if use_pallas_fsm is None:
             use_pallas_fsm = jax.devices()[0].platform != "cpu"
         self.use_pallas_fsm = use_pallas_fsm
@@ -106,12 +115,29 @@ class SlabRunner:
             wi = win_base[:, None] + jnp.arange(n_windows, dtype=jnp.int32)[None, :]
             return fsm.scan_windows_rows(st.fsm_shape, params_rows, carry, mv, rt, wi, va)
 
-        def slab_fn(audio, den_carry, fsm_carry, alt_carry, win_base, chunk_valids):
+        def dequant(audio):
             if audio.dtype == jnp.int16:
                 # Raw PCM16 shipped at half the H2D bytes; the dequant is
                 # exact in f32 (16-bit int and power-of-two divide), so this
                 # is bit-identical to host-side decode (io_/wav.py PCM16).
-                audio = audio.astype(jnp.float32) / np.float32(32768.0)
+                return audio.astype(jnp.float32) / np.float32(32768.0)
+            return audio
+
+        def frontend_fn(audio, den_carry, chunk_valids):
+            """Host-FSM mode: device computes only the chunk-parallel
+            front-end; the FSM decodes on the host from these outputs."""
+            audio = dequant(audio)
+            n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
+            return jax.vmap(one_stream)(audio, den_carry, n_valid)
+
+        if self.use_host_fsm:
+            if self.mesh is not None:
+                sh = mesh_lib.batch_sharding(self.mesh)
+                return jax.jit(frontend_fn, in_shardings=(sh,) * 3)
+            return jax.jit(frontend_fn)
+
+        def slab_fn(audio, den_carry, fsm_carry, alt_carry, win_base, chunk_valids):
+            audio = dequant(audio)
             b = audio.shape[0]
             n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
             den_carry, mv, rt, va = jax.vmap(one_stream)(audio, den_carry, n_valid)
@@ -140,10 +166,13 @@ class SlabRunner:
             return jax.jit(slab_fn, in_shardings=(sh,) * 6)
         return jax.jit(slab_fn)
 
-    def _init_carries(self, b):
-        den = jax.vmap(
+    def _init_den_carry(self, b):
+        return jax.vmap(
             lambda _: offline.init_slab_carry(self.st.n_channels, self.st.downsample_rate)
         )(jnp.arange(b))
+
+    def _init_carries(self, b):
+        den = self._init_den_carry(b)
         fsm_c = jax.vmap(
             lambda _: fsm.init_carry(self.st.fsm_shape, self.st.fsm_params)
         )(jnp.arange(b))
@@ -154,6 +183,58 @@ class SlabRunner:
             )
             alt_c = jax.vmap(lambda p: fsm.init_carry(self.st.fsm_shape, p))(alt_rows)
         return den, fsm_c, alt_c
+
+    def _host_fsm_loop(
+        self, prefetcher, n_slabs, b_pad, den_carry, windows_per_slab,
+        slab_outs, alt_outs,
+    ):
+        """Device front-end loop with software-pipelined host FSM decode:
+        slab s's window inputs are fetched and decoded while the device
+        crunches slab s+1.  The host carry (Kahan state included) chains
+        slabs exactly continuously — unlike the device kernel's per-call
+        reseed, chained and one-shot host runs are bitwise identical."""
+        from ..pipeline import fsm_host
+
+        st = self.st
+        host_c = fsm_host.init_host_carry(st.fsm_shape, st.fsm_params, b_pad)
+        alt_rows = alt_host_c = None
+        n_alt = self.n_alt
+        if n_alt:
+            alt_rows = fsm_host.tile_param_rows(self.alt_params, b_pad)
+            alt_host_c = fsm_host.init_host_carry(
+                st.fsm_shape, alt_rows, b_pad * n_alt
+            )
+
+        def decode(s, handles):
+            mv, rt, va = (np.asarray(x) for x in handles)
+            wb = np.full((b_pad,), s * windows_per_slab, np.int32)
+            out = fsm_host.scan_windows_host(
+                st.fsm_shape, st.fsm_params, mv, rt, va, carry=host_c, win_base=wb
+            )
+            slab_outs.append(out)
+            if n_alt:
+                alt_outs.append(
+                    fsm_host.scan_windows_host(
+                        st.fsm_shape, alt_rows,
+                        np.repeat(mv, n_alt, axis=0),
+                        np.repeat(rt, n_alt, axis=0),
+                        np.repeat(va, n_alt, axis=0),
+                        carry=alt_host_c,
+                        win_base=np.repeat(wb, n_alt),
+                    )
+                )
+
+        pending = None
+        for s in range(n_slabs):
+            slab, cv = prefetcher.get()
+            den_carry, mv, rt, va = self._fn(
+                jnp.asarray(slab), den_carry, jnp.asarray(cv)
+            )
+            if pending is not None:
+                decode(*pending)
+            pending = (s, (mv, rt, va))
+        if pending is not None:
+            decode(*pending)
 
     def run(
         self, audio_batch: np.ndarray, lengths: Optional[Sequence[int]] = None
@@ -194,7 +275,10 @@ class SlabRunner:
         b_pad = mesh_lib.pad_batch(b, self.mesh) if self.mesh is not None else b
         if self._fn is None:
             self._fn = self._build()
-        den_carry, fsm_carry, alt_carry = self._init_carries(b_pad)
+        if self.use_host_fsm:
+            den_carry, fsm_carry, alt_carry = self._init_den_carry(b_pad), None, None
+        else:
+            den_carry, fsm_carry, alt_carry = self._init_carries(b_pad)
         win_base = jnp.zeros((b_pad,), jnp.int32)
         windows_per_slab = self.slab_samples // self.st.fft_size
 
@@ -222,16 +306,22 @@ class SlabRunner:
         slab_outs = []
         alt_outs = []
         try:
-            for s in range(n_slabs):
-                slab, cv = prefetcher.get()
-                den_carry, fsm_carry, alt_carry, out, alt_out, va = self._fn(
-                    jnp.asarray(slab), den_carry, fsm_carry, alt_carry, win_base,
-                    jnp.asarray(cv),
+            if self.use_host_fsm:
+                self._host_fsm_loop(
+                    prefetcher, n_slabs, b_pad, den_carry, windows_per_slab,
+                    slab_outs, alt_outs,
                 )
-                win_base = win_base + jnp.int32(windows_per_slab)
-                slab_outs.append(out)
-                if alt_out is not None:
-                    alt_outs.append(alt_out)
+            else:
+                for s in range(n_slabs):
+                    slab, cv = prefetcher.get()
+                    den_carry, fsm_carry, alt_carry, out, alt_out, va = self._fn(
+                        jnp.asarray(slab), den_carry, fsm_carry, alt_carry, win_base,
+                        jnp.asarray(cv),
+                    )
+                    win_base = win_base + jnp.int32(windows_per_slab)
+                    slab_outs.append(out)
+                    if alt_out is not None:
+                        alt_outs.append(alt_out)
         finally:
             prefetcher.close()
 

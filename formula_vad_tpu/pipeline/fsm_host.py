@@ -200,6 +200,12 @@ def init_host_carry(shape: fsm.FSMShape, params: fsm.FSMParams, b: int) -> dict:
     return carry
 
 
+def tile_param_rows(params: fsm.FSMParams, b: int) -> fsm.FSMParams:
+    """(stream, machine) rows, b-major: tile [K] param leaves to [B*K]
+    (row r = stream * K + machine, matching the slab runner's alt layout)."""
+    return fsm.FSMParams(*[np.tile(np.asarray(leaf), b) for leaf in params])
+
+
 def scan_windows_host(
     shape: fsm.FSMShape,
     params: fsm.FSMParams,

@@ -304,6 +304,64 @@ def window_inputs(
     return min_vol, ratios, valid
 
 
+def window_inputs_batch(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    n_valid_chunks: jnp.ndarray | None = None,
+):
+    """Jittable batched front-end: everything except the FSM.
+
+    Args:
+      audio: [B, C, T], T a multiple of chunk_size.
+    Returns:
+      (min_vol, ratios [B, W] f32, valid [B, W] bool) — the FSM's inputs,
+      consumed either by the device FSM stages or by the host-C decoder
+      (``fsm_host.scan_windows_host``), which overlaps device compute.
+    """
+    b, c, t = audio.shape
+    k = t // st.chunk_size
+    if n_valid_chunks is None:
+        n_valid_chunks = jnp.full((b,), k, jnp.int32)
+    return jax.vmap(lambda a, n: window_inputs(params, st, a, n))(
+        audio, n_valid_chunks
+    )
+
+
+def process_batch_offline_host(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    n_valid_chunks: jnp.ndarray | None = None,
+    fsm_params: Optional[fsm.FSMParams] = None,
+    frontend_fn=None,
+):
+    """Batched whole-stream VAD with the FSM decoded on the host.
+
+    The device runs only ``window_inputs_batch`` (pure chunk-parallel
+    work); the tiny [B, W] window inputs are fetched and the speech FSM
+    runs in native code (pipeline/fsm_host.py) — removing the serial
+    Pallas kernel from the device step entirely (ROOFLINE.md).  NOT
+    jittable as a whole; pass a prejitted ``frontend_fn`` (a jit of
+    ``window_inputs_batch``'s closure) to avoid retracing.
+
+    Supports per-stream FSMParams rows ([B] leaves) like the Pallas path.
+    Returns (WindowOutput numpy [B, W], valid numpy [B, W]).
+    """
+    fsm_p = fsm_params if fsm_params is not None else st.fsm_params
+    if frontend_fn is None:
+        min_vol, ratios, valid = window_inputs_batch(params, st, audio, n_valid_chunks)
+    else:
+        min_vol, ratios, valid = frontend_fn(audio, n_valid_chunks)
+    from . import fsm_host
+
+    valid_np = np.asarray(valid)
+    win_out = fsm_host.scan_windows_host(
+        st.fsm_shape, fsm_p, np.asarray(min_vol), np.asarray(ratios), valid_np
+    )
+    return win_out, valid_np
+
+
 def process_batch_offline(
     params: nsnet2.NSNet2Params,
     st: vad.VADStatics,
@@ -329,9 +387,9 @@ def process_batch_offline(
         n_valid_chunks = jnp.full((b,), k, jnp.int32)
     fsm_p = fsm_params if fsm_params is not None else st.fsm_params
 
-    min_vol, ratios, valid = jax.vmap(
-        lambda a, n: window_inputs(params, st, a, n)
-    )(audio, n_valid_chunks)  # each [B, W]
+    min_vol, ratios, valid = window_inputs_batch(
+        params, st, audio, n_valid_chunks
+    )  # each [B, W]
 
     sweeping = np.ndim(fsm_p.threshold_factor) == 1
     if use_pallas_fsm and not sweeping:

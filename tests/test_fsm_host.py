@@ -193,3 +193,60 @@ class TestHostVsScan:
             w = np.asarray(getattr(outs_p, f))
             g = np.asarray(getattr(got, f)).reshape(w.shape)
             np.testing.assert_array_equal(g, w, err_msg=f"host vs pallas: {f}")
+
+
+class TestHostFsmRunners:
+    """The host-FSM default in BatchRunner/SlabRunner matches the device
+    paths segment-for-segment (including alt-config machines)."""
+
+    def _corpus(self, b=3, n_chunks=4):
+        rng = np.random.default_rng(31_337)
+        cfg = _class_config(0, rng)
+        from formula_vad_tpu.config import VADConfig
+
+        vc = VADConfig(
+            vad_machine_config=cfg,
+            alt_vad_machine_configs=[
+                _class_config(0, np.random.default_rng(5)),
+                _class_config(0, np.random.default_rng(6)),
+            ],
+        )
+        from test_parity_fuzz import _marginal_audio
+
+        audio = np.stack(
+            [_marginal_audio(np.random.default_rng(200 + i), cfg, n_chunks)
+             for i in range(b)]
+        )
+        lengths = [audio.shape[-1], audio.shape[-1] - 30_000, audio.shape[-1]]
+        return vc, audio, lengths
+
+    def test_batch_runner_host_matches_scan(self):
+        from formula_vad_tpu.models import nsnet2
+        from formula_vad_tpu.parallel.runner import BatchRunner
+
+        params = nsnet2.init_params(jax.random.PRNGKey(21))
+        vc, audio, lengths = self._corpus()
+        host = BatchRunner(params, vc, use_mesh=False, use_host_fsm=True)
+        dev = BatchRunner(params, vc, use_mesh=False, use_host_fsm=False)
+        got = host.run(audio, lengths)
+        want = dev.run(audio, lengths)
+        for g, w in zip(got, want):
+            assert g.segments == w.segments
+            assert g.alt_segments == w.alt_segments
+
+    def test_slab_runner_host_matches_device(self):
+        from formula_vad_tpu.models import nsnet2
+        from formula_vad_tpu.parallel.slab_runner import (
+            SLAB_ALIGN_CHUNKS, SlabRunner,
+        )
+
+        params = nsnet2.init_params(jax.random.PRNGKey(21))
+        vc, audio, lengths = self._corpus(b=3, n_chunks=2 * SLAB_ALIGN_CHUNKS + 5)
+        kw = dict(slab_chunks=SLAB_ALIGN_CHUNKS, use_mesh=False)
+        host = SlabRunner(params, vc, use_host_fsm=True, **kw)
+        dev = SlabRunner(params, vc, use_host_fsm=False, use_pallas_fsm=False, **kw)
+        got = host.run(audio, lengths)
+        want = dev.run(audio, lengths)
+        for g, w in zip(got, want):
+            assert g.segments == w.segments
+            assert g.alt_segments == w.alt_segments
