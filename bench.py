@@ -144,6 +144,43 @@ def _measure_mode(fn, audios, n_short, n_long) -> float:
     return (dt_long - dt_short) / (n_long - n_short)
 
 
+def _measure_mode_host(fe_fn, st, audios, n_short, n_long) -> float:
+    """Host-FSM path: device front-end + fetched window inputs + native
+    decode.  Honest end-to-end cost: the timed loop includes the D2H fetch
+    and the decode, software-pipelined the way production runs
+    (async copies start as each call completes; the decode of call i
+    overlaps the device work of later calls)."""
+    import numpy as np
+
+    from formula_vad_tpu.pipeline import fsm_host
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        handles = []
+        for i in range(n):
+            h = fe_fn(audios[i % len(audios)])
+            for x in h:
+                try:
+                    x.copy_to_host_async()
+                except AttributeError:
+                    pass
+            handles.append(h)
+        ev = None
+        for mv, rt, va in handles:
+            out = fsm_host.scan_windows_host(
+                st.fsm_shape, st.fsm_params,
+                np.asarray(mv), np.asarray(rt), np.asarray(va),
+            )
+            ev = out.event  # np.asarray blocked until real completion
+        assert ev is not None
+        return time.perf_counter() - t0
+
+    run(1)  # compile + decoder warm-up
+    dt_short = run(n_short)
+    dt_long = run(n_long)
+    return (dt_long - dt_short) / (n_long - n_short)
+
+
 def measure() -> None:
     import jax
     import jax.numpy as jnp
@@ -165,7 +202,21 @@ def measure() -> None:
     audio_sec = n_streams * n_chunks * chunk_sec
     gflops_per_audio_sec = flops_per_audio_sec(st) / 1e9
 
-    use_pallas = jax.devices()[0].platform != "cpu"
+    platform = jax.devices()[0].platform
+    use_pallas = platform != "cpu"
+    from formula_vad_tpu.pipeline import fsm_host
+
+    # FSM placement mirrors the runners' platform-aware default: host decode
+    # (front-end-only device step + native FSM, the production shape) except
+    # on the axon dev relay, where the per-call D2H fetch of the window
+    # inputs costs ~10x the device step (measured: 110-160 ms vs 11.6 ms
+    # bf16 front-end, benchmarks/host_fsm_ab.py) — there the device-complete
+    # Pallas-FSM step is the honest end-to-end configuration.
+    # FVAD_BENCH_FSM=host|pallas overrides.
+    fsm_choice = os.environ.get("FVAD_BENCH_FSM", "auto")
+    use_host_fsm = fsm_host.available() and (
+        fsm_choice == "host" or (fsm_choice == "auto" and platform != "axon")
+    )
 
     def make_batch_fn():
         # A FRESH function object per precision mode: JAX's trace cache is
@@ -180,6 +231,13 @@ def measure() -> None:
             return win_out.event, win_out.seg_valid
 
         return batch_fn
+
+    def make_fe_fn():
+        # Host-FSM path's device part (fresh per mode, same trace-cache rule).
+        def fe_fn(audio):
+            return offline.window_inputs_batch(params, st, audio)
+
+        return fe_fn
 
     rng = np.random.default_rng(0)
     audios = [
@@ -196,7 +254,12 @@ def measure() -> None:
     modes = {}
     for mode_name, level in mode_list:
         precision.set_matmul_precision(level)
-        per_call = _measure_mode(jax.jit(make_batch_fn()), audios, n_short, n_long)
+        if use_host_fsm:
+            per_call = _measure_mode_host(
+                jax.jit(make_fe_fn()), st, audios, n_short, n_long
+            )
+        else:
+            per_call = _measure_mode(jax.jit(make_batch_fn()), audios, n_short, n_long)
         rtf = audio_sec / per_call
         tflops = rtf * gflops_per_audio_sec / 1e3
         modes[mode_name] = {
@@ -215,6 +278,7 @@ def measure() -> None:
                 "vs_baseline": round(head["realtime_factor"] / 5000.0, 3),
                 "tflops_achieved": head["tflops_achieved"],
                 "mfu": head["mfu"],
+                "fsm": "host" if use_host_fsm else "pallas",
                 "modes": modes,
             }
         )

@@ -59,9 +59,16 @@ class SlabRunner:
             # Default: host-FSM decode (native/fvadfsm.cpp) in single-process
             # runs — the device step drops its only serial stage and the
             # decode overlaps the next slab's device work (ROOFLINE.md).
+            # Excluded on the axon dev relay, whose D2H tunnel makes the
+            # per-slab window-input fetch ~10x the device step (see
+            # parallel/runner.py for the measured numbers).
             from ..pipeline import fsm_host
 
-            use_host_fsm = fsm_host.available() and jax.process_count() == 1
+            use_host_fsm = (
+                fsm_host.available()
+                and jax.process_count() == 1
+                and jax.devices()[0].platform != "axon"
+            )
         self.use_host_fsm = use_host_fsm
         if use_pallas_fsm is None:
             use_pallas_fsm = jax.devices()[0].platform != "cpu"
