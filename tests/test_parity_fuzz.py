@@ -126,6 +126,23 @@ class TestFSMFuzz:
             for i in range(self.N_WINDOWS):
                 mirror.run(i * FFT, np.float32(vols[i]), np.float32(ratios[i]))
 
+            # Part E (round 2): the host-C decoder joins the campaign —
+            # int fields must match the scan path bitwise on every case.
+            from formula_vad_tpu.pipeline import fsm_host
+
+            if fsm_host.available():
+                h = fsm_host.scan_windows_host(
+                    shape, fp, vols[None], ratios[None],
+                    np.ones((1, self.N_WINDOWS), bool),
+                )
+                for f in ("event", "event_win", "seg_valid", "seg_start_win",
+                          "seg_end_win"):
+                    np.testing.assert_array_equal(
+                        np.asarray(getattr(h, f)).reshape(-1),
+                        np.asarray(getattr(outs, f)).reshape(-1),
+                        err_msg=f"host vs scan: {f} (ci={ci}, case={case})",
+                    )
+
             got_events = [
                 int(e) for e in np.asarray(outs.event).reshape(-1) if int(e) != 0
             ]
