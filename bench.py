@@ -176,9 +176,18 @@ def _measure_mode_host(fe_fn, st, audios, n_short, n_long) -> float:
         return time.perf_counter() - t0
 
     run(1)  # compile + decoder warm-up
-    dt_short = run(n_short)
-    dt_long = run(n_long)
-    return (dt_long - dt_short) / (n_long - n_short)
+    for _ in range(3):
+        dt_short = run(n_short)
+        dt_long = run(n_long)
+        slope = (dt_long - dt_short) / (n_long - n_short)
+        avg = dt_long / n_long
+        # Relay hiccups occasionally produce dt_short > proportional dt_long
+        # (even negative slopes); a sane slope is positive and within ~3x
+        # of the inclusive per-call average. Retry, then fall back to the
+        # average (an upper bound that still counts every real cost).
+        if 0.3 * avg <= slope <= 3.0 * avg:
+            return slope
+    return avg
 
 
 def measure() -> None:
@@ -206,17 +215,16 @@ def measure() -> None:
     use_pallas = platform != "cpu"
     from formula_vad_tpu.pipeline import fsm_host
 
-    # FSM placement mirrors the runners' platform-aware default: host decode
-    # (front-end-only device step + native FSM, the production shape) except
-    # on the axon dev relay, where the per-call D2H fetch of the window
-    # inputs costs ~10x the device step (measured: 110-160 ms vs 11.6 ms
-    # bf16 front-end, benchmarks/host_fsm_ab.py) — there the device-complete
-    # Pallas-FSM step is the honest end-to-end configuration.
-    # FVAD_BENCH_FSM=host|pallas overrides.
-    fsm_choice = os.environ.get("FVAD_BENCH_FSM", "auto")
-    use_host_fsm = fsm_host.available() and (
-        fsm_choice == "host" or (fsm_choice == "auto" and platform != "axon")
-    )
+    # FSM placement mirrors the runners' default: host decode (front-end-
+    # only device step + native FSM) — the timed loop includes the D2H
+    # fetch and the decode, pipelined via copy_to_host_async at dispatch
+    # time. Measured even through the relay tunnel this beats the device-
+    # complete Pallas step (f32 31.6 vs 34.5 ms/call) because the async
+    # copies overlap device compute; without them the serial fetch costs
+    # ~10x the step (benchmarks/host_fsm_ab.py). FVAD_BENCH_FSM=pallas
+    # forces the device-complete step.
+    fsm_choice = os.environ.get("FVAD_BENCH_FSM", "host")
+    use_host_fsm = fsm_host.available() and fsm_choice == "host"
 
     def make_batch_fn():
         # A FRESH function object per precision mode: JAX's trace cache is

@@ -125,6 +125,23 @@ def main() -> int:
                     print(f"seed {seed}: FSM field {f} differs (pallas vs scan)")
                     failures += 1
 
+            # host-C decoder on the same chip-produced inputs: must be
+            # BITWISE identical to the hardware kernel (PARITY.md dev. 10)
+            from formula_vad_tpu.pipeline import fsm_host
+
+            if fsm_host.available():
+                h_out = fsm_host.scan_windows_host(
+                    st.fsm_shape, st.fsm_params,
+                    np.asarray(min_vol)[None], np.asarray(ratios)[None],
+                    np.asarray(valid)[None],
+                )
+                for f in ref_out._fields:
+                    a = np.asarray(getattr(k_out, f))[0]
+                    b = np.asarray(getattr(h_out, f)).reshape(a.shape)
+                    if not np.array_equal(a, b):
+                        print(f"seed {seed}: FSM field {f} differs (host vs pallas)")
+                        failures += 1
+
         # 4) slab runner
         from formula_vad_tpu.parallel.slab_runner import SlabRunner
 

@@ -84,10 +84,20 @@ def main():
         b = timed_loop(fn, N_LONG)
         return (b - a) / (N_LONG - N_SHORT) * 1e3
 
-    def host_fsm_step(fe, n):
-        """Dispatch all device calls, then fetch+decode each in order."""
+    def host_fsm_step(fe, n, async_copy=True):
+        """Dispatch all device calls (starting async D2H copies as each is
+        enqueued, bench.py's structure), then fetch+decode each in order."""
         t0 = time.perf_counter()
-        handles = [fe(audios[i % 3]) for i in range(n)]
+        handles = []
+        for i in range(n):
+            h = fe(audios[i % 3])
+            if async_copy:
+                for x in h:
+                    try:
+                        x.copy_to_host_async()
+                    except AttributeError:
+                        pass
+            handles.append(h)
         ev = None
         for mv, rt, va in handles:
             out = fsm_host.scan_windows_host(
@@ -97,9 +107,9 @@ def main():
             ev = out.event
         return time.perf_counter() - t0, ev
 
-    def slope_host(fe):
-        a, _ = host_fsm_step(fe, N_SHORT)
-        b, _ = host_fsm_step(fe, N_LONG)
+    def slope_host(fe, async_copy=True):
+        a, _ = host_fsm_step(fe, N_SHORT, async_copy)
+        b, _ = host_fsm_step(fe, N_LONG, async_copy)
         return (b - a) / (N_LONG - N_SHORT) * 1e3
 
     for mode_name, level in (("f32", "highest"), ("bf16", "default")):
@@ -122,10 +132,12 @@ def main():
         for rep in range(3):
             t_full = slope(full)
             t_fe = slope(fe)
-            t_host = slope_host(fe)
+            t_host = slope_host(fe, async_copy=True)
+            t_host_sync = slope_host(fe, async_copy=False)
             print(
                 f"[{mode_name}] rep{rep} full={t_full:.2f} ms  "
-                f"frontend={t_fe:.2f} ms  host_fsm={t_host:.2f} ms",
+                f"frontend={t_fe:.2f} ms  host_fsm={t_host:.2f} ms  "
+                f"host_fsm_noasync={t_host_sync:.2f} ms",
                 flush=True,
             )
 

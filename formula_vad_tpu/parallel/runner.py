@@ -57,21 +57,18 @@ class BatchRunner:
         if use_host_fsm is None:
             # Default: decode the FSM on the host (native/fvadfsm.cpp) in
             # single-process runs — it removes the only serial stage from
-            # the device step and the decode overlaps device compute
-            # (ROOFLINE.md). Two exclusions: multi-process runs keep the
-            # FSM on device (outputs are sharded across hosts), and the
-            # axon dev relay keeps it on device too — its D2H tunnel moves
-            # incompressible f32 at ~1.5 MB/s without compute overlap, so
-            # fetching the [B, W] window inputs costs ~10x the device step
-            # (measured, benchmarks/host_fsm_ab.py). Real TPU hosts fetch
-            # the same arrays over PCIe in tens of microseconds.
+            # the device step (f32 34.5->31.7 ms, bf16 14.4->11.6 ms at the
+            # bench shape) and the [B, W] window-input fetch is tens of µs
+            # on a real host (sub-call-overlapped via async copies even
+            # through the dev relay tunnel — ROOFLINE.md,
+            # benchmarks/host_fsm_ab.py). Multi-process runs keep the FSM
+            # on device (outputs are sharded across hosts).
             from ..pipeline import fsm_host
 
             use_host_fsm = (
                 use_offline
                 and fsm_host.available()
                 and jax.process_count() == 1
-                and jax.devices()[0].platform != "axon"
             )
         self.use_host_fsm = use_host_fsm and use_offline
         if use_pallas_fsm is None:

@@ -58,17 +58,11 @@ class SlabRunner:
         if use_host_fsm is None:
             # Default: host-FSM decode (native/fvadfsm.cpp) in single-process
             # runs — the device step drops its only serial stage and the
-            # decode overlaps the next slab's device work (ROOFLINE.md).
-            # Excluded on the axon dev relay, whose D2H tunnel makes the
-            # per-slab window-input fetch ~10x the device step (see
-            # parallel/runner.py for the measured numbers).
+            # decode (with its async-copied window-input fetch) overlaps the
+            # next slab's device work (ROOFLINE.md).
             from ..pipeline import fsm_host
 
-            use_host_fsm = (
-                fsm_host.available()
-                and jax.process_count() == 1
-                and jax.devices()[0].platform != "axon"
-            )
+            use_host_fsm = fsm_host.available() and jax.process_count() == 1
         self.use_host_fsm = use_host_fsm
         if use_pallas_fsm is None:
             use_pallas_fsm = jax.devices()[0].platform != "cpu"
@@ -237,6 +231,14 @@ class SlabRunner:
             den_carry, mv, rt, va = self._fn(
                 jnp.asarray(slab), den_carry, jnp.asarray(cv)
             )
+            # Start the D2H copies at dispatch time so the fetch overlaps
+            # device compute (serial post-hoc fetches through a slow link
+            # would otherwise serialize — measured, ROOFLINE.md).
+            for x in (mv, rt, va):
+                try:
+                    x.copy_to_host_async()
+                except AttributeError:
+                    pass
             if pending is not None:
                 decode(*pending)
             pending = (s, (mv, rt, va))
