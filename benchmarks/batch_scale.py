@@ -12,8 +12,9 @@ cross-process absolutes meaningless - verify SKILL.md); per-call time is
 the slope between a short and a long run.
 
 Usage (on the real chip, cwd=/root/repo):
-    python benchmarks/batch_scale.py            # bf16 only
+    python benchmarks/batch_scale.py            # bf16, host-FSM step
     BENCH_MODES=both python benchmarks/batch_scale.py
+    BENCH_FSM=pallas python benchmarks/batch_scale.py   # device-complete step
 """
 
 import os
@@ -41,6 +42,11 @@ ITERS = int(os.environ.get("BENCH_ITERS", "12"))
 def measure(params, st, b, level):
     precision.set_matmul_precision(level)
     use_pallas = jax.devices()[0].platform != "cpu"
+    host_fsm = os.environ.get("BENCH_FSM", "host") == "host"
+    if host_fsm:
+        from formula_vad_tpu.pipeline import fsm_host
+
+        host_fsm = fsm_host.available()
 
     def batch_fn(audio):
         win_out, valid = offline.process_batch_offline(
@@ -48,7 +54,10 @@ def measure(params, st, b, level):
         )
         return win_out.event, win_out.seg_valid
 
-    fn = jax.jit(batch_fn)
+    def fe_fn(audio):
+        return offline.window_inputs_batch(params, st, audio)
+
+    fn = jax.jit(fe_fn if host_fsm else batch_fn)
     rng = np.random.default_rng(b)
     audios = [
         jnp.asarray(
@@ -56,16 +65,41 @@ def measure(params, st, b, level):
         )
         for _ in range(2)
     ]
-    ev, _ = fn(audios[0])
-    float(jnp.sum(ev))  # compile + real sync (block_until_ready is a relay no-op)
+    if host_fsm:
+        # Same structure as bench.py's host path: dispatch all with async
+        # D2H copies, then fetch+decode (included in the timed loop).
+        from formula_vad_tpu.pipeline import fsm_host
 
-    def run(n):
-        t0 = time.perf_counter()
-        ev = None
-        for i in range(n):
-            ev, _ = fn(audios[i % 2])
-        float(jnp.sum(ev))
-        return time.perf_counter() - t0
+        def run(n):
+            t0 = time.perf_counter()
+            handles = []
+            for i in range(n):
+                h = fn(audios[i % 2])
+                for x in h:
+                    try:
+                        x.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                handles.append(h)
+            for mv, rt, va in handles:
+                fsm_host.scan_windows_host(
+                    st.fsm_shape, st.fsm_params,
+                    np.asarray(mv), np.asarray(rt), np.asarray(va),
+                )
+            return time.perf_counter() - t0
+
+        run(1)  # compile + decoder warm-up
+    else:
+        ev, _ = fn(audios[0])
+        float(jnp.sum(ev))  # compile + real sync (block_until_ready is a relay no-op)
+
+        def run(n):
+            t0 = time.perf_counter()
+            ev = None
+            for i in range(n):
+                ev, _ = fn(audios[i % 2])
+            float(jnp.sum(ev))
+            return time.perf_counter() - t0
 
     n_long = max(4, ITERS)
     n_short = max(2, n_long // 4)

@@ -125,8 +125,12 @@ def main() -> int:
                     print(f"seed {seed}: FSM field {f} differs (pallas vs scan)")
                     failures += 1
 
-            # host-C decoder on the same chip-produced inputs: must be
-            # BITWISE identical to the hardware kernel (PARITY.md dev. 10)
+            # host-C decoder on the same chip-produced inputs: int fields
+            # bitwise vs the hardware kernel; float fields allclose — the
+            # TPU lowers f32 divide as multiply-by-reciprocal while the
+            # host divides IEEE-correctly, so seg_ratio/averages carry
+            # ~1-ulp differences on real silicon (bitwise on the
+            # interpreter; PARITY.md dev. 10).
             from formula_vad_tpu.pipeline import fsm_host
 
             if fsm_host.available():
@@ -138,7 +142,15 @@ def main() -> int:
                 for f in ref_out._fields:
                     a = np.asarray(getattr(k_out, f))[0]
                     b = np.asarray(getattr(h_out, f)).reshape(a.shape)
-                    if not np.array_equal(a, b):
+                    if a.dtype.kind == "f":
+                        if not np.allclose(b, a, rtol=1e-6, atol=1e-7):
+                            d = float(np.max(np.abs(b - a)))
+                            print(
+                                f"seed {seed}: FSM field {f} differs "
+                                f"(host vs pallas, max abs {d:.3e})"
+                            )
+                            failures += 1
+                    elif not np.array_equal(a, b):
                         print(f"seed {seed}: FSM field {f} differs (host vs pallas)")
                         failures += 1
 
