@@ -194,6 +194,12 @@ class BatchRunner:
             self._fn = self._build()
         audio_np = audio_batch[:, :, : n_chunks * chunk]
         if self.use_host_fsm:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "use_host_fsm requires a single process: multi-process "
+                    "outputs are sharded across hosts (leave use_host_fsm "
+                    "unset to get the device-FSM path automatically)"
+                )
             return self._run_host_fsm(audio_np, chunk_valids, b)
         multiprocess = self.mesh is not None and jax.process_count() > 1
         if multiprocess:
@@ -253,12 +259,7 @@ class BatchRunner:
             # (stream, machine) rows, b-major — per-row params like the
             # slab runner's alt path; outputs fold back to [B, W, K] to
             # match the device paths' machine-axis-last layout.
-            rows = fsm.FSMParams(
-                *[
-                    np.tile(np.asarray(leaf), mv.shape[0])
-                    for leaf in self.alt_params
-                ]
-            )
+            rows = fsm_host.tile_param_rows(self.alt_params, mv.shape[0])
             alt_rows_out = fsm_host.scan_windows_host(
                 st.fsm_shape, rows,
                 np.repeat(mv, n_alt, axis=0),

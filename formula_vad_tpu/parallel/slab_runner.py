@@ -274,6 +274,12 @@ class SlabRunner:
           one StreamResult per stream.
         """
         b = len(readers)
+        if self.use_host_fsm and jax.process_count() > 1:
+            raise ValueError(
+                "use_host_fsm requires a single process: multi-process "
+                "outputs are sharded across hosts (leave use_host_fsm unset "
+                "to get the device-FSM path automatically)"
+            )
         chunk = self.st.chunk_size
         valid_chunks = np.asarray([l // chunk for l in lengths], np.int64)
         max_chunks = int(valid_chunks.max(initial=0))

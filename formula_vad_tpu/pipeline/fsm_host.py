@@ -114,6 +114,15 @@ def _param_vec(x, b: int, dtype) -> np.ndarray:
     x = np.asarray(x, dtype)
     if x.ndim == 0:
         x = np.broadcast_to(x, (b,))
+    elif x.shape != (b,):
+        # The C decoder indexes params by stream row — a wrong-length
+        # vector (e.g. untiled alt params, see tile_param_rows) would read
+        # past the buffer.
+        raise ValueError(
+            f"per-stream parameter has shape {x.shape}, expected scalar or "
+            f"({b},) — alt-config params must be tiled to rows first "
+            "(fsm_host.tile_param_rows)"
+        )
     return np.ascontiguousarray(x, dtype)
 
 
@@ -240,6 +249,37 @@ def scan_windows_host(
     else:
         wb = np.ascontiguousarray(np.asarray(win_base), np.int32)
 
+    # The native decoder strides raw pointers by these shapes — validate
+    # everything handed to C against a corrupt/stale carry (e.g. a
+    # checkpoint from a different config) or mismatched inputs.
+    if vr.shape != (b, w) or va.shape != (b, w):
+        raise ValueError(
+            f"volume_ratios/valids shapes {vr.shape}/{va.shape} != min_volumes "
+            f"{(b, w)}"
+        )
+    if wb.shape != (b,):
+        raise ValueError(f"win_base shape {wb.shape} != ({b},)")
+    if carry["_kahan"].shape != (b, NK):
+        raise ValueError(
+            f"carry['_kahan'] shape {carry['_kahan'].shape} != ({b}, {NK})"
+        )
+    for name, ring, limit in (
+        ("long", carry["long_buf"], shape.long_window),
+        ("short", carry["short_buf"], shape.short_window),
+        ("ratio", carry["ratio_buf"], shape.ratio_window),
+    ):
+        if ring.shape != (b, limit):
+            raise ValueError(
+                f"carry[{name}_buf] shape {ring.shape} != ({b}, {limit}) — "
+                "carry does not match this FSMShape / batch"
+            )
+        idx = np.asarray(carry[f"{name}_idx"])
+        if idx.shape != (b,) or (idx.size and (idx.min() < 0 or idx.max() >= limit)):
+            raise ValueError(
+                f"carry[{name}_idx] invalid for ring size {limit} "
+                f"(shape {idx.shape}, range "
+                f"[{idx.min() if idx.size else 0}, {idx.max() if idx.size else 0}])"
+            )
     ireg = np.stack(
         [
             carry["long_idx"], carry["long_cnt"], carry["short_idx"],

@@ -328,40 +328,6 @@ def window_inputs_batch(
     )
 
 
-def process_batch_offline_host(
-    params: nsnet2.NSNet2Params,
-    st: vad.VADStatics,
-    audio: jnp.ndarray,
-    n_valid_chunks: jnp.ndarray | None = None,
-    fsm_params: Optional[fsm.FSMParams] = None,
-    frontend_fn=None,
-):
-    """Batched whole-stream VAD with the FSM decoded on the host.
-
-    The device runs only ``window_inputs_batch`` (pure chunk-parallel
-    work); the tiny [B, W] window inputs are fetched and the speech FSM
-    runs in native code (pipeline/fsm_host.py) — removing the serial
-    Pallas kernel from the device step entirely (ROOFLINE.md).  NOT
-    jittable as a whole; pass a prejitted ``frontend_fn`` (a jit of
-    ``window_inputs_batch``'s closure) to avoid retracing.
-
-    Supports per-stream FSMParams rows ([B] leaves) like the Pallas path.
-    Returns (WindowOutput numpy [B, W], valid numpy [B, W]).
-    """
-    fsm_p = fsm_params if fsm_params is not None else st.fsm_params
-    if frontend_fn is None:
-        min_vol, ratios, valid = window_inputs_batch(params, st, audio, n_valid_chunks)
-    else:
-        min_vol, ratios, valid = frontend_fn(audio, n_valid_chunks)
-    from . import fsm_host
-
-    valid_np = np.asarray(valid)
-    win_out = fsm_host.scan_windows_host(
-        st.fsm_shape, fsm_p, np.asarray(min_vol), np.asarray(ratios), valid_np
-    )
-    return win_out, valid_np
-
-
 def process_batch_offline(
     params: nsnet2.NSNet2Params,
     st: vad.VADStatics,

@@ -52,6 +52,12 @@ inline void kahan_add(float v, float &s, float &c) {
 inline int32_t mul_i32(int32_t a, int32_t b) {
   return (int32_t)((uint32_t)a * (uint32_t)b);
 }
+inline int32_t sub_i32(int32_t a, int32_t b) {
+  return (int32_t)((uint32_t)a - (uint32_t)b);
+}
+inline int32_t add_i32(int32_t a, int32_t b) {
+  return (int32_t)((uint32_t)a + (uint32_t)b);
+}
 
 }  // namespace
 
@@ -145,7 +151,7 @@ void fvad_fsm_scan(
       }
       const float mv = mv_row[w];
       const float vr = vr_row[w];
-      const int32_t win_idx = wb + (int32_t)w;
+      const int32_t win_idx = add_i32(wb, (int32_t)w);
 
       // --- rolling averages (RollingAverage.zig push/avg) ---
       kahan_add(mv - sbuf[short_idx], ssum, scomp);
@@ -181,15 +187,16 @@ void fvad_fsm_scan(
       const bool is_closing = state == CLOSING;
 
       const bool opening_dur =
-          mul_i32(win_idx - start_win, fft_size) >= min_consec;
-      const bool closing_dur = mul_i32(win_idx - end_win, fft_size) >= max_gap;
+          mul_i32(sub_i32(win_idx, start_win), fft_size) >= min_consec;
+      const bool closing_dur =
+          mul_i32(sub_i32(win_idx, end_win), fft_size) >= max_gap;
 
       const bool t_closed_opening = is_closed && met;
       const bool t_opening_open = is_opening && met && opening_dur;
       const bool t_open_closing = is_open && !met;
       const bool t_closing_closed = is_closing && !met && closing_dur;
 
-      const float length_sec = ((float)(end_win - start_win) * fftf) / sr;
+      const float length_sec = ((float)sub_i32(end_win, start_win) * fftf) / sr;
       const bool duration_met = length_sec >= min_dur;
       const bool seg_emitted = t_closing_closed && duration_met;
       const float avg_ratio = seg_sum / (float)std::max(seg_cnt, 1);
