@@ -103,8 +103,18 @@ def measure(params, st, b, level):
 
     n_long = max(4, ITERS)
     n_short = max(2, n_long // 4)
-    per_call = (run(n_long) - run(n_short)) / (n_long - n_short)
     audio_sec = b * K * st.chunk_size / st.sample_rate
+    # Relay hiccups can produce nonsense slopes (bench.py's retry rule):
+    # accept a slope within [0.3, 3]x of the inclusive per-call average.
+    for _ in range(3):
+        dt_short = run(n_short)
+        dt_long = run(n_long)
+        per_call = (dt_long - dt_short) / (n_long - n_short)
+        avg = dt_long / n_long
+        if 0.3 * avg <= per_call <= 3.0 * avg:
+            break
+    else:
+        per_call = avg
     return per_call, audio_sec / per_call
 
 

@@ -136,3 +136,30 @@ class TestAux:
         assert fvad_uuid.format(fvad_uuid.parse(u)) == u
         with pytest.raises(ValueError):
             fvad_uuid.parse("not-a-uuid")
+
+    def test_uuid_reference_vectors(self):
+        """The reference's own parse/format vectors (uuid.zig:133-159)."""
+        valid = [
+            "d0cd8041-0504-40cb-ac8e-d05960d205ec",
+            "3df6f0e4-f9b1-4e34-ad70-33206069b995",
+            "f982cf56-c4ab-4229-b23c-d17377d000be",
+            "6b9f53be-cf46-40e8-8627-6b60dc33def8",
+            "c282ec76-ac18-4d4a-8a29-3b94f5c74813",
+            "00000000-0000-0000-0000-000000000000",
+        ]
+        for text in valid:
+            assert fvad_uuid.format(fvad_uuid.parse(text)) == text
+        invalid = [
+            "3df6f0e4-f9b1-4e34-ad70-33206069b99",  # too short
+            "3df6f0e4-f9b1-4e34-ad70-33206069b9912",  # too long
+            "3df6f0e4-f9b1-4e34-ad70_33206069b9912",  # bad separator
+            "zdf6f0e4-f9b1-4e34-ad70-33206069b995",  # invalid character
+            # stdlib uuid.UUID would ACCEPT these lenient forms; the
+            # reference's strict parser must not:
+            "{d0cd8041-0504-40cb-ac8e-d05960d205ec}",
+            "d0cd8041050440cbac8ed05960d205ec0000",
+        ]
+        for text in invalid:
+            with pytest.raises(fvad_uuid.InvalidUUID):
+                fvad_uuid.parse(text)
+        assert fvad_uuid.format(fvad_uuid.zero) == "0" * 8 + "-0000" * 3 + "-" + "0" * 12
