@@ -40,9 +40,17 @@ def _sync(x):
 
 
 def measure(b: int, params, st) -> dict:
+    host_fsm = os.environ.get("SCALE_FSM", "host") == "host"
+    if host_fsm:
+        from formula_vad_tpu.pipeline import fsm_host
+
+        host_fsm = fsm_host.available()
+
     def batched_step(carries, chunks, valid):
         return jax.vmap(
-            lambda c, a, v: vad.chunk_step(params, st, c, a, chunk_valid=v)
+            lambda c, a, v: vad.chunk_step(
+                params, st, c, a, chunk_valid=v, run_fsm=not host_fsm
+            )
         )(carries, chunks, valid)
 
     step = jax.jit(batched_step)
@@ -70,9 +78,33 @@ def measure(b: int, params, st) -> dict:
 
     short = max(2, ITERS // 4)
     tick = (run(ITERS) - run(short)) / (ITERS - short)
+
+    decode_ms = 0.0
+    if host_fsm:
+        # The per-tick host decode sits on the serving thread between device
+        # steps — additive (conservative: it could pipeline with the next
+        # tick). Inputs are the per-tick outputs the server fetches anyway.
+        from formula_vad_tpu.pipeline import fsm_host
+
+        _, out0 = step(carries, chunks[0], valid)
+        mv = np.asarray(out0.min_vol)
+        rt = np.asarray(out0.ratios)
+        va = np.asarray(out0.window_valid)
+        wb = np.asarray(out0.win_indices)[:, 0]
+        hc = fsm_host.init_host_carry(st.fsm_shape, st.fsm_params, b)
+        t0 = time.perf_counter()
+        n_dec = 10
+        for _ in range(n_dec):
+            fsm_host.scan_windows_host(
+                st.fsm_shape, st.fsm_params, mv, rt, va, carry=hc, win_base=wb
+            )
+        decode_ms = (time.perf_counter() - t0) / n_dec * 1e3
+        tick = tick + decode_ms / 1e3
+
     return {
         "b": b,
         "ms_per_tick": tick * 1e3,
+        "decode_ms": decode_ms,
         "carry_mb": carry_bytes / 2**20,
         "audio_sec_per_sec": b * (st.chunk_size / st.sample_rate) / tick,
         "fits_budget": tick < 0.5,

@@ -43,6 +43,7 @@ class OnlineBatchServer:
         callbacks: Optional[Sequence[Optional[Callbacks]]] = None,
         mesh=None,
         use_mesh: bool = False,
+        use_host_fsm: bool | None = None,
     ):
         if params is None:
             from ..models.registry import load_denoiser
@@ -76,12 +77,28 @@ class OnlineBatchServer:
         st = self.st
         b = n_streams
 
+        if use_host_fsm is None:
+            # Default: decode the FSM on the host (native/fvadfsm.cpp).
+            # The vmapped in-device scan re-sums the 8437-slot long ring
+            # every window for every stream: at B=1024 it is ~330 ms of the
+            # 361 ms tick, ~10x everything else combined (measured,
+            # ROOFLINE.md "online tick"). The host decodes the same window
+            # inputs (already fetched each tick with the denoised audio) in
+            # ~1-2 ms.
+            from ..pipeline import fsm_host
+
+            use_host_fsm = fsm_host.available() and jax.process_count() == 1
+        self.use_host_fsm = use_host_fsm
+        run_fsm = not use_host_fsm
+
         def batched_step(carries, chunks, valid):
             # chunk_step's own chunk_valid path freezes the carry of invalid
             # streams (the canonical ragged-batch semantics, vad.py) — their
             # outputs are ignored on the host side.
             return jax.vmap(
-                lambda c, a, v: vad.chunk_step(params, st, c, a, chunk_valid=v)
+                lambda c, a, v: vad.chunk_step(
+                    params, st, c, a, chunk_valid=v, run_fsm=run_fsm
+                )
             )(carries, chunks, valid)
 
         if self.mesh is not None:
@@ -90,6 +107,29 @@ class OnlineBatchServer:
         else:
             self._step = jax.jit(batched_step)
         self._carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
+        self._host_fsm_carry = None
+        if use_host_fsm:
+            from ..pipeline import fsm_host
+
+            self._host_fsm_carry = fsm_host.init_host_carry(
+                st.fsm_shape, st.fsm_params, b
+            )
+
+    def _finish_outputs(self, out):
+        """Host-FSM mode: decode the fetched window inputs and splice the
+        WindowOutput into the (device-FSM-free) ChunkOutput."""
+        if not self.use_host_fsm:
+            return out
+        from ..pipeline import fsm_host
+
+        mv = np.asarray(out.min_vol)
+        win_out = fsm_host.scan_windows_host(
+            self.st.fsm_shape, self.st.fsm_params,
+            mv, np.asarray(out.ratios), np.asarray(out.window_valid),
+            carry=self._host_fsm_carry,
+            win_base=np.asarray(out.win_indices)[:, 0],
+        )
+        return out._replace(windows=win_out)
 
     def push(
         self, chunks: np.ndarray, valid: Optional[np.ndarray] = None
@@ -140,7 +180,7 @@ class OnlineBatchServer:
         self._carries, out = self._step(
             self._carries, jnp.asarray(chunks), jnp.asarray(valid)
         )
-        out = jax.device_get(out)
+        out = self._finish_outputs(jax.device_get(out))
         for i in range(self.n_streams):
             if not valid[i]:
                 continue
@@ -170,7 +210,7 @@ class OnlineBatchServer:
         self._carries, out = self._step(
             self._carries, jnp.asarray(chunks), jnp.asarray(valid)
         )
-        out = jax.device_get(out)
+        out = self._finish_outputs(jax.device_get(out))
         for i, p in enumerate(self.pipelines):
             if valid[i]:
                 p.complete_chunk(jax.tree_util.tree_map(lambda x: np.asarray(x)[i], out))
@@ -191,6 +231,13 @@ class OnlineBatchServer:
 
         os.makedirs(directory, exist_ok=True)
         checkpoint.save_carry(os.path.join(directory, "carries.npz"), self._carries)
+        if self._host_fsm_carry is not None:
+            # Host-FSM mode: the authoritative FSM state (incl. the Kahan
+            # running sums) lives host-side; the device carry's fsm slot is
+            # frozen at init and not sufficient to resume.
+            np.savez(
+                os.path.join(directory, "host_fsm.npz"), **self._host_fsm_carry
+            )
         for i, p in enumerate(self.pipelines):
             # Per-stream host state (rings/counters); the per-pipeline carry
             # inside this file is unused in server mode (the batched carries
@@ -205,5 +252,16 @@ class OnlineBatchServer:
         self._carries = checkpoint.load_carry(
             os.path.join(directory, "carries.npz"), self._carries
         )
+        if self._host_fsm_carry is not None:
+            path = os.path.join(directory, "host_fsm.npz")
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"{path} missing: state was saved by a device-FSM server; "
+                    "restart with use_host_fsm=False to resume it"
+                )
+            with np.load(path) as data:
+                self._host_fsm_carry = {
+                    k: np.ascontiguousarray(data[k]) for k in data.files
+                }
         for i, p in enumerate(self.pipelines):
             p.load_state(os.path.join(directory, f"stream{i:04d}.npz"))

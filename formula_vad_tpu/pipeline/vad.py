@@ -174,6 +174,7 @@ def chunk_step(
     chunk: jnp.ndarray,
     chunk_valid: jnp.ndarray | bool = True,
     fsm_params: Optional[fsm.FSMParams] = None,
+    run_fsm: bool = True,
 ) -> tuple[dict[str, Any], ChunkOutput]:
     """Process one pipeline chunk for one stream.
 
@@ -183,6 +184,11 @@ def chunk_step(
         frozen and all outputs are masked invalid.
       fsm_params: override machine parameters; a leading K axis runs K state
         machines over the shared stream (carry["fsm"] must carry the K axis).
+      run_fsm: False skips the FSM stage (ChunkOutput.windows is None and
+        carry["fsm"] passes through untouched) — the host-FSM serving mode
+        decodes the returned min_vol/ratios in native code instead
+        (parallel/online.py; the vmapped in-device scan costs ~10x the rest
+        of the tick at B=1024, ROOFLINE.md).
     Returns:
       (new_carry, ChunkOutput)
     """
@@ -221,9 +227,13 @@ def chunk_step(
     ratios = jnp.where(jnp.arange(st.max_windows) == 0, w0_ratio, cur_ratio)
 
     # 6. FSM scan over the window slots (VADMachine.zig:138-239).
-    fsm_carry, win_out = fsm.scan_windows(
-        st.fsm_shape, fsm_p, carry["fsm"], min_vol, ratios, win_indices, valid & chunk_valid
-    )
+    if run_fsm:
+        fsm_carry, win_out = fsm.scan_windows(
+            st.fsm_shape, fsm_p, carry["fsm"], min_vol, ratios, win_indices,
+            valid & chunk_valid,
+        )
+    else:
+        fsm_carry, win_out = carry["fsm"], None
 
     new_carry = {
         "denoiser": den_carry,

@@ -202,3 +202,29 @@ def test_push_rejects_unprocessed_buffered_samples(params):
     while server.tick_pending():
         pass
     server.push(chunk)  # drained: fine again
+
+
+def test_host_and_device_fsm_backends_agree(params):
+    """Both FSM placements (host-C decoder vs in-device scan) produce the
+    same segments; keeps the device path covered now that host is the
+    single-process default."""
+    n_chunks = 16
+    audios = [
+        speechy(n_chunks, [(2.0, 2.0)], seed=7),
+        speechy(n_chunks, [(1.0, 1.5), (5.5, 1.5)], seed=8),
+    ]
+
+    servers = {
+        mode: OnlineBatchServer(
+            _cfg(), n_streams=2, params=params, use_host_fsm=mode
+        )
+        for mode in (True, False)
+    }
+    assert servers[True].use_host_fsm and not servers[False].use_host_fsm
+    for k in range(n_chunks):
+        chunks = np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios])
+        for s in servers.values():
+            s.push(chunks)
+
+    assert servers[True].segments == servers[False].segments
+    assert any(servers[True].segments), "test audio must produce segments"
