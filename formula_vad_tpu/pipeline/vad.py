@@ -146,10 +146,18 @@ def _accumulate_windows(st: VADStatics, carry, denoised):
     n_windows = (fill + st.chunk_size) // fft_size
 
     w_range = jnp.arange(st.max_windows, dtype=jnp.int32)
-    idx = start + w_range[:, None] * fft_size + jnp.arange(fft_size, dtype=jnp.int32)[None, :]
-    # Clamp so padded (invalid) window slots gather in-bounds garbage.
-    idx = jnp.clip(idx, 0, ext.shape[-1] - 1)
-    frames = ext[..., idx]  # [C, max_windows, fft_size]
+    # Static-shape framing: one dynamic-slice at the (data-dependent) start
+    # offset, then a static reshape. The previous form gathered with a
+    # traced index tensor (`ext[..., idx]`), which XLA lowers to a real
+    # gather — measured ~330 ms of a 365 ms online tick at B=1024 streams
+    # (ROOFLINE.md "online tick"). Valid windows read exactly the same
+    # samples (a valid window never reaches the padded tail), so outputs
+    # are bitwise unchanged; invalid slots frame zero-padding instead of
+    # clamp-duplicated garbage (masked downstream either way).
+    frame_span = st.max_windows * fft_size
+    ext_p = jnp.pad(ext, ((0, 0), (0, max(0, frame_span + fft_size - ext.shape[-1]))))
+    frames = jax.lax.dynamic_slice_in_dim(ext_p, start, frame_span, axis=-1)
+    frames = frames.reshape(ext.shape[0], st.max_windows, fft_size)
 
     valid = w_range < n_windows
     win_indices = carry["win_base"] + w_range
