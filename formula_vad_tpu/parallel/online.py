@@ -78,13 +78,13 @@ class OnlineBatchServer:
         b = n_streams
 
         if use_host_fsm is None:
-            # Default: decode the FSM on the host (native/fvadfsm.cpp).
-            # The vmapped in-device scan re-sums the 8437-slot long ring
-            # every window for every stream: at B=1024 it is ~330 ms of the
-            # 361 ms tick, ~10x everything else combined (measured,
-            # ROOFLINE.md "online tick"). The host decodes the same window
-            # inputs (already fetched each tick with the denoised audio) in
-            # ~1-2 ms.
+            # Default: decode the FSM on the host (native/fvadfsm.cpp) from
+            # the window inputs the server already fetches each tick with
+            # the denoised audio (~1-2 ms in native code). The in-device
+            # alternative pays the vmapped scan's full-ring re-sums and
+            # per-push scatters every window for every stream on top of the
+            # front-end (measured tick decomposition: ROOFLINE.md "online
+            # tick").
             from ..pipeline import fsm_host
 
             use_host_fsm = fsm_host.available() and jax.process_count() == 1

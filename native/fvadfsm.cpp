@@ -27,6 +27,10 @@
 #include <cstdint>
 #include <algorithm>
 
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
 namespace {
 
 // Register-file layout, identical to pipeline/fsm_pallas.py.
@@ -68,6 +72,9 @@ int fvad_fsm_abi_version() { return 1; }
 // Exact Kahan left-fold seed of each stream's ring: sums[b], comps[b].
 void fvad_fsm_kahan_seed(const float *buf, float *sums, float *comps,
                          int64_t n_streams, int64_t n_slots) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n_streams * n_slots > 1 << 16)
+#endif
   for (int64_t b = 0; b < n_streams; ++b) {
     float s = 0.0f, c = 0.0f;
     const float *row = buf + b * n_slots;
@@ -105,6 +112,12 @@ void fvad_fsm_scan(
   const float sr = (float)sample_rate;
   const float fftf = (float)fft_size;
 
+  // Streams are independent machines — decode them across cores. Numerics
+  // are untouched (no cross-stream reductions). The threshold keeps small
+  // decodes single-threaded (thread spin-up costs more than the work).
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n_streams * n_windows > 1 << 14)
+#endif
   for (int64_t b = 0; b < n_streams; ++b) {
     float *lbuf = long_buf + b * long_window;
     float *sbuf = short_buf + b * short_window;
