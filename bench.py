@@ -82,11 +82,14 @@ def main() -> None:
         return measure()
     results = []
     for attempt in range(3):
-        # The bf16 pass doubles a child's compile time; one child measuring
-        # both modes is enough for the modes table — the relay-throttle
-        # agreement check only needs the headline from the rest.
+        # The bf16 pass doubles a child's compile time; two children
+        # measuring both modes is enough for the modes table (if the first
+        # drew a throttled relay connection, its bf16 is rejected by the
+        # donor-agreement rule below and the second's is used) — the
+        # relay-throttle agreement check only needs the headline from the
+        # rest.
         env = {**os.environ, "FVAD_BENCH_CHILD": "1"}
-        if attempt > 0:
+        if attempt > 1:
             env["BENCH_MODES"] = "highest"
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -118,10 +121,18 @@ def main() -> None:
         raise SystemExit("bench children produced no result")
     best = max(results, key=lambda r: r["value"])
     if "bf16" not in best.get("modes", {}):
-        for r in results:
-            if "bf16" in r.get("modes", {}):
-                best["modes"]["bf16"] = r["modes"]["bf16"]
-                break
+        # Adopt a bf16 number only from a child whose HEADLINE agreed with
+        # the best (within the same 30% bound) — a child on a throttled
+        # relay connection under-reports both modes, and its bf16 must not
+        # be published just because it was the only child measuring it.
+        donors = [
+            r for r in results
+            if "bf16" in r.get("modes", {}) and r["value"] >= best["value"] / 1.3
+        ]
+        if donors:
+            best["modes"]["bf16"] = max(
+                donors, key=lambda d: d["modes"]["bf16"]["realtime_factor"]
+            )["modes"]["bf16"]
     print(json.dumps(best))
 
 

@@ -261,7 +261,14 @@ class MultiDaemon:
             try:
                 self.load_state()
             except (ValueError, OSError, KeyError) as e:
-                self.report_error(f"Could not resume state: {e}", False)
+                # FATAL: a checkpoint exists but cannot be resumed (wrong
+                # --streams list, truncated npz, ...). Serving with fresh
+                # state would clobber the checkpoint with it on exit,
+                # irrecoverably destroying the fleet state the --state
+                # feature exists to preserve. Refuse instead; the operator
+                # fixes the flags (or removes the state dir) and restarts.
+                self.report_error(f"Could not resume state: {e}", True)
+                return 1
         stdin = stdin or sys.stdin
         try:
             for line in stdin:

@@ -573,6 +573,21 @@ def _gru_from_node(node: OnnxNode, init: dict) -> GRUParams:
     else:
         bi = np.zeros(3 * hidden, np.float32)
         bh = np.zeros(3 * hidden, np.float32)
+    # initial_h (inputs[5]): the JAX model always starts from h0=0 (the
+    # per-chunk stateless ONNX Runtime semantics, NSNet2.zig:220). A
+    # foreign export supplying a NONZERO constant initial state would be
+    # silently mis-mapped — name it instead of importing wrong numerics.
+    # (Zero constants — the torch Shape->ConstantOfShape idiom — are fine;
+    # dynamic initial states resolved to a weight also get checked.)
+    if len(node.inputs) > 5 and node.inputs[5]:
+        h0_name = node.inputs[5]
+        if h0_name in init:
+            h0 = _f32(init[h0_name])
+            if np.any(h0 != 0.0):
+                raise ValueError(
+                    f"GRU {node.name!r}: nonzero initial_h is not supported "
+                    "(the NSNet2 chunk semantics run from h0=0)"
+                )
     lbr_attr = node.attrs.get("linear_before_reset")
     lbr = int(lbr_attr.i) if (lbr_attr is not None and lbr_attr.i is not None) else 0
     return GRUParams(

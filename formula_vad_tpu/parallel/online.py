@@ -161,31 +161,35 @@ class OnlineBatchServer:
             raise ValueError(
                 f"valid mask must have shape ({self.n_streams},), got {valid.shape}"
             )
-        # push() ingests the chunk directly; mixing it with the ring-buffered
-        # path (buffer_samples/tick_pending) while unprocessed samples sit in
-        # a ring would write the pushed chunk AFTER that tail and advance the
-        # read count past samples the device never saw, silently
-        # desynchronizing recordings. Drain via tick_pending() first.
-        stale = [
-            i
-            for i, p in enumerate(self.pipelines)
-            if p.original_ring.total_written != p._read_count
-        ]
-        if stale:
-            raise RuntimeError(
-                f"push() called while streams {stale} hold unprocessed "
-                "buffered samples; drain them with tick_pending() before "
-                "mixing push() with buffer_samples()"
-            )
+        # Streams whose ring holds unprocessed samples (a caller mixed
+        # buffer_samples() with push(), e.g. a sub-chunk tail that
+        # tick_pending can never drain alone) are routed THROUGH the ring:
+        # the pushed chunk lands after the buffered tail and the device
+        # serves the ring head, preserving sample order exactly — directly
+        # ingesting would advance the read count past samples the device
+        # never saw and silently desynchronize recordings.
+        ring_routed = np.zeros(self.n_streams, bool)
+        dev_chunks = np.array(chunks)
+        for i, p in enumerate(self.pipelines):
+            if not valid[i]:
+                continue
+            if p.original_ring.total_written != p._read_count:
+                ring_routed[i] = True
+                p.buffer_samples(chunks[i])
+                # residue > 0 plus a full chunk always yields >= 1 pending
+                dev_chunks[i] = p.peek_pending_chunk()
         self._carries, out = self._step(
-            self._carries, jnp.asarray(chunks), jnp.asarray(valid)
+            self._carries, jnp.asarray(dev_chunks), jnp.asarray(valid)
         )
         out = self._finish_outputs(jax.device_get(out))
         for i in range(self.n_streams):
             if not valid[i]:
                 continue
             out_i = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], out)
-            self.pipelines[i].ingest_processed_chunk(chunks[i], out_i)
+            if ring_routed[i]:
+                self.pipelines[i].complete_chunk(out_i)
+            else:
+                self.pipelines[i].ingest_processed_chunk(chunks[i], out_i)
 
     def tick_pending(self) -> bool:
         """Advance every stream holding >= one full chunk in its ring.

@@ -211,8 +211,11 @@ class BatchRunner:
             from jax.experimental import multihost_utils
 
             sh = mesh_lib.batch_sharding(self.mesh)
-            audio_dev = jax.device_put(jnp.asarray(audio_np), sh)
-            cv_dev = jax.device_put(jnp.asarray(chunk_valids), sh)
+            # device_put straight from numpy: each process uploads only its
+            # addressable shards (jnp.asarray first would materialize the
+            # whole batch on one local device before redistributing).
+            audio_dev = jax.device_put(audio_np, sh)
+            cv_dev = jax.device_put(chunk_valids, sh)
             outs, alt_outs = self._fn(audio_dev, cv_dev)
             outs = multihost_utils.process_allgather(outs, tiled=True)
             alt_outs = (

@@ -71,7 +71,6 @@ def _kernel(
     mc_ref,
     mg_ref,
     md_ref,
-    ia_ref,
     win_base_ref,  # [1, 1, 1] i32: global index of this stream's first window
     sums_ref,  # [1, 1, 3] f32: exact initial ring sums (long, short, ratio)
     long_in,  # initial carry (copied into the *_io outputs at tile 0)
@@ -406,7 +405,7 @@ def scan_windows_pallas(
         kernel,
         grid=(b, n_tiles),
         in_specs=[in_spec, in_spec, in_spec]
-        + [per_stream_smem] * 6
+        + [per_stream_smem] * 5
         + [per_stream_smem]
         + [reg_spec(3)]
         + [reg_spec(L), reg_spec(S), reg_spec(R), reg_spec(NI), reg_spec(NF)],
@@ -440,7 +439,8 @@ def scan_windows_pallas(
         smem_scalar(params.min_consecutive_samples, jnp.int32),
         smem_scalar(params.max_gap_samples, jnp.int32),
         smem_scalar(params.min_duration_sec, jnp.float32),
-        smem_scalar(params.initial_long_term_avg, jnp.float32),
+        # (initial_long_term_avg is consumed by init_carry, not the kernel —
+        # the seeded long_last/ring already carry it.)
         win_base.astype(jnp.int32)[:, None, None],
         sums,
         long_b,

@@ -16,7 +16,12 @@ python -m compileall -q formula_vad_tpu tests benchmarks examples bench.py __gra
 echo "== lint (pycodestyle-lite via python -W error import smoke) =="
 # No flake8/ruff in this image; catch the high-value classes cheaply:
 # import errors anywhere in the package, and tab/space mix via compileall above.
+# NOTE: the JAX_PLATFORMS env var alone is overridden by the axon
+# sitecustomize — the in-process config update below is what actually keeps
+# this off the TPU (same mechanism as tests/conftest.py).
 JAX_PLATFORMS=cpu python - <<'EOF'
+import jax
+jax.config.update("jax_platforms", "cpu")
 import importlib, pkgutil, warnings
 import formula_vad_tpu
 bad = []

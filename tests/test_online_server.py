@@ -190,18 +190,31 @@ def test_server_checkpoint_resume(params, tmp_path):
     assert any(ref_recs), "test audio must produce recordings"
 
 
-def test_push_rejects_unprocessed_buffered_samples(params):
+def test_push_routes_buffered_tails_through_the_ring(params):
     """Mixing push() with the ring-buffered path while a ring holds samples
-    the device hasn't seen would desynchronize recordings (ADVICE round 1):
-    push() must refuse until tick_pending() drains them."""
-    server = OnlineBatchServer(_cfg(), n_streams=2, params=params)
-    chunk = np.zeros((2, 2, server.chunk_size), np.float32)
-    server.pipelines[0].buffer_samples(np.zeros((2, server.chunk_size), np.float32))
-    with pytest.raises(RuntimeError, match="unprocessed"):
-        server.push(chunk)
-    while server.tick_pending():
+    the device hasn't seen must NOT desynchronize recordings (ADVICE round
+    1) — and a sub-chunk tail can never be drained by tick_pending alone,
+    so push() routes such streams through the ring (chunk lands after the
+    tail, the device serves the ring head) instead of refusing forever.
+    Equivalence: a stream fed tail+pushes this way produces exactly the
+    segments of the same audio fed purely via buffer_samples/tick."""
+    n_chunks = 16
+    audio = speechy(n_chunks, [(2.0, 2.0)], seed=11)
+    tail = 5000  # sub-chunk ring residue before the first push
+
+    mixed = OnlineBatchServer(_cfg(), n_streams=1, params=params)
+    mixed.pipelines[0].buffer_samples(audio[:, :tail])
+    for k in range(n_chunks - 1):  # push whole chunks offset by the tail
+        a = audio[:, tail + k * 24000 : tail + (k + 1) * 24000]
+        mixed.push(a[None])
+
+    pure = OnlineBatchServer(_cfg(), n_streams=1, params=params)
+    pure.pipelines[0].buffer_samples(audio[:, : tail + (n_chunks - 1) * 24000])
+    while pure.tick_pending():
         pass
-    server.push(chunk)  # drained: fine again
+
+    assert mixed.segments == pure.segments
+    assert any(mixed.segments), "test audio must produce segments"
 
 
 def test_host_and_device_fsm_backends_agree(params):
