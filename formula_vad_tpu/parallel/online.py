@@ -234,14 +234,23 @@ class OnlineBatchServer:
         from ..utils import checkpoint
 
         os.makedirs(directory, exist_ok=True)
-        checkpoint.save_carry(os.path.join(directory, "carries.npz"), self._carries)
+        carries = self._carries
         if self._host_fsm_carry is not None:
-            # Host-FSM mode: the authoritative FSM state (incl. the Kahan
-            # running sums) lives host-side; the device carry's fsm slot is
-            # frozen at init and not sufficient to resume.
+            # Host-FSM mode: the authoritative FSM state lives host-side
+            # (the device carry's fsm slot is frozen at init). Fold it back
+            # into the device-format carry so the checkpoint is portable to
+            # a device-FSM server too, and save the exact host form (incl.
+            # the Kahan running sums) alongside.
+            fsm_sub = {
+                k: jnp.asarray(v)
+                for k, v in self._host_fsm_carry.items()
+                if not k.startswith("_")
+            }
+            carries = {**carries, "fsm": fsm_sub}
             np.savez(
                 os.path.join(directory, "host_fsm.npz"), **self._host_fsm_carry
             )
+        checkpoint.save_carry(os.path.join(directory, "carries.npz"), carries)
         for i, p in enumerate(self.pipelines):
             # Per-stream host state (rings/counters); the per-pipeline carry
             # inside this file is unused in server mode (the batched carries
@@ -258,14 +267,18 @@ class OnlineBatchServer:
         )
         if self._host_fsm_carry is not None:
             path = os.path.join(directory, "host_fsm.npz")
-            if not os.path.exists(path):
-                raise FileNotFoundError(
-                    f"{path} missing: state was saved by a device-FSM server; "
-                    "restart with use_host_fsm=False to resume it"
+            if os.path.exists(path):
+                with np.load(path) as data:
+                    self._host_fsm_carry = {
+                        k: np.ascontiguousarray(data[k]) for k in data.files
+                    }
+            else:
+                # Device-FSM-saved checkpoint: convert its fsm subtree
+                # (host_carry seeds the Kahan sums exactly from the rings).
+                from ..pipeline import fsm_host
+
+                self._host_fsm_carry = fsm_host.host_carry(
+                    self.st.fsm_shape, jax.device_get(self._carries["fsm"])
                 )
-            with np.load(path) as data:
-                self._host_fsm_carry = {
-                    k: np.ascontiguousarray(data[k]) for k in data.files
-                }
         for i, p in enumerate(self.pipelines):
             p.load_state(os.path.join(directory, f"stream{i:04d}.npz"))

@@ -241,3 +241,38 @@ def test_host_and_device_fsm_backends_agree(params):
 
     assert servers[True].segments == servers[False].segments
     assert any(servers[True].segments), "test audio must produce segments"
+
+
+def test_checkpoint_portable_across_fsm_backends(params, tmp_path):
+    """A checkpoint saved by a host-FSM server resumes on a device-FSM
+    server and vice versa (the host carry is folded back into the
+    device-format carry on save; a device checkpoint converts on load),
+    reproducing the uninterrupted run's segments."""
+    n_chunks = 16
+    audios = [speechy(n_chunks, [(2.0, 2.0)], seed=5),
+              speechy(n_chunks, [(4.5, 2.0)], seed=6)]
+
+    ref = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    for k in range(n_chunks):
+        ref.push(np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios]))
+
+    half = n_chunks // 2
+    for save_host, load_host in ((True, False), (False, True)):
+        s1 = OnlineBatchServer(
+            _cfg(), n_streams=2, params=params, use_host_fsm=save_host
+        )
+        for k in range(half):
+            s1.push(np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios]))
+        ckpt = str(tmp_path / f"ckpt_{save_host}")
+        s1.save_state(ckpt)
+        seg_before = [list(s) for s in s1.segments]
+
+        s2 = OnlineBatchServer(
+            _cfg(), n_streams=2, params=params, use_host_fsm=load_host
+        )
+        s2.load_state(ckpt)
+        for k in range(half, n_chunks):
+            s2.push(np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios]))
+        resumed = [a + b for a, b in zip(seg_before, s2.segments)]
+        assert resumed == ref.segments, (save_host, load_host)
+    assert any(ref.segments)
