@@ -250,3 +250,44 @@ class TestHostFsmRunners:
         for g, w in zip(got, want):
             assert g.segments == w.segments
             assert g.alt_segments == w.alt_segments
+
+
+class TestHostValidation:
+    """The wrapper must refuse malformed inputs before handing raw
+    pointers to C (self-review hardening)."""
+
+    def _setup(self):
+        rng = np.random.default_rng(1)
+        cfg = _class_config(0, rng)
+        shape, fp = jfsm.statics_from_config(cfg, SR, FFT)
+        mv = rng.uniform(0, 0.1, (3, 50)).astype(np.float32)
+        return shape, fp, mv
+
+    def test_untiled_alt_params_raise(self):
+        shape, fp, mv = self._setup()
+        bad = jfsm.FSMParams(*[np.asarray([v, v]) for v in fp])  # [K=2] != B=3
+        with pytest.raises(ValueError, match="tile_param_rows"):
+            fsm_host.scan_windows_host(shape, bad, mv, mv, np.ones_like(mv, bool))
+
+    def test_mismatched_ring_raises(self):
+        shape, fp, mv = self._setup()
+        carry = fsm_host.init_host_carry(shape, fp, 3)
+        carry["long_buf"] = np.zeros((3, shape.long_window + 7), np.float32)
+        with pytest.raises(ValueError, match="long_buf"):
+            fsm_host.scan_windows_host(
+                shape, fp, mv, mv, np.ones_like(mv, bool), carry=carry
+            )
+
+    def test_mismatched_inputs_raise(self):
+        shape, fp, mv = self._setup()
+        with pytest.raises(ValueError, match="valids"):
+            fsm_host.scan_windows_host(shape, fp, mv, mv, np.ones((3, 49), bool))
+
+    def test_out_of_range_cursor_raises(self):
+        shape, fp, mv = self._setup()
+        carry = fsm_host.init_host_carry(shape, fp, 3)
+        carry["short_idx"] = np.full((3,), shape.short_window, np.int32)
+        with pytest.raises(ValueError, match="short_idx"):
+            fsm_host.scan_windows_host(
+                shape, fp, mv, mv, np.ones_like(mv, bool), carry=carry
+            )
