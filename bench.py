@@ -34,6 +34,7 @@ Measurement notes (axon relay — see .claude/skills/verify/SKILL.md):
 
 import json
 import os
+import socket
 import subprocess
 import sys
 import time
@@ -41,6 +42,65 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 V5E_BF16_PEAK_TFLOPS = 197.0
+
+# When the axon relay (the TPU tunnel) is down, ANY jax backend init hangs
+# forever — even jax.devices() (verify skill, round-2 outage: BENCH_r02 was
+# an rc-124 timeout kill with no diagnostic). Probe the relay's TCP port
+# BEFORE touching jax so an outage produces a structured error line in
+# seconds instead of eating the driver's capture window.
+RELAY_ADDR = os.environ.get("FVAD_RELAY_PROBE", "127.0.0.1:8083")
+CHILD_TIMEOUT = float(os.environ.get("BENCH_CHILD_TIMEOUT", "1500"))
+
+
+def _relay_reachable(timeout: float = 5.0) -> bool:
+    host, port = RELAY_ADDR.rsplit(":", 1)
+    try:
+        socket.create_connection((host, int(port)), timeout=timeout).close()
+        return True
+    except OSError:
+        return False
+
+
+def _fail(reason: str, detail: str = "") -> None:
+    """Emit the structured-error JSON line the driver can record, exit 2."""
+    out = {"metric": "realtime_factor", "value": None, "error": reason}
+    if detail:
+        out["detail"] = detail[:500]
+    print(json.dumps(out))
+    raise SystemExit(2)
+
+
+def _preflight() -> None:
+    """Bounded relay probe: proceed, or exit <60 s with a diagnostic.
+
+    1. TCP-probe the relay port, retrying up to BENCH_RELAY_WAIT_SEC
+       (default 25 s) — transient blips recover, real outages fail fast.
+    2. If the port never opens, try ONE jax backend init in a child with a
+       hard 20 s timeout (covers environments whose TPU is not behind the
+       relay port). Only if that also fails is the outage declared.
+    Skip everything with FVAD_BENCH_SKIP_PROBE=1.
+    """
+    if os.environ.get("FVAD_BENCH_SKIP_PROBE") or not RELAY_ADDR:
+        return
+    deadline = time.monotonic() + float(os.environ.get("BENCH_RELAY_WAIT_SEC", "25"))
+    while True:
+        if _relay_reachable():
+            return
+        if time.monotonic() >= deadline:
+            break
+        time.sleep(3)
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=20, capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if probe.returncode == 0:
+            return  # backend is alive by some other path; measure normally
+        detail = probe.stderr.strip()[-300:]
+    except subprocess.TimeoutExpired:
+        detail = "jax.devices() hung >20s (relay-down signature)"
+    _fail("relay_down", f"tcp {RELAY_ADDR} refused; backend probe: {detail}")
 
 
 def flops_per_audio_sec(st) -> float:
@@ -80,7 +140,9 @@ def flops_per_audio_sec(st) -> float:
 def main() -> None:
     if os.environ.get("FVAD_BENCH_CHILD"):
         return measure()
+    _preflight()
     results = []
+    child_errs = []
     for attempt in range(3):
         # The bf16 pass doubles a child's compile time; two children
         # measuring both modes is enough for the modes table (if the first
@@ -91,13 +153,25 @@ def main() -> None:
         env = {**os.environ, "FVAD_BENCH_CHILD": "1"}
         if attempt > 1:
             env["BENCH_MODES"] = "highest"
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True,
-            text=True,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True,
+                text=True,
+                timeout=CHILD_TIMEOUT,
+            )
+        except subprocess.TimeoutExpired:
+            # A child hanging means the relay died mid-run: re-probe before
+            # burning another child's worth of the capture window on it.
+            child_errs.append(f"child {attempt} timed out after {CHILD_TIMEOUT:.0f}s")
+            print(child_errs[-1], file=sys.stderr)
+            if not _relay_reachable() and not os.environ.get("FVAD_BENCH_SKIP_PROBE"):
+                if results:
+                    break
+                _fail("relay_down_midrun", "; ".join(child_errs))
+            continue
         got = None
         for line in reversed(proc.stdout.strip().splitlines()):
             try:
@@ -105,20 +179,20 @@ def main() -> None:
                 break
             except json.JSONDecodeError:
                 continue
-        if got is not None:
+        if got is not None and got.get("value"):
             results.append(got)
         else:
-            print(
-                f"bench child {attempt} failed (rc={proc.returncode}): "
-                + proc.stderr.strip()[-2000:],
-                file=sys.stderr,
+            child_errs.append(
+                f"child {attempt} failed (rc={proc.returncode}): "
+                + proc.stderr.strip()[-2000:]
             )
+            print(child_errs[-1], file=sys.stderr)
         if len(results) >= 2:
             vals = sorted(r["value"] for r in results)
             if vals[-1] <= 1.3 * vals[-2]:  # two runs agree: done
                 break
     if not results:
-        raise SystemExit("bench children produced no result")
+        _fail("no_child_result", "; ".join(e[:160] for e in child_errs))
     best = max(results, key=lambda r: r["value"])
     if "bf16" not in best.get("modes", {}):
         # Adopt a bf16 number only from a child whose HEADLINE agreed with
