@@ -38,6 +38,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import shutil
 import sys
 
 import numpy as np
@@ -58,6 +59,7 @@ class MultiDaemon:
         denoiser_path: str | None = None,
         stdout=None,
         state_dir: str | None = None,
+        checkpoint_every: int = 0,
     ):
         from ..parallel.online import OnlineBatchServer
 
@@ -102,16 +104,33 @@ class MultiDaemon:
         # dropped (its state frozen), the other N-1 keep serving.
         self.dropped: set[str] = set()
         self.state_dir = state_dir
+        self.checkpoint_every = int(checkpoint_every)
+        if self.checkpoint_every and not state_dir:
+            raise ValueError("--checkpoint-every requires --state DIR")
+        self.commands_processed = 0
+        self._generation = 0
 
     # ---- failover state (beyond the reference, like the solo --state) ------
+    #
+    # Checkpoints are CRASH-ATOMIC: every save lands in a fresh generation
+    # directory (written to a staging dir, renamed when complete) and a
+    # LATEST pointer file is flipped last via os.replace. A SIGKILL at any
+    # instant leaves either the previous complete generation or the new one
+    # — never a torn mix. ``commands_processed`` in the metadata is the
+    # durable replay point: a supervisor re-feeds stdin lines from that
+    # index on after a crash (tests/test_failover_kill.py).
 
     def save_state(self) -> None:
         """Persist the batched device carries, every stream's host pipeline
         state, and the multiplexer's per-stream protocol state, so a
         restarted multidaemon resumes all N streams bit-identically —
         including playhead correlation and dropped-stream containment."""
-        self.server.save_state(self.state_dir)
-        with open(os.path.join(self.state_dir, "multidaemon.json"), "w") as f:
+        base = self.state_dir
+        stage = os.path.join(base, f".stage-{os.getpid()}")
+        shutil.rmtree(stage, ignore_errors=True)
+        os.makedirs(stage)
+        self.server.save_state(stage)
+        with open(os.path.join(stage, "multidaemon.json"), "w") as f:
             json.dump(
                 {
                     "streams": self.streams,
@@ -119,24 +138,55 @@ class MultiDaemon:
                     "correlated_timestamp_ms": self.correlated_timestamp_ms,
                     "last_segment_length": self.last_segment_length,
                     "dropped": sorted(self.dropped),
+                    "commands_processed": self.commands_processed,
                 },
                 f,
             )
+        self._generation += 1
+        gen_name = f"gen-{self._generation:08d}-{os.getpid()}"
+        os.rename(stage, os.path.join(base, gen_name))
+        tmp_ptr = os.path.join(base, f".latest-{os.getpid()}")
+        with open(tmp_ptr, "w") as f:
+            f.write(gen_name)
+        os.replace(tmp_ptr, os.path.join(base, "LATEST"))  # the commit point
+        for entry in os.listdir(base):  # prune superseded generations
+            if entry.startswith("gen-") and entry != gen_name:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+
+    def _resume_dir(self) -> str | None:
+        """The directory holding the newest COMPLETE checkpoint: the LATEST
+        pointer's generation dir, or the state root itself for checkpoints
+        written by older builds (flat files)."""
+        base = self.state_dir
+        ptr = os.path.join(base, "LATEST")
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                gen = os.path.join(base, f.read().strip())
+            if os.path.exists(os.path.join(gen, "multidaemon.json")):
+                return gen
+        if os.path.exists(os.path.join(base, "multidaemon.json")):
+            return base
+        return None
 
     def load_state(self) -> None:
-        path = os.path.join(self.state_dir, "multidaemon.json")
-        with open(path) as f:
+        directory = self._resume_dir()
+        if directory is None:
+            raise ValueError(f"no checkpoint found under {self.state_dir}")
+        with open(os.path.join(directory, "multidaemon.json")) as f:
             meta = json.load(f)
         if meta["streams"] != self.streams:
             raise ValueError(
                 f"state checkpoint serves streams {meta['streams']}, "
                 f"this daemon serves {self.streams}"
             )
-        self.server.load_state(self.state_dir)
+        self.server.load_state(directory)
         self.correlated_sample_index = list(meta["correlated_sample_index"])
         self.correlated_timestamp_ms = list(meta["correlated_timestamp_ms"])
         self.last_segment_length = list(meta["last_segment_length"])
         self.dropped = set(meta["dropped"])
+        self.commands_processed = int(meta.get("commands_processed", 0))
+        if os.path.basename(directory).startswith("gen-"):
+            self._generation = int(os.path.basename(directory).split("-")[1])
 
     # ---- output ------------------------------------------------------------
 
@@ -195,6 +245,22 @@ class MultiDaemon:
         line = line.strip()
         if not line:
             return
+        self._dispatch(line)
+        # Every non-blank stdin line counts toward the durable replay point
+        # (malformed ones included) so a supervisor's "re-feed lines[k:]"
+        # replay is exact. The checkpoint ack is emitted only AFTER the
+        # save completes — it is the durability acknowledgement.
+        self.commands_processed += 1
+        if self.checkpoint_every and (
+            self.commands_processed % self.checkpoint_every == 0
+        ):
+            self.save_state()
+            self._emit(
+                {"action": "checkpoint",
+                 "commands_processed": self.commands_processed}
+            )
+
+    def _dispatch(self, line: str) -> None:
         try:
             cmd = json.loads(line)
         except json.JSONDecodeError as e:
@@ -255,9 +321,7 @@ class MultiDaemon:
         )
 
     def run(self, stdin=None) -> int:
-        if self.state_dir and os.path.exists(
-            os.path.join(self.state_dir, "multidaemon.json")
-        ):
+        if self.state_dir and self._resume_dir() is not None:
             try:
                 self.load_state()
             except (ValueError, OSError, KeyError) as e:
@@ -301,6 +365,13 @@ def main(argv=None) -> int:
              "exit (all N streams, bit-identical — incl. playhead "
              "correlation and dropped-stream containment)",
     )
+    ap.add_argument(
+        "--checkpoint-every", type=int, default=0, metavar="N",
+        help="Also checkpoint --state crash-atomically every N stdin "
+             "commands, emitting a {\"action\": \"checkpoint\", "
+             "\"commands_processed\": k} ack once durable; a supervisor "
+             "replays stdin from the last acked k after a crash",
+    )
     args = ap.parse_args(argv)
 
     def fatal(message: str) -> int:
@@ -321,6 +392,7 @@ def main(argv=None) -> int:
         daemon = MultiDaemon(
             args.name, args.outdir, [s for s in args.streams.split(",") if s],
             args.denoiser, state_dir=args.state,
+            checkpoint_every=args.checkpoint_every,
         )
     except (ValueError, OSError) as e:
         return fatal(f"Could not start multidaemon: {e}")

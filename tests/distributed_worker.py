@@ -16,12 +16,14 @@ import sys
 
 def main() -> int:
     out_path = sys.argv[1]
-    # 2 virtual CPU devices per process -> 4 global devices over 2 processes.
+    # LOCAL_DEVICES virtual CPU devices per process (default 2) -> a
+    # LOCAL_DEVICES * NUM_PROCESSES-device global mesh.
+    local_devices = int(os.environ.get("LOCAL_DEVICES", "2"))
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "").replace(
             "--xla_force_host_platform_device_count=8", ""
         )
-        + " --xla_force_host_platform_device_count=2"
+        + f" --xla_force_host_platform_device_count={local_devices}"
     ).strip()
     import jax
 
@@ -36,7 +38,7 @@ def main() -> int:
     initialized = mesh_lib.maybe_init_distributed()
     assert initialized, "COORDINATOR_ADDRESS must be set for this worker"
     assert jax.process_count() == int(os.environ["NUM_PROCESSES"])
-    assert len(jax.devices()) == 2 * jax.process_count(), jax.devices()
+    assert len(jax.devices()) == local_devices * jax.process_count(), jax.devices()
 
     import numpy as np
 

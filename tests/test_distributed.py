@@ -2,12 +2,12 @@
 
 ``parallel.mesh.maybe_init_distributed`` had never actually run: the
 virtual 8-device mesh and the driver dryrun validate shardings within ONE
-process only. This test launches two real OS processes, each with 2
+process only. This test launches 2 and 4 real OS processes, each with 2
 virtual CPU devices, joins them through ``jax.distributed.initialize`` via
 the production ``maybe_init_distributed`` env-var path, and runs
-BatchRunner's shard_map program over the resulting 4-device 2-process
-global mesh. Both workers must report segments identical to each other
-and to a plain single-process run.
+BatchRunner's shard_map program over the resulting 4- and 8-device global
+meshes. All workers must report segments identical to each other and to a
+plain single-process run.
 """
 
 import json
@@ -34,17 +34,29 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_batchrunner_matches_single_process(tmp_path):
+@pytest.fixture(scope="module")
+def single_process_segments():
+    """Reference result from THIS pytest process (its own 8-device mesh)."""
+    params = nsnet2.init_params(jax.random.PRNGKey(21))
+    batch, lengths = make_batch()
+    runner = BatchRunner(params, VADConfig(vad_machine_config=machine_config()))
+    return [r.segments for r in runner.run(batch, lengths)]
+
+
+@pytest.mark.parametrize("n_processes", [2, 4])
+def test_multi_process_batchrunner_matches_single_process(
+    tmp_path, n_processes, single_process_segments
+):
     port = _free_port()
     procs = []
     outs = []
-    for pid in range(2):
+    for pid in range(n_processes):
         out = tmp_path / f"worker{pid}.json"
         outs.append(out)
         env = dict(os.environ)
         env.update(
             COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
-            NUM_PROCESSES="2",
+            NUM_PROCESSES=str(n_processes),
             PROCESS_ID=str(pid),
         )
         procs.append(
@@ -70,14 +82,11 @@ def test_two_process_batchrunner_matches_single_process(tmp_path):
 
     payloads = [json.loads(out.read_text()) for out in outs]
     for pl in payloads:
-        assert pl["n_processes"] == 2
-        assert pl["n_devices"] == 4  # the GLOBAL device set
-    assert payloads[0]["segments"] == payloads[1]["segments"]
+        assert pl["n_processes"] == n_processes
+        assert pl["n_devices"] == 2 * n_processes  # the GLOBAL device set
+    for pl in payloads[1:]:
+        assert pl["segments"] == payloads[0]["segments"]
 
-    # Single-process reference (this pytest process, its own 8-device mesh).
-    params = nsnet2.init_params(jax.random.PRNGKey(21))
-    batch, lengths = make_batch()
-    runner = BatchRunner(params, VADConfig(vad_machine_config=machine_config()))
-    expected = [r.segments for r in runner.run(batch, lengths)]
+    expected = single_process_segments
     assert payloads[0]["segments"] == expected
     assert any(expected), "corpus must produce segments"
