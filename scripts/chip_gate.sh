@@ -1,0 +1,56 @@
+#!/bin/bash
+# On-chip evidence gate: run the hardware identity check, the host-FSM A/B,
+# and a bench sanity pass on the REAL TPU, appending timestamped results to
+# CHIP_GATE.log (repo root). Run it whenever the relay is up and the compute
+# path changed, so on-chip evidence can never silently go stale (VERDICT
+# round-2 weak #3).
+#
+# Usage:  bash scripts/chip_gate.sh [--quick]
+#   --quick   skip the identity check (the slow part: its lax.scan FSM
+#             compile can take many minutes through the relay)
+#
+# Exits nonzero if the relay is down or any stage fails. Each stage's full
+# output lands in /tmp/chip_gate_<stage>.log; the one-line verdicts go to
+# CHIP_GATE.log for the record.
+set -u
+cd "$(dirname "$0")/.."
+REPO="$PWD"
+LOG="$REPO/CHIP_GATE.log"
+STAMP="$(date -u +%Y-%m-%dT%H:%M:%SZ)"
+GITREV="$(git rev-parse --short HEAD 2>/dev/null || echo unknown)"
+
+note() { echo "[$STAMP $GITREV] $*" | tee -a "$LOG"; }
+
+code=$(curl -s -m 5 http://127.0.0.1:8083/ -o /dev/null -w "%{http_code}" 2>/dev/null)
+if [ "$code" = "000" ] || [ -z "$code" ]; then
+  note "chip_gate SKIPPED: relay down (curl code $code)"
+  exit 3
+fi
+
+fail=0
+run_stage() {
+  local name="$1" tmo="$2"; shift 2
+  local out="/tmp/chip_gate_${name}.log"
+  if timeout "$tmo" "$@" >"$out" 2>&1; then
+    note "$name OK: $(tail -1 "$out" | cut -c1-300)"
+  else
+    local rc=$?
+    note "$name FAIL (rc=$rc): $(tail -2 "$out" | tr '\n' ' ' | cut -c1-300)"
+    fail=1
+  fi
+}
+
+if [ "${1:-}" != "--quick" ]; then
+  # Big-ring scan-FSM compile through the relay can take ~1h on bad days
+  # (verify skill) — generous timeout, run it first while attention is high.
+  run_stage identity 4200 python benchmarks/chip_identity_check.py
+fi
+run_stage host_fsm_ab 1800 python benchmarks/host_fsm_ab.py
+run_stage bench 1800 python bench.py
+
+if [ $fail -eq 0 ]; then
+  note "chip_gate PASS"
+else
+  note "chip_gate FAIL"
+fi
+exit $fail
