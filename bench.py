@@ -194,19 +194,21 @@ def main() -> None:
     if not results:
         _fail("no_child_result", "; ".join(e[:160] for e in child_errs))
     best = max(results, key=lambda r: r["value"])
-    if "bf16" not in best.get("modes", {}):
-        # Adopt a bf16 number only from a child whose HEADLINE agreed with
-        # the best (within the same 30% bound) — a child on a throttled
-        # relay connection under-reports both modes, and its bf16 must not
-        # be published just because it was the only child measuring it.
+    for mode in ("bf16", "bf16_io"):
+        if mode in best.get("modes", {}):
+            continue
+        # Adopt a fast-mode number only from a child whose HEADLINE agreed
+        # with the best (within the same 30% bound) — a child on a throttled
+        # relay connection under-reports both modes, and its numbers must
+        # not be published just because it was the only child measuring them.
         donors = [
             r for r in results
-            if "bf16" in r.get("modes", {}) and r["value"] >= best["value"] / 1.3
+            if mode in r.get("modes", {}) and r["value"] >= best["value"] / 1.3
         ]
         if donors:
-            best["modes"]["bf16"] = max(
-                donors, key=lambda d: d["modes"]["bf16"]["realtime_factor"]
-            )["modes"]["bf16"]
+            best["modes"][mode] = max(
+                donors, key=lambda d: d["modes"][mode]["realtime_factor"]
+            )["modes"][mode]
     print(json.dumps(best))
 
 
@@ -341,12 +343,21 @@ def measure() -> None:
         for _ in range(3)
     ]
 
-    mode_list = (("highest", "highest"), ("bf16", "default"))
+    # (name, matmul precision, activation-storage dtype): bf16_io adds bf16
+    # storage for the big intermediates on top of bf16 matmuls — the deepest
+    # throughput tier (precision.set_io_dtype; tests/test_bf16_io.py pins
+    # decision parity on the synthetic corpus).
+    mode_list = (
+        ("highest", "highest", "f32"),
+        ("bf16", "default", "f32"),
+        ("bf16_io", "default", "bf16"),
+    )
     if os.environ.get("BENCH_MODES") == "highest":
-        mode_list = (("highest", "highest"),)
+        mode_list = (("highest", "highest", "f32"),)
     modes = {}
-    for mode_name, level in mode_list:
+    for mode_name, level, io in mode_list:
         precision.set_matmul_precision(level)
+        precision.set_io_dtype(io)
         if use_host_fsm:
             per_call = _measure_mode_host(
                 jax.jit(make_fe_fn()), st, audios, n_short, n_long

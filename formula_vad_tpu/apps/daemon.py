@@ -232,6 +232,11 @@ def main(argv=None) -> int:
         help="Matmul precision (see PARITY.md #2; 'highest' = full-f32 parity)",
     )
     ap.add_argument(
+        "--io-dtype", choices=("f32", "bf16"), default=None,
+        help="Activation storage dtype: 'bf16' halves activation HBM "
+             "bytes (deepest throughput tier; PARITY.md #2)",
+    )
+    ap.add_argument(
         "--state", default=None,
         help="Path to a state checkpoint: resumed at startup, written on exit",
     )
@@ -240,6 +245,10 @@ def main(argv=None) -> int:
         from ..ops.precision import set_matmul_precision
 
         set_matmul_precision(args.precision)
+    if args.io_dtype:
+        from ..ops.precision import set_io_dtype
+
+        set_io_dtype(args.io_dtype)
 
     if not os.path.isdir(args.outdir) or not os.access(args.outdir, os.W_OK):
         sys.stdout.write(

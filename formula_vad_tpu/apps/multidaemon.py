@@ -360,6 +360,11 @@ def main(argv=None) -> int:
         help="Matmul precision (see PARITY.md #2)",
     )
     ap.add_argument(
+        "--io-dtype", choices=("f32", "bf16"), default=None,
+        help="Activation storage dtype: 'bf16' halves activation HBM "
+             "bytes (deepest throughput tier; PARITY.md #2)",
+    )
+    ap.add_argument(
         "--state", default=None,
         help="State checkpoint directory: resumed at startup, written on "
              "exit (all N streams, bit-identical — incl. playhead "
@@ -384,6 +389,10 @@ def main(argv=None) -> int:
         from ..ops.precision import set_matmul_precision
 
         set_matmul_precision(args.precision)
+    if args.io_dtype:
+        from ..ops.precision import set_io_dtype
+
+        set_io_dtype(args.io_dtype)
     if not os.path.isdir(args.outdir) or not os.access(args.outdir, os.W_OK):
         return fatal(f"Output directory {args.outdir} isn't writeable")
     if args.state:

@@ -277,11 +277,20 @@ def main(argv=None) -> int:
         "on the synthetic corpus sweep (benchmarks/precision_sweep.py), with "
         "rare one-window shifts possible on marginal audio (PARITY.md #2)",
     )
+    ap.add_argument(
+        "--io-dtype", choices=("f32", "bf16"), default=None,
+        help="Activation storage dtype: 'bf16' halves activation HBM "
+             "bytes (deepest throughput tier; PARITY.md #2)",
+    )
     args = ap.parse_args(argv)
     if args.precision:
         from ..ops.precision import set_matmul_precision
 
         set_matmul_precision(args.precision)
+    if args.io_dtype:
+        from ..ops.precision import set_io_dtype
+
+        set_io_dtype(args.io_dtype)
 
     instances, config, base, plan_text = load_plan(args.input)
 

@@ -210,9 +210,22 @@ def apply_streaming(
     the layer-by-layer form.
     """
     t = features.shape[-2]
-    g1, g2 = params.gru1, params.gru2
     if t == 0:  # nothing to scan: state unchanged, empty gains
         return state, jnp.zeros(features.shape[:-1] + (N_BINS,), features.dtype)
+    from ..ops import precision as _prec
+
+    io = _prec.io_dtype()
+    state_dtype = state[0].dtype
+    if io is not None:
+        # bf16 activation storage (precision.set_io_dtype): weights, features
+        # and the GRU state all compute in bf16 — at matmul precision
+        # ``default`` the MXU reads bf16 operands anyway, so this only drops
+        # storage bytes, not MXU input mantissa. State is cast back to the
+        # caller's dtype on return (it may live in an f32 scan carry).
+        features = _prec.io_cast(features)
+        params = jax.tree_util.tree_map(_prec.io_cast, params)
+        state = jax.tree_util.tree_map(_prec.io_cast, state)
+    g1, g2 = params.gru1, params.gru2
     x = _dense(features, params.fc_in_w, params.fc_in_b)  # [..., T, 400]
     # GRU1's input projection over the whole sequence: one big matmul.
     gi1 = _dense(x, params.gru1.wi, params.gru1.bi)  # [..., T, 1200]
@@ -262,6 +275,8 @@ def apply_streaming(
     y = jax.nn.relu(_dense(y, params.ff1_w, params.ff1_b))
     y = jax.nn.relu(_dense(y, params.ff2_w, params.ff2_b))
     gains = jax.nn.sigmoid(_dense(y, params.out_w, params.out_b))
+    if io is not None and state_dtype != io:
+        h1, h2 = h1.astype(state_dtype), h2.astype(state_dtype)
     return (h1, h2), gains
 
 

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .precision import matmul_precision
+from .precision import io_cast, matmul_precision
 
 
 @functools.lru_cache(maxsize=None)
@@ -67,16 +67,21 @@ def irdft_matrices(n_fft: int) -> tuple[np.ndarray, np.ndarray]:
 def rdft(frames: jnp.ndarray, n_fft: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward real DFT of ``frames[..., n_fft]`` -> (real, imag), each [..., n_bins]."""
     cos_mat, sin_mat = rdft_matrices(n_fft)
-    re = jnp.matmul(frames, jnp.asarray(cos_mat), precision=matmul_precision())
-    im = jnp.matmul(frames, jnp.asarray(sin_mat), precision=matmul_precision())
+    frames = io_cast(frames)
+    re = jnp.matmul(frames, io_cast(jnp.asarray(cos_mat)), precision=matmul_precision())
+    im = jnp.matmul(frames, io_cast(jnp.asarray(sin_mat)), precision=matmul_precision())
     return re, im
 
 
 def irdft_kiss(re: jnp.ndarray, im: jnp.ndarray, n_fft: int) -> jnp.ndarray:
     """Unnormalized inverse real DFT (kiss_fftri convention): [..., n_bins] -> [..., n_fft]."""
     cos_mat, sin_mat = irdft_matrices(n_fft)
-    x = jnp.matmul(re, jnp.asarray(cos_mat), precision=matmul_precision())
-    x = x - jnp.matmul(im, jnp.asarray(sin_mat), precision=matmul_precision())
+    x = jnp.matmul(
+        io_cast(re), io_cast(jnp.asarray(cos_mat)), precision=matmul_precision()
+    )
+    x = x - jnp.matmul(
+        io_cast(im), io_cast(jnp.asarray(sin_mat)), precision=matmul_precision()
+    )
     return x
 
 

@@ -1,4 +1,4 @@
-"""Matmul precision policy.
+"""Matmul precision + activation-storage policy.
 
 All DFT/GRU/dense matmuls in the framework route through ``matmul_precision()``:
 
@@ -11,6 +11,15 @@ All DFT/GRU/dense matmuls in the framework route through ``matmul_precision()``:
   applications that tolerate rare one-window segment-boundary shifts.
 
 Selected via ``FVAD_PRECISION`` env var or ``set_matmul_precision()``.
+
+Orthogonally, ``set_io_dtype("bf16")`` (env ``FVAD_IO_DTYPE``) stores the
+denoiser path's big ACTIVATIONS — spectra, features, GRU projections,
+gains, OLA product, the 16 kHz stream — in bfloat16, halving the HBM
+traffic that bounds the non-MXU part of the step. The matmuls already
+read bf16 operands at ``default`` precision, so this costs no extra
+mantissa on the MXU inputs; reductions that feed FSM *decisions* (band
+magnitude sums, RMS volumes, window ratios) stay f32. A speed tier for
+throughput serving — NOT a parity mode (PARITY.md).
 """
 
 from __future__ import annotations
@@ -18,16 +27,21 @@ from __future__ import annotations
 import os
 
 import jax
+import jax.numpy as jnp
 
 _LEVELS = {
     "highest": jax.lax.Precision.HIGHEST,
     "high": jax.lax.Precision.HIGH,
     "default": jax.lax.Precision.DEFAULT,
 }
+_IO_DTYPES = {"f32": None, "bf16": jnp.bfloat16}
 
 _current = os.environ.get("FVAD_PRECISION", "highest").lower()
 if _current not in _LEVELS:
     raise ValueError(f"FVAD_PRECISION must be one of {sorted(_LEVELS)}, got {_current!r}")
+_io = os.environ.get("FVAD_IO_DTYPE", "f32").lower()
+if _io not in _IO_DTYPES:
+    raise ValueError(f"FVAD_IO_DTYPE must be one of {sorted(_IO_DTYPES)}, got {_io!r}")
 
 
 def set_matmul_precision(level: str) -> None:
@@ -39,3 +53,21 @@ def set_matmul_precision(level: str) -> None:
 
 def matmul_precision() -> jax.lax.Precision:
     return _LEVELS[_current]
+
+
+def set_io_dtype(name: str) -> None:
+    global _io
+    if name not in _IO_DTYPES:
+        raise ValueError(f"io dtype must be one of {sorted(_IO_DTYPES)}, got {name!r}")
+    _io = name
+
+
+def io_dtype():
+    """The activation-storage dtype, or None for full f32."""
+    return _IO_DTYPES[_io]
+
+
+def io_cast(x):
+    """Cast an activation to the storage dtype (identity when f32)."""
+    dt = _IO_DTYPES[_io]
+    return x if dt is None or x.dtype == dt else x.astype(dt)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import dft
-from .precision import matmul_precision
+from .precision import io_cast, matmul_precision
 
 
 def frame_signal(x: jnp.ndarray, n_fft: int, hop: int) -> jnp.ndarray:
@@ -128,12 +128,12 @@ def stft_segmat(
     # more than the matmul itself on TPU. Bit-identical either way.
     segs = jnp.concatenate(
         [
-            initial_segment[..., None, :],
+            initial_segment[..., None, :].astype(x.dtype),
             x.reshape(x.shape[:-1] + (t // seg, seg)),
         ],
         axis=-2,
     )
-    prod = jnp.matmul(segs, basis, precision=matmul_precision())
+    prod = jnp.matmul(io_cast(segs), io_cast(basis), precision=matmul_precision())
     z = prod[..., :-1, : 2 * n_bins] + prod[..., 1:, 2 * n_bins :]
     return z[..., :n_bins], z[..., n_bins : 2 * n_bins]
 
@@ -164,8 +164,8 @@ def istft_segmat(
     key = hash(window.tobytes())
     _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
     inv = jnp.asarray(_inv_segmat_basis(key, n_fft))
-    z = jnp.concatenate([re, im], axis=-1)  # [..., n_frames, 2*bins]
-    prod = jnp.matmul(z, inv, precision=matmul_precision())  # [..., F, n_fft]
+    z = jnp.concatenate([io_cast(re), io_cast(im)], axis=-1)  # [..., n_frames, 2*bins]
+    prod = jnp.matmul(z, io_cast(inv), precision=matmul_precision())  # [..., F, n_fft]
     top = prod[..., :hop]
     bot = prod[..., hop:]
     lead = prod.shape[:-2]
@@ -193,7 +193,9 @@ def istft_overlap_add(
     inverse) and accumulated.
     """
     frames = dft.irdft_kiss(re, im, n_fft)  # [..., n_frames, n_fft]
-    frames = frames * (jnp.asarray(window) * np.float32(1.0 / n_fft))
+    frames = frames * jnp.asarray(
+        np.asarray(window) * np.float32(1.0 / n_fft), frames.dtype
+    )
     n_frames = frames.shape[-2]
 
     # Overlap-add via segment-sum style scatter: with hop = n_fft/2 each output
@@ -230,8 +232,11 @@ def magnitude_windows(
     Returns:
       [..., n_bins] magnitudes, |X| * norm_factor (BufferedFFT.zig:162-181).
     """
-    re, im = dft.rdft(frames * jnp.asarray(window), n_fft)
-    return dft.magnitude(re, im) * np.float32(norm_factor)
+    re, im = dft.rdft(frames * jnp.asarray(window, frames.dtype), n_fft)
+    return (
+        dft.magnitude(re.astype(jnp.float32), im.astype(jnp.float32))
+        * np.float32(norm_factor)
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -324,14 +329,17 @@ def band_volume_16k(
     # Superframes by pure reshape (a 1-element lane-axis prepend would
     # relayout the whole stream); the single carried prev sample per
     # superframe enters as a rank-1 term on the basis's prev row instead.
-    main = x16[..., :need].reshape(x16.shape[:-1] + (nsw, n_fft))
+    main = io_cast(x16[..., :need].reshape(x16.shape[:-1] + (nsw, n_fft)))
     prevs = jnp.concatenate(
-        [jnp.asarray(prev, x16.dtype)[..., None], main[..., :-1, -1]], axis=-1
+        [jnp.asarray(prev, main.dtype)[..., None], main[..., :-1, -1]], axis=-1
     )  # [..., nsw]: sample before each superframe
+    basis = io_cast(basis)
     prod = (
         jnp.matmul(main, basis[1:], precision=matmul_precision())
         + prevs[..., None] * basis[0]
-    )
+    # FSM decisions compare band sums against thresholds: the reduction math
+    # stays f32 even when activations are stored bf16 (precision.io_dtype).
+    ).astype(jnp.float32)
     prod = prod.reshape(prod.shape[:-1] + (rate, 2, n_band))
     mags = jnp.sqrt(prod[..., 0, :] ** 2 + prod[..., 1, :] ** 2)
     band = jnp.sum(mags, axis=-1) * np.float32(norm_factor)  # [..., nsw, rate]
@@ -357,6 +365,8 @@ def band_volume_windows(
     _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
     basis = jnp.asarray(_band_basis(key, n_fft, min_bin, max_bin))
     n_band = max_bin - min_bin + 1
-    prod = jnp.matmul(frames, basis, precision=matmul_precision())
+    prod = jnp.matmul(
+        io_cast(frames), io_cast(basis), precision=matmul_precision()
+    ).astype(jnp.float32)  # decision-feeding reduction stays f32 (see band_volume_16k)
     mags = jnp.sqrt(prod[..., :n_band] ** 2 + prod[..., n_band:] ** 2)
     return jnp.sum(mags, axis=-1) * np.float32(norm_factor)

@@ -96,7 +96,12 @@ def denoise_chunk(
     re, im = stft.stft(audio_in, _WINDOW, NSNET2_N_FFT, NSNET2_N_HOP)  # [C, 50, 161]
 
     feats = compute_features(re, im)
-    model_in = jnp.concatenate([carry["feat_ctx"], feats], axis=-2)  # [C, 54, 161]
+    # Cast the carried context at the join: carries stay f32 across chunks
+    # (scan carry / checkpoint dtype stability) while activations may be
+    # stored bf16 (precision.io_dtype).
+    model_in = jnp.concatenate(
+        [carry["feat_ctx"].astype(feats.dtype), feats], axis=-2
+    )  # [C, 54, 161]
 
     # Stateless model run per chunk (zero GRU state for NSNet2 — ONNX
     # Runtime per-chunk semantics; see module docstring).
@@ -108,18 +113,19 @@ def denoise_chunk(
     # Apply gain and reconstruct; OLA folds window * 1/n_fft (NSNet2.zig:312-339).
     out_len = NSNET2_CHUNK_16K + NSNET2_N_HOP
     ola = stft.istft_overlap_add(re * g, im * g, _WINDOW, NSNET2_N_FFT, NSNET2_N_HOP, out_len)
-    ola = ola.at[..., : NSNET2_N_HOP].add(carry["out_tail"])
+    ola = ola.at[..., : NSNET2_N_HOP].add(carry["out_tail"].astype(ola.dtype))
 
     completed = ola[..., :NSNET2_CHUNK_16K]  # [C, 8000]
 
     # 16 k -> 48 k lerp upsample with carried last sample (resample.zig:32-65).
     up, new_last = resample.upsample(completed, carry["last_sample"], downsample_rate)
 
+    cdt = carry["out_tail"].dtype
     new_carry = {
-        "in_tail": ds[..., -NSNET2_N_HOP:],
-        "out_tail": ola[..., NSNET2_CHUNK_16K:],
-        "feat_ctx": feats[..., -NSNET2_CONTEXT_FRAMES:, :],
-        "last_sample": new_last,
+        "in_tail": ds[..., -NSNET2_N_HOP:].astype(carry["in_tail"].dtype),
+        "out_tail": ola[..., NSNET2_CHUNK_16K:].astype(cdt),
+        "feat_ctx": feats[..., -NSNET2_CONTEXT_FRAMES:, :].astype(cdt),
+        "last_sample": new_last.astype(cdt),
     }
     return new_carry, up
 

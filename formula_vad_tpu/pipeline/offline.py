@@ -113,7 +113,10 @@ def denoise_offline_16k(
     main = feats.reshape(lead + (k, NSNET2_N_FRAMES, NSNET2_N_BINS))
     prev_tail = jnp.concatenate(
         [
-            carry["feat_ctx"][..., None, :, :],
+            # Carries stay f32 across slab/checkpoint boundaries; cast at the
+            # join so bf16 activation storage (precision.io_dtype) doesn't
+            # silently promote the big tensors back to f32.
+            carry["feat_ctx"][..., None, :, :].astype(feats.dtype),
             main[..., :-1, NSNET2_N_FRAMES - NSNET2_CONTEXT_FRAMES :, :],
         ],
         axis=-3,
@@ -132,16 +135,17 @@ def denoise_offline_16k(
     # one matmul + shift-add (istft_segmat). The carried OLA tail adds onto
     # the first hop; the dangling final hop becomes the next carry.
     ola = stft.istft_segmat(re * g, im * g, den_mod._WINDOW, NSNET2_N_FFT)
-    ola = ola.at[..., :NSNET2_N_HOP].add(carry["out_tail"])
+    ola = ola.at[..., :NSNET2_N_HOP].add(carry["out_tail"].astype(ola.dtype))
     completed = ola[..., : k * NSNET2_CHUNK_16K]
 
+    cdt = carry["feat_ctx"].dtype  # carries keep their f32 storage dtype
     new_carry = {
         "raw_tail": audio[..., -NSNET2_N_HOP * downsample_rate :],
-        "feat_ctx": feats[..., -NSNET2_CONTEXT_FRAMES:, :],
-        "out_tail": ola[..., k * NSNET2_CHUNK_16K :],
-        "last_sample": completed[..., -1],
+        "feat_ctx": feats[..., -NSNET2_CONTEXT_FRAMES:, :].astype(cdt),
+        "out_tail": ola[..., k * NSNET2_CHUNK_16K :].astype(cdt),
+        "last_sample": completed[..., -1].astype(cdt),
     }
-    return completed, carry["last_sample"], new_carry
+    return completed, carry["last_sample"].astype(completed.dtype), new_carry
 
 
 def denoise_offline_carry(
