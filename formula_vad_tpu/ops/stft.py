@@ -265,7 +265,15 @@ def _band16_basis(
     upsampled stream is never materialized on the scoring path (PARITY.md
     controlled deviation: values match upsample-then-DFT to ~1e-6 rel).
     Column blocks per window w in 0..rate-1: [re(n_band) | im(n_band)]."""
-    window = _SEGMAT_WINDOWS[window_key].astype(np.float64)
+    return _band16_basis_f64(
+        _SEGMAT_WINDOWS[window_key].astype(np.float64), n_fft, min_bin, max_bin, rate
+    ).astype(np.float32)
+
+
+def _band16_basis_f64(
+    window: np.ndarray, n_fft: int, min_bin: int, max_bin: int, rate: int
+) -> np.ndarray:
+    """float64 core of ``_band16_basis`` (shared with the deeper spectra fold)."""
     n_band = max_bin - min_bin + 1
     # U: [rate*n_fft 48k samples, n_fft+1 = prev + 16k samples] lerp matrix.
     u = np.zeros((rate * n_fft, n_fft + 1))
@@ -289,7 +297,7 @@ def _band16_basis(
         a = np.zeros((rate * n_fft, 2 * n_band))
         a[w * n_fft : (w + 1) * n_fft, :] = wd
         blocks.append(u.T @ a)
-    return np.concatenate(blocks, axis=1).astype(np.float32)
+    return np.concatenate(blocks, axis=1)
 
 
 def band_volume_16k(
@@ -344,6 +352,209 @@ def band_volume_16k(
     mags = jnp.sqrt(prod[..., 0, :] ** 2 + prod[..., 1, :] ** 2)
     band = jnp.sum(mags, axis=-1) * np.float32(norm_factor)  # [..., nsw, rate]
     band = band.reshape(band.shape[:-2] + (nsw * rate,))
+    return band[..., :n_windows]
+
+
+@functools.lru_cache(maxsize=None)
+def _bandz_parts(
+    den_key: int,
+    band_key: int,
+    n_fft_den: int,
+    n_fft_band: int,
+    min_bin: int,
+    max_bin: int,
+    rate: int,
+):
+    """Composite (iDFT + OLA + lerp upsample + window + band DFT) basis.
+
+    ``band_volume_spec`` folds the whole post-gain scoring chain into one
+    linear map from the gained NSNet2 spectra.  Let hop = n_fft_den/2 and
+    blk = lcm(n_fft_band, hop) 16 kHz samples (5120 for the 320/1024
+    defaults) — one "block" of spb = blk/n_fft_band superframes covers
+    fpb = blk/hop OLA frames exactly, so the composite map is BLOCK-
+    PERIODIC: a 1-D convolution over the frame axis with kernel
+    R = fpb + 2 frames (each block's samples draw on its fpb frames plus
+    the two preceding ones through the OLA bottom halves and the lerp
+    prev-sample) and stride fpb.
+
+    Returns (W float32 [R, 2*n_bins_den, spb*rate*2*n_band],
+             band_blk float64 [blk + 1, same cols]) where band_blk maps the
+    block's raw stream samples (row 0 = the sample *before* the block) to
+    the block's band re/im columns — kept for the exact edge-correction
+    terms (carried OLA tail, lerp prev sample, end-of-stream truncation).
+    """
+    den_win = _SEGMAT_WINDOWS[den_key].astype(np.float64)
+    band_win = _SEGMAT_WINDOWS[band_key].astype(np.float64)
+    hop = n_fft_den // 2
+    nb_den = n_fft_den // 2 + 1
+    blk = int(np.lcm(n_fft_band, hop))
+    fpb = blk // hop
+    spb = blk // n_fft_band
+    n_band = max_bin - min_bin + 1
+    ncols_sf = rate * 2 * n_band
+    ncols = spb * ncols_sf
+
+    # f64 inverse-DFT basis (the _inv_segmat_basis math): [2*nb_den, n_fft_den],
+    # columns [0:hop] = frame top half, [hop:] = bottom half.
+    k = np.arange(nb_den, dtype=np.float64)[:, None]
+    n = np.arange(n_fft_den, dtype=np.float64)[None, :]
+    phase = 2.0 * np.pi * k * n / n_fft_den
+    w_k = np.full((nb_den, 1), 2.0)
+    w_k[0, 0] = 1.0
+    w_k[-1, 0] = 1.0
+    scale = den_win / n_fft_den
+    inv64 = np.concatenate(
+        [(w_k * np.cos(phase)) * scale, -(w_k * np.sin(phase)) * scale], axis=0
+    )
+
+    # Block-lifted band basis: band_blk[j] = band columns of stream sample
+    # j-1 of the block (j = 0 is the sample before the block — it is both
+    # superframe 0's lerp prev row and, for j = s*n_fft_band with s > 0,
+    # superframe s-1's final sample, hence the += overlap).
+    band16 = _band16_basis_f64(band_win, n_fft_band, min_bin, max_bin, rate)
+    band_blk = np.zeros((blk + 1, ncols))
+    for s in range(spb):
+        band_blk[s * n_fft_band : (s + 1) * n_fft_band + 1,
+                 s * ncols_sf : (s + 1) * ncols_sf] += band16
+
+    # OLA lift: stream sample t (block-local, j = t + 1) = prod[f0, t % hop]
+    # + prod[f0 - 1, hop + t % hop] with f0 = t // hop; in kernel-row terms
+    # (row r = frame fpb*b - 2 + r) each (r, c) prod entry lands on exactly
+    # one block sample:  c < hop: j = (r-2)*hop + c + 1 ;
+    #                    c >= hop: j = (r-1)*hop + (c-hop) + 1.
+    R = fpb + 2
+    r_idx = np.arange(R)[:, None]
+    c_half = np.arange(hop)[None, :]
+    j_top = (r_idx - 2) * hop + c_half + 1
+    j_bot = (r_idx - 1) * hop + c_half + 1
+
+    def gathered(j):
+        ok = (j >= 0) & (j <= blk)
+        out = band_blk[np.clip(j, 0, blk)]
+        out[~ok] = 0.0
+        return out  # [R, hop, ncols]
+
+    wp = np.concatenate([gathered(j_top), gathered(j_bot)], axis=1)  # [R, n_fft_den, ncols]
+    w = np.einsum("zc,rcn->rzn", inv64, wp)  # [R, 2*nb_den, ncols]
+    return w.astype(np.float32), band_blk
+
+
+def band_volume_spec(
+    re_g: jnp.ndarray,
+    im_g: jnp.ndarray,
+    prev16: jnp.ndarray,
+    out_tail_prev: jnp.ndarray,
+    den_window: np.ndarray,
+    band_window: np.ndarray,
+    n_fft_den: int,
+    n_fft_band: int,
+    norm_factor: float,
+    min_bin: int,
+    max_bin: int,
+    n_windows: int,
+    rate: int = 3,
+) -> jnp.ndarray:
+    """Speech-band volumes straight from the GAINED SPECTRA: folds
+    iSTFT + overlap-add + lerp upsample + band window + band DFT into one
+    strided convolution, so the scoring path never materializes the
+    denoised stream at ANY rate (one fold deeper than ``band_volume_16k``;
+    the istft's [F, hop] -> flat stream relayout disappears with it).
+
+    Exact up to float reassociation: the folded map is the same linear
+    operator, evaluated in different order (PARITY.md controlled-deviation
+    class of #8; paths that must EMIT audio still run the real iSTFT).
+
+    Args:
+      re_g, im_g: [..., F, n_bins] gained spectra (re * g, im * g) of the
+        slab's F OLA frames (frame f covers 16 kHz samples
+        [f*hop - hop, f*hop + hop); the slab's stream is samples
+        [0, F*hop)).
+      prev16: [...] the 16 kHz sample before this slab (lerp carry).
+      out_tail_prev: [..., hop] the previous slab's dangling OLA tail
+        (added onto samples [0, hop)).
+      n_windows: number of 48 kHz analysis windows to emit (the stream is
+        zero-padded past F*hop exactly like ``band_volume_16k``).
+    Returns [..., n_windows] float32.
+    """
+    hop = n_fft_den // 2
+    den_key = hash(np.asarray(den_window, np.float32).tobytes())
+    _SEGMAT_WINDOWS[den_key] = np.asarray(den_window, np.float32)
+    band_key = hash(np.asarray(band_window, np.float32).tobytes())
+    _SEGMAT_WINDOWS[band_key] = np.asarray(band_window, np.float32)
+    w, band_blk = _bandz_parts(
+        den_key, band_key, n_fft_den, n_fft_band, min_bin, max_bin, rate
+    )
+    blk = int(np.lcm(n_fft_band, hop))
+    fpb = blk // hop
+    spb = blk // n_fft_band
+    n_band = max_bin - min_bin + 1
+    f = re_g.shape[-2]
+    t16 = f * hop
+    nsw = -(-n_windows // rate)
+    # Cover BOTH the requested windows and the whole stream: a frame past
+    # the last requested block still contributes (via its OLA top half) to
+    # samples inside it, so never drop frames — emit extra blocks and
+    # truncate the windows at the end instead.
+    nblk = max(-(-nsw // spb), -(-f // fpb))
+    lead = re_g.shape[:-2]
+
+    z = jnp.concatenate([io_cast(re_g), io_cast(im_g)], axis=-1)  # [.., F, 2*nb]
+    pad_f = nblk * fpb - f
+    # 2 leading zero rows = frames -2, -1 (their true contributions enter
+    # via the carry corrections below); trailing zero rows = the zero-padded
+    # tail region past the stream end.
+    zp = jnp.pad(z, [(0, 0)] * (z.ndim - 2) + [(2, pad_f), (0, 0)])
+    out = jax.lax.conv_general_dilated(
+        zp.reshape((-1,) + zp.shape[-2:]),
+        io_cast(jnp.asarray(w)),
+        window_strides=(fpb,),
+        padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=matmul_precision(),
+    )
+    band_ri = out.astype(jnp.float32).reshape(lead + out.shape[-2:])  # [.., nblk, ncols]
+
+    # ---- exact edge corrections (all indices static under jit) ----------
+    prec = matmul_precision()
+    # (1) carry-in: sample -1 is prev16; samples [0, hop) additionally get
+    # the previous slab's OLA tail.
+    row_prev = jnp.asarray(band_blk[0].astype(np.float32))
+    head = jnp.asarray(band_blk[1 : 1 + hop].astype(np.float32))
+    c0 = prev16[..., None].astype(jnp.float32) * row_prev + jnp.matmul(
+        out_tail_prev.astype(jnp.float32), head, precision=prec
+    )
+    band_ri = band_ri.at[..., 0, :].add(c0)
+    # (2) end-of-stream truncation: the conv includes the final frame's OLA
+    # bottom half at samples [t16, t16 + hop), but the scored stream is
+    # zero there (band_volume_16k pads completed16 with zeros) — subtract
+    # that dangling tail's contribution wherever those samples land.
+    if t16 < nblk * blk:
+        inv = jnp.asarray(_inv_segmat_basis(den_key, n_fft_den))  # [2nb, n_fft_den]
+        z_last = z[..., f - 1, :].astype(jnp.float32)
+        tail = jnp.matmul(z_last, inv[:, hop:], precision=prec)  # [.., hop]
+        b_t = t16 // blk
+        j0 = t16 - b_t * blk + 1  # block-local row of sample t16
+        n1 = min(blk + 1 - j0, hop)
+        if b_t < nblk and n1 > 0:
+            rows = jnp.asarray(band_blk[j0 : j0 + n1].astype(np.float32))
+            band_ri = band_ri.at[..., b_t, :].add(
+                -jnp.matmul(tail[..., :n1], rows, precision=prec)
+            )
+        # Samples at/after the next block's prev row also appear there.
+        spill_start = max(t16, (b_t + 1) * blk - 1)
+        if b_t + 1 < nblk and spill_start < t16 + hop:
+            off = spill_start - t16
+            j1 = spill_start - (b_t + 1) * blk + 1  # 0 or positive
+            n2 = hop - off
+            rows = jnp.asarray(band_blk[j1 : j1 + n2].astype(np.float32))
+            band_ri = band_ri.at[..., b_t + 1, :].add(
+                -jnp.matmul(tail[..., off:], rows, precision=prec)
+            )
+
+    band_ri = band_ri.reshape(lead + (nblk, spb, rate, 2, n_band))
+    mags = jnp.sqrt(band_ri[..., 0, :] ** 2 + band_ri[..., 1, :] ** 2)
+    band = jnp.sum(mags, axis=-1) * np.float32(norm_factor)  # [.., nblk, spb, rate]
+    band = band.reshape(lead + (nblk * spb * rate,))
     return band[..., :n_windows]
 
 

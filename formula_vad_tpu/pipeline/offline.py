@@ -32,6 +32,7 @@ same operations, same order within each frame — only the batching changes.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -52,6 +53,15 @@ from . import denoiser as den_mod
 from . import fsm, vad
 
 
+def band_composite_enabled() -> bool:
+    """Whether the scoring band path uses the fully-folded spectra->band
+    conv (``stft.band_volume_spec``, PARITY.md deviation 11).  Default on;
+    ``FVAD_BAND_COMPOSITE=off`` restores the materialize-16k path
+    (``band_volume_16k``), whose slab chaining is bitwise against the
+    whole-stream run."""
+    return os.environ.get("FVAD_BAND_COMPOSITE", "on") != "off"
+
+
 def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32):
     """Denoiser boundary state for slab-wise whole-stream processing.
 
@@ -66,26 +76,16 @@ def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32
     }
 
 
-def denoise_offline_16k(
+def _gained_spectra(
     params: nsnet2.NSNet2Params,
     audio: jnp.ndarray,
     carry: dict,
     downsample_rate: int = 3,
 ):
-    """Chunk-parallel denoise of one slab, stopping at the 16 kHz output.
+    """Shared front half of the chunk-parallel denoise: decimating STFT,
+    features, per-chunk stateless model run, clipped gains.
 
-    The full pipeline's scoring path never needs the upsampled 48 kHz
-    stream (its only consumer is the band DFT, which ``stft.band_volume_16k``
-    computes directly from the 16 kHz signal with the lerp fold) — callers
-    that must EMIT audio wrap this with ``resample.upsample`` via
-    ``denoise_offline_carry``.
-
-    Args:
-      audio: [..., C, S] slab, S a multiple of the 24000-sample chunk.
-    Returns:
-      (completed16 [..., C, S/rate], prev16 [..., C] — the 16 kHz sample
-       preceding this slab (the lerp carry), new_carry).
-    """
+    Returns (re, im, g, feats), each [..., K*50, 161]."""
     t48 = audio.shape[-1]
     chunk48 = NSNET2_CHUNK_16K * downsample_rate
     assert t48 % chunk48 == 0, "length must be a multiple of the chunk size"
@@ -130,6 +130,76 @@ def denoise_offline_16k(
     gains = apply_model(params, flat, out_frames=NSNET2_N_FRAMES)  # [N, 50, 161]
     gains = gains.reshape(lead + (k * NSNET2_N_FRAMES, NSNET2_N_BINS))
     g = jnp.clip(gains, den_mod.GAIN_MIN, den_mod.GAIN_MAX)
+    return re, im, g, feats
+
+
+def denoise_offline_spec(
+    params: nsnet2.NSNet2Params,
+    audio: jnp.ndarray,
+    carry: dict,
+    downsample_rate: int = 3,
+):
+    """Chunk-parallel denoise stopping at the GAINED SPECTRA — the input of
+    the fully-folded scoring band path (``stft.band_volume_spec``), which
+    never materializes the denoised stream at any rate.  The denoiser
+    boundary carry is produced directly from the spectra: the OLA tail is
+    the final frame's inverse bottom half and the lerp last-sample is the
+    two-term OLA of the final stream sample (both tiny matmuls; same
+    linear-map-reassociation deviation class as the fold itself).
+
+    Returns (re_g, im_g [..., K*50, 161], new_carry)."""
+    re, im, g, feats = _gained_spectra(params, audio, carry, downsample_rate)
+    re_g, im_g = re * g, im * g
+    hop = NSNET2_N_HOP
+    key = hash(np.asarray(den_mod._WINDOW, np.float32).tobytes())
+    stft._SEGMAT_WINDOWS[key] = np.asarray(den_mod._WINDOW, np.float32)
+    inv = jnp.asarray(stft._inv_segmat_basis(key, NSNET2_N_FFT))  # [322, 320]
+    from ..ops.precision import matmul_precision
+
+    z_last = jnp.concatenate(
+        [re_g[..., -1, :], im_g[..., -1, :]], axis=-1
+    ).astype(jnp.float32)
+    z_prev = jnp.concatenate(
+        [re_g[..., -2, :], im_g[..., -2, :]], axis=-1
+    ).astype(jnp.float32)
+    prec = matmul_precision()
+    out_tail = jnp.matmul(z_last, inv[:, hop:], precision=prec)  # [..., hop]
+    last_sample = jnp.matmul(z_last, inv[:, hop - 1], precision=prec) + jnp.matmul(
+        z_prev, inv[:, 2 * hop - 1], precision=prec
+    )
+    cdt = carry["feat_ctx"].dtype
+    new_carry = {
+        "raw_tail": audio[..., -hop * downsample_rate :],
+        "feat_ctx": feats[..., -NSNET2_CONTEXT_FRAMES:, :].astype(cdt),
+        "out_tail": out_tail.astype(cdt),
+        "last_sample": last_sample.astype(cdt),
+    }
+    return re_g, im_g, new_carry
+
+
+def denoise_offline_16k(
+    params: nsnet2.NSNet2Params,
+    audio: jnp.ndarray,
+    carry: dict,
+    downsample_rate: int = 3,
+):
+    """Chunk-parallel denoise of one slab, stopping at the 16 kHz output.
+
+    The full pipeline's scoring path never needs the upsampled 48 kHz
+    stream (its only consumer is the band DFT, which ``stft.band_volume_16k``
+    computes directly from the 16 kHz signal with the lerp fold) — callers
+    that must EMIT audio wrap this with ``resample.upsample`` via
+    ``denoise_offline_carry``.
+
+    Args:
+      audio: [..., C, S] slab, S a multiple of the 24000-sample chunk.
+    Returns:
+      (completed16 [..., C, S/rate], prev16 [..., C] — the 16 kHz sample
+       preceding this slab (the lerp carry), new_carry).
+    """
+    chunk48 = NSNET2_CHUNK_16K * downsample_rate
+    k = audio.shape[-1] // chunk48
+    re, im, g, feats = _gained_spectra(params, audio, carry, downsample_rate)
 
     # Global OLA == the per-chunk output-tail chain (see module docstring);
     # one matmul + shift-add (istft_segmat). The carried OLA tail adds onto
@@ -248,21 +318,38 @@ def window_inputs_carry(
     audio = audio[:, : k * chunk]
 
     n_windows = (k * chunk) // st.fft_size
-    completed16, prev16, den_carry = denoise_offline_16k(
-        params, audio, den_carry, st.downsample_rate
-    )
-    # Scoring-path band volumes come straight from the 16 kHz signal with
-    # the lerp upsample folded into the DFT basis — the 48 kHz denoised
-    # stream (3x the bytes) is materialized only when a caller asks for it.
-    band = stft.band_volume_16k(
-        completed16, prev16, vad._hann(st.fft_size), st.fft_size,
-        st.norm_factor, st.min_bin, st.max_bin, n_windows,
-        rate=st.downsample_rate,
-    )
-    min_vol = jnp.min(band, axis=0)
     denoised = None
-    if collect_denoised:
-        denoised, _ = resample.upsample(completed16, prev16, st.downsample_rate)
+    if not collect_denoised and band_composite_enabled():
+        # Fully-folded scoring band: iSTFT + OLA + upsample + band DFT as one
+        # strided conv from the gained spectra (stft.band_volume_spec) — the
+        # denoised stream is never materialized at ANY rate. Same linear
+        # map, different evaluation order (PARITY.md deviation 11).
+        prev16 = den_carry["last_sample"]
+        out_tail_prev = den_carry["out_tail"]
+        re_g, im_g, den_carry = denoise_offline_spec(
+            params, audio, den_carry, st.downsample_rate
+        )
+        band = stft.band_volume_spec(
+            re_g, im_g, prev16, out_tail_prev,
+            den_mod._WINDOW, vad._hann(st.fft_size),
+            NSNET2_N_FFT, st.fft_size, st.norm_factor,
+            st.min_bin, st.max_bin, n_windows, rate=st.downsample_rate,
+        )
+    else:
+        completed16, prev16, den_carry = denoise_offline_16k(
+            params, audio, den_carry, st.downsample_rate
+        )
+        # Scoring-path band volumes come straight from the 16 kHz signal with
+        # the lerp upsample folded into the DFT basis — the 48 kHz denoised
+        # stream (3x the bytes) is materialized only when a caller asks for it.
+        band = stft.band_volume_16k(
+            completed16, prev16, vad._hann(st.fft_size), st.fft_size,
+            st.norm_factor, st.min_bin, st.max_bin, n_windows,
+            rate=st.downsample_rate,
+        )
+        if collect_denoised:
+            denoised, _ = resample.upsample(completed16, prev16, st.downsample_rate)
+    min_vol = jnp.min(band, axis=0)
 
     # Channel-axis reductions directly on the [C, K, chunk] layout (a
     # [K, C, chunk] transpose relayouts the entire stream on TPU); values
