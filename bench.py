@@ -128,12 +128,26 @@ def flops_per_audio_sec(st) -> float:
         + 2 * (2 * 2 * mf * hidden * 3 * hidden)
         + 2 * frames * (hidden * ff1 + ff1 * ff2 + ff2 * bins16)
     )
-    # istft_segmat: [*, 322] @ [322, 320] per frame.
-    istft = 2 * frames * (2 * bins16) * n_fft16
-    # band_volume_16k: fused upsample+window+band-DFT, [*, 1024] @ [1024,
-    # 3*2*n_band] per 1024-sample superframe (8000/1024 per chunk per ch).
-    band = 2 * (8000 / st.fft_size * 3) * st.fft_size * (2 * n_band)
-    per_chunk_ch = stft + model + istft + band
+    from formula_vad_tpu.pipeline import offline
+
+    if offline.band_composite_enabled():
+        # Fully-folded spectra->band conv (PARITY.md deviation 11): one
+        # strided conv, kernel [R=fpb+2 frames, 2*bins16, spb*3*2*n_band],
+        # one output position per lcm(fft,hop)=5120-sample block
+        # (16000/5120 blocks per 16 kHz second per channel).
+        blk = 5120
+        fpb, spb = blk // hop16, blk // st.fft_size
+        per_block = 2 * (fpb + 2) * (2 * bins16) * (spb * 3 * 2 * n_band)
+        tail = (16000 / blk / chunks_per_sec) * per_block  # per chunk-ch
+    else:
+        # istft_segmat: [*, 322] @ [322, 320] per frame, plus
+        # band_volume_16k: fused upsample+window+band-DFT, [*, 1024] @
+        # [1024, 3*2*n_band] per 1024-sample superframe (8000/1024 per
+        # chunk per ch).
+        tail = 2 * frames * (2 * bins16) * n_fft16 + 2 * (
+            8000 / st.fft_size * 3
+        ) * st.fft_size * (2 * n_band)
+    per_chunk_ch = stft + model + tail
     return per_chunk_ch * n_ch * chunks_per_sec
 
 
