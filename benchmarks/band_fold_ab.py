@@ -41,10 +41,10 @@ N_ITERS = int(os.environ.get("AB_ITERS", "12"))
 REPS = 3
 
 
-def make_fn(params, st, composite: bool):
+def make_fn(params, st, mode_env: str):
     # Fresh closure per variant AND per precision mode (trace-cache rule);
-    # band_composite_enabled() is read at TRACE time, so pin the env var
-    # around the first (compiling) call.
+    # band_composite_enabled()/variant() are read at TRACE time, so pin the
+    # env var around every call (the first one compiles).
     def fe(audio):
         mv, rt, va = offline.window_inputs_batch(params, st, audio)
         return mv, rt, va
@@ -53,7 +53,7 @@ def make_fn(params, st, composite: bool):
 
     def call(audio):
         old = os.environ.get("FVAD_BAND_COMPOSITE")
-        os.environ["FVAD_BAND_COMPOSITE"] = "on" if composite else "off"
+        os.environ["FVAD_BAND_COMPOSITE"] = mode_env
         try:
             return jfe(audio)
         finally:
@@ -112,8 +112,9 @@ def main():
         precision.set_matmul_precision(level)
         precision.set_io_dtype(io)
         fns = {
-            "composite": make_fn(params, st, True),
-            "materialize": make_fn(params, st, False),
+            "composite": make_fn(params, st, "on"),
+            "comp_split": make_fn(params, st, "split"),
+            "materialize": make_fn(params, st, "off"),
         }
         print(f"== mode={mode_name} ==", flush=True)
         results = {}
@@ -126,11 +127,12 @@ def main():
                     f"({audio_sec/dt:9.0f}x rt)",
                     flush=True,
                 )
-        c, m = min(results["composite"]), min(results["materialize"])
+        mins = {k: min(v) for k, v in results.items()}
+        winner = min(mins, key=mins.get)
         print(
-            f"  => composite {c*1e3:.2f} ms vs materialize {m*1e3:.2f} ms: "
-            f"{'composite' if c < m else 'materialize'} wins by "
-            f"{abs(m-c)*1e3:.2f} ms ({100*abs(m-c)/max(c,m):.1f}%)",
+            "  => "
+            + "  ".join(f"{k} {v*1e3:.2f} ms" for k, v in mins.items())
+            + f"  | winner: {winner}",
             flush=True,
         )
 

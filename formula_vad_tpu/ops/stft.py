@@ -378,10 +378,17 @@ def _bandz_parts(
     prev-sample) and stride fpb.
 
     Returns (W float32 [R, 2*n_bins_den, spb*rate*2*n_band],
-             band_blk float64 [blk + 1, same cols]) where band_blk maps the
+             band_blk float64 [blk + 1, same cols],
+             splits) where band_blk maps the
     block's raw stream samples (row 0 = the sample *before* the block) to
     the block's band re/im columns — kept for the exact edge-correction
     terms (carried OLA tail, lerp prev sample, end-of-stream truncation).
+    ``splits`` is the structured-sparse factorization of W: each superframe
+    s only sees the ~(n_fft_band/hop + 2) kernel frames whose samples land
+    in its span, so W is ~74% zeros — splits[s] = (r0, W[r0:r1, :, s-cols])
+    with all rows outside [r0, r1) zero, and evaluating spb narrow convs
+    instead of the dense one does ~3.4x fewer MXU FLOPs (which of the two
+    the hardware prefers is an on-chip A/B, benchmarks/band_fold_ab.py).
     """
     den_win = _SEGMAT_WINDOWS[den_key].astype(np.float64)
     band_win = _SEGMAT_WINDOWS[band_key].astype(np.float64)
@@ -436,7 +443,15 @@ def _bandz_parts(
 
     wp = np.concatenate([gathered(j_top), gathered(j_bot)], axis=1)  # [R, n_fft_den, ncols]
     w = np.einsum("zc,rcn->rzn", inv64, wp)  # [R, 2*nb_den, ncols]
-    return w.astype(np.float32), band_blk
+    w32 = w.astype(np.float32)
+
+    splits = []
+    for s in range(spb):
+        ws = w32[:, :, s * ncols_sf : (s + 1) * ncols_sf]
+        nz = np.nonzero(np.abs(ws).max(axis=(1, 2)) > 0.0)[0]
+        r0, r1 = int(nz[0]), int(nz[-1]) + 1
+        splits.append((r0, ws[r0:r1]))
+    return w32, band_blk, tuple(splits)
 
 
 def band_volume_spec(
@@ -453,12 +468,18 @@ def band_volume_spec(
     max_bin: int,
     n_windows: int,
     rate: int = 3,
+    variant: str = "dense",
 ) -> jnp.ndarray:
     """Speech-band volumes straight from the GAINED SPECTRA: folds
     iSTFT + overlap-add + lerp upsample + band window + band DFT into one
     strided convolution, so the scoring path never materializes the
     denoised stream at ANY rate (one fold deeper than ``band_volume_16k``;
     the istft's [F, hop] -> flat stream relayout disappears with it).
+
+    ``variant``: "dense" = one conv with the full [R, 2nb, ncols] kernel;
+    "split" = one narrow conv per superframe phase using the kernel's
+    structured sparsity (~3.4x fewer MXU FLOPs, spb dispatches; same
+    operator, MXU-accumulation order differs within the tolerance class).
 
     Exact up to float reassociation: the folded map is the same linear
     operator, evaluated in different order (PARITY.md controlled-deviation
@@ -481,7 +502,7 @@ def band_volume_spec(
     _SEGMAT_WINDOWS[den_key] = np.asarray(den_window, np.float32)
     band_key = hash(np.asarray(band_window, np.float32).tobytes())
     _SEGMAT_WINDOWS[band_key] = np.asarray(band_window, np.float32)
-    w, band_blk = _bandz_parts(
+    w, band_blk, splits = _bandz_parts(
         den_key, band_key, n_fft_den, n_fft_band, min_bin, max_bin, rate
     )
     blk = int(np.lcm(n_fft_band, hop))
@@ -504,14 +525,31 @@ def band_volume_spec(
     # via the carry corrections below); trailing zero rows = the zero-padded
     # tail region past the stream end.
     zp = jnp.pad(z, [(0, 0)] * (z.ndim - 2) + [(2, pad_f), (0, 0)])
-    out = jax.lax.conv_general_dilated(
-        zp.reshape((-1,) + zp.shape[-2:]),
-        io_cast(jnp.asarray(w)),
-        window_strides=(fpb,),
-        padding="VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        precision=matmul_precision(),
-    )
+    zp_flat = zp.reshape((-1,) + zp.shape[-2:])
+
+    def strided_conv(x, kern):
+        return jax.lax.conv_general_dilated(
+            x,
+            io_cast(jnp.asarray(kern)),
+            window_strides=(fpb,),
+            padding="VALID",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            precision=matmul_precision(),
+        )
+
+    if variant == "split":
+        # One narrow conv per superframe phase: phase s's columns only see
+        # kernel frames [r0, r0+Rs) (the rest of W's rows are exactly zero
+        # there), so slice the input forward by r0 and convolve with the
+        # nonzero rows. Output positions stay block-aligned: position b
+        # reads frames b*fpb + r0 + [0, Rs), and r0 + Rs <= R guarantees
+        # every s yields exactly nblk positions from the same zp.
+        outs = [strided_conv(zp_flat[:, r0:, :], ws) for r0, ws in splits]
+        assert all(o.shape[-2] == nblk for o in outs), (
+            [o.shape for o in outs], nblk)
+        out = jnp.concatenate(outs, axis=-1)
+    else:
+        out = strided_conv(zp_flat, w)
     band_ri = out.astype(jnp.float32).reshape(lead + out.shape[-2:])  # [.., nblk, ncols]
 
     # ---- exact edge corrections (all indices static under jit) ----------

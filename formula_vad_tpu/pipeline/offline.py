@@ -58,8 +58,16 @@ def band_composite_enabled() -> bool:
     conv (``stft.band_volume_spec``, PARITY.md deviation 11).  Default on;
     ``FVAD_BAND_COMPOSITE=off`` restores the materialize-16k path
     (``band_volume_16k``), whose slab chaining is bitwise against the
-    whole-stream run."""
+    whole-stream run. ``=split`` selects the structured-sparse per-phase
+    factorization of the same operator (benchmarks/band_fold_ab.py A/Bs
+    the three on chip)."""
     return os.environ.get("FVAD_BAND_COMPOSITE", "on") != "off"
+
+
+def band_composite_variant() -> str:
+    """Kernel form for the composite band conv: "dense" | "split"."""
+    v = os.environ.get("FVAD_BAND_COMPOSITE", "on")
+    return "split" if v == "split" else "dense"
 
 
 def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32):
@@ -334,6 +342,7 @@ def window_inputs_carry(
             den_mod._WINDOW, vad._hann(st.fft_size),
             NSNET2_N_FFT, st.fft_size, st.norm_factor,
             st.min_bin, st.max_bin, n_windows, rate=st.downsample_rate,
+            variant=band_composite_variant(),
         )
     else:
         completed16, prev16, den_carry = denoise_offline_16k(

@@ -47,6 +47,7 @@ def reference_band(re_g, im_g, prev16, out_tail_prev, st, n_windows):
     )
 
 
+@pytest.mark.parametrize("variant", ["dense", "split"])
 @pytest.mark.parametrize(
     "f,n_windows",
     [
@@ -61,7 +62,7 @@ def reference_band(re_g, im_g, prev16, out_tail_prev, st, n_windows):
         (70, 8),      # ditto, non-aligned window count
     ],
 )
-def test_matches_materialized_chain(st, f, n_windows):
+def test_matches_materialized_chain(st, f, n_windows, variant):
     rng = np.random.default_rng(f)
     shape = (2, f, NSNET2_N_FFT // 2 + 1)
     re_g = jnp.asarray(rng.standard_normal(shape), jnp.float32)
@@ -76,6 +77,7 @@ def test_matches_materialized_chain(st, f, n_windows):
             den_mod._WINDOW, vad._hann(st.fft_size),
             NSNET2_N_FFT, st.fft_size, st.norm_factor,
             st.min_bin, st.max_bin, n_windows, rate=st.downsample_rate,
+            variant=variant,
         )
     )
     assert got.shape == ref.shape == (2, n_windows)
@@ -128,6 +130,20 @@ def test_composite_segments_match_scan(st):
         )(audio)
         got = offline.segments_from_offline(st, win_out)
         assert got == expected, f"seed {seed}"
+
+
+def test_split_variant_segments_match_scan(st, monkeypatch):
+    monkeypatch.setenv("FVAD_BAND_COMPOSITE", "split")
+    assert offline.band_composite_variant() == "split"
+    params = nsnet2.init_params(jax.random.PRNGKey(7))
+    audio = jnp.asarray(speechy_audio(16, [(0.7, 0.9), (3.1, 1.3)], seed=4))
+    _, outs = jax.jit(lambda a: vad.process_stream(params, st, a))(audio)
+    expected = vad.segments_from_outputs(st, outs)
+    assert expected
+    win_out, _, _ = jax.jit(
+        lambda a: offline.process_stream_offline(params, st, a)
+    )(audio)
+    assert offline.segments_from_offline(st, win_out) == expected
 
 
 def test_composite_min_vol_close_to_materialized(st, monkeypatch):
