@@ -128,16 +128,21 @@ def flops_per_audio_sec(st) -> float:
         + 2 * (2 * 2 * mf * hidden * 3 * hidden)
         + 2 * frames * (hidden * ff1 + ff1 * ff2 + ff2 * bins16)
     )
-    from formula_vad_tpu.pipeline import offline
+    from formula_vad_tpu.ops import stft as stft_mod
+    from formula_vad_tpu.pipeline import denoiser as den_mod
+    from formula_vad_tpu.pipeline import offline, vad as vad_mod
 
     if offline.band_composite_enabled():
         # Fully-folded spectra->band conv (PARITY.md deviation 11): one
-        # strided conv, kernel [R=fpb+2 frames, 2*bins16, spb*3*2*n_band],
-        # one output position per lcm(fft,hop)=5120-sample block
-        # (16000/5120 blocks per 16 kHz second per channel).
+        # output position per lcm(fft,hop)=5120-sample block (16000/5120
+        # blocks per 16 kHz second per channel); kernel FLOPs depend on
+        # the dense/split form.
         blk = 5120
-        fpb, spb = blk // hop16, blk // st.fft_size
-        per_block = 2 * (fpb + 2) * (2 * bins16) * (spb * 3 * 2 * n_band)
+        per_block = stft_mod.band_spec_kernel_flops(
+            den_mod._WINDOW, vad_mod._hann(st.fft_size), n_fft16,
+            st.fft_size, st.min_bin, st.max_bin, 3,
+            offline.band_composite_variant(),
+        )
         tail = (16000 / blk / chunks_per_sec) * per_block  # per chunk-ch
     else:
         # istft_segmat: [*, 322] @ [322, 320] per frame, plus
@@ -291,6 +296,55 @@ def _measure_mode_host(fe_fn, st, audios, n_short, n_long) -> float:
     return avg
 
 
+def _measure_mode_host_pipe(make_fns, st, audios, n_short, n_long) -> float:
+    """Pipelined host-FSM path (FVAD_BENCH_PIPELINE=on, PARITY.md dev. 12):
+    call i consumes its precomputed segment product and computes call i+1's
+    product inside its own GRU scan. Same honest end-to-end accounting as
+    _measure_mode_host; the prologue product is computed once per run and
+    cancels in the slope."""
+    import numpy as np
+
+    from formula_vad_tpu.pipeline import fsm_host
+
+    init_carry, prod_fn, fe = make_fns()
+    n_aud = len(audios)
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        dc = init_carry()
+        prod = prod_fn(audios[0], dc["raw_tail"])
+        handles = []
+        for i in range(n):
+            mv, rt, va, prod, dc = fe(
+                audios[i % n_aud], prod, dc, audios[(i + 1) % n_aud]
+            )
+            for x in (mv, rt, va):
+                try:
+                    x.copy_to_host_async()
+                except AttributeError:
+                    pass
+            handles.append((mv, rt, va))
+        ev = None
+        for mv, rt, va in handles:
+            out = fsm_host.scan_windows_host(
+                st.fsm_shape, st.fsm_params,
+                np.asarray(mv), np.asarray(rt), np.asarray(va),
+            )
+            ev = out.event
+        assert ev is not None
+        return time.perf_counter() - t0
+
+    run(1)  # compile + decoder warm-up
+    for _ in range(3):
+        dt_short = run(n_short)
+        dt_long = run(n_long)
+        slope = (dt_long - dt_short) / (n_long - n_short)
+        avg = dt_long / n_long
+        if 0.3 * avg <= slope <= 3.0 * avg:
+            return slope
+    return avg
+
+
 def measure() -> None:
     import jax
     import jax.numpy as jnp
@@ -348,6 +402,30 @@ def measure() -> None:
 
         return fe_fn
 
+    # Cross-slab pipelined device step (PARITY.md deviation 12): only used
+    # when FVAD_BENCH_PIPELINE=on — flipped after benchmarks/pipeline_ab.py
+    # shows a win AND its on-chip bitwise gate passes.
+    use_pipeline = (
+        use_host_fsm and os.environ.get("FVAD_BENCH_PIPELINE", "off") == "on"
+    )
+
+    def make_pipe_fns():
+        def init_carry():
+            return jax.vmap(
+                lambda _: offline.init_slab_carry(st.n_channels, st.downsample_rate)
+            )(jnp.arange(n_streams))
+
+        def prod_fn(audio, raw_tail):
+            return offline.segmat_prod(audio, raw_tail, st.downsample_rate)
+
+        def fe(audio, prod, dc, audio_next):
+            dc, mv, rt, va, prod_next = offline.window_inputs_batch_pipelined(
+                params, st, audio, prod, dc, audio_next
+            )
+            return mv, rt, va, prod_next, dc
+
+        return jax.jit(init_carry), jax.jit(prod_fn), jax.jit(fe)
+
     rng = np.random.default_rng(0)
     audios = [
         jnp.asarray(
@@ -372,7 +450,11 @@ def measure() -> None:
     for mode_name, level, io in mode_list:
         precision.set_matmul_precision(level)
         precision.set_io_dtype(io)
-        if use_host_fsm:
+        if use_pipeline:
+            per_call = _measure_mode_host_pipe(
+                make_pipe_fns, st, audios, n_short, n_long
+            )
+        elif use_host_fsm:
             per_call = _measure_mode_host(
                 jax.jit(make_fe_fn()), st, audios, n_short, n_long
             )
@@ -397,6 +479,7 @@ def measure() -> None:
                 "tflops_achieved": head["tflops_achieved"],
                 "mfu": head["mfu"],
                 "fsm": "host" if use_host_fsm else "pallas",
+                "pipelined": use_pipeline,
                 "modes": modes,
             }
         )

@@ -1,0 +1,167 @@
+"""A/B: cross-slab pipelined front-end vs the plain batched front-end.
+
+PARITY.md deviation 12 (`offline.window_inputs_pipelined`): slab s+1's
+segment-basis matmul rides inside slab s's GRU scan (one row slice per scan
+step), so the steady-state device step has no standalone front-end stage.
+benchmarks/fe_overlap_ab.py probes whether the TensorCore hides xs-fed MXU
+dots inside the scan at a synthetic shape; THIS benchmark measures the real
+production step end-to-end and decides whether FVAD_SLAB_PIPELINE flips
+default-on (VERDICT round-2 #4, second lever).
+
+Also asserts ON CHIP that the rider's row-sliced segment product is bitwise
+the one-shot `segmat_prod` (the MXU's contraction order is row-count-
+independent — the expectation PARITY.md deviation 12 records; XLA:CPU is
+only <=1-ulp close). A pipelined headline may only be published if this
+assertion passes.
+
+Measures at the bench shape (21 streams x 2 ch x 40 chunks = 20 s calls),
+plain vs pipelined, interleaved reps in ONE process (relay throttle
+lottery — verify SKILL.md), slope-timed with a real device-reduction sync.
+
+Run on the real chip (cwd=/root/repo):  python benchmarks/pipeline_ab.py
+Modes: BENCH_MODES=all for highest+bf16+bf16_io; default bf16 only.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from formula_vad_tpu.config import VADConfig
+from formula_vad_tpu.models import nsnet2
+from formula_vad_tpu.ops import precision
+from formula_vad_tpu.pipeline import offline, vad
+
+N_STREAMS = int(os.environ.get("BENCH_STREAMS", "21"))
+N_CHUNKS = int(os.environ.get("BENCH_CHUNKS", "40"))
+N_ITERS = int(os.environ.get("AB_ITERS", "12"))
+REPS = 3
+
+
+def make_plain_fn(params, st):
+    def fe(audio):
+        return offline.window_inputs_batch(params, st, audio)
+
+    return jax.jit(fe)
+
+
+def make_pipe_fns(params, st):
+    def init_carry(b):
+        return jax.vmap(
+            lambda _: offline.init_slab_carry(st.n_channels, st.downsample_rate)
+        )(jnp.arange(b))
+
+    def prod_fn(audio, raw_tail):
+        return offline.segmat_prod(audio, raw_tail, st.downsample_rate)
+
+    def fe(audio, prod, den_carry, audio_next):
+        den_carry, mv, rt, va, prod_next = offline.window_inputs_batch_pipelined(
+            params, st, audio, prod, den_carry, audio_next
+        )
+        return mv, rt, va, prod_next, den_carry
+
+    return init_carry, jax.jit(prod_fn), jax.jit(fe)
+
+
+def slope_time(run, n_long):
+    n_short = max(1, n_long // 4)
+    avg = None
+    for _ in range(3):
+        dt_s, dt_l = run(n_short), run(n_long)
+        slope = (dt_l - dt_s) / (n_long - n_short)
+        avg = dt_l / n_long
+        if 0.3 * avg <= slope <= 3.0 * avg:
+            return slope
+    return avg
+
+
+def main():
+    params = nsnet2.load(None)
+    st = vad.statics_from_config(VADConfig())
+    audio_sec = N_STREAMS * N_CHUNKS * st.chunk_size / st.sample_rate
+
+    mode_list = [("bf16", "default", "f32")]
+    if os.environ.get("BENCH_MODES") == "all":
+        mode_list = [
+            ("highest", "highest", "f32"),
+            ("bf16", "default", "f32"),
+            ("bf16_io", "default", "bf16"),
+        ]
+    rng = np.random.default_rng(0)
+    audios = [
+        jnp.asarray(
+            0.02 * rng.standard_normal((N_STREAMS, 2, N_CHUNKS * st.chunk_size)),
+            jnp.float32,
+        )
+        for _ in range(3)
+    ]
+    n_aud = len(audios)
+
+    for mode_name, level, io in mode_list:
+        precision.set_matmul_precision(level)
+        precision.set_io_dtype(io)
+        plain = make_plain_fn(params, st)
+        init_carry, prod_fn, pipe = make_pipe_fns(params, st)
+
+        # --- on-chip bitwise gate: rider product == one-shot product -----
+        carry0 = init_carry(N_STREAMS)
+        prod0 = prod_fn(audios[0], carry0["raw_tail"])
+        _, _, _, prod1, _ = pipe(audios[0], prod0, carry0, audios[1])
+        want = prod_fn(audios[1], audios[0][..., -480:])
+        same = bool(jnp.all(prod1 == want))
+        maxd = float(jnp.max(jnp.abs(prod1.astype(jnp.float32) - want.astype(jnp.float32))))
+        print(
+            f"== mode={mode_name} ==  rider-prod bitwise: {same}"
+            + ("" if same else f"  (max |d| = {maxd:.3e} — DO NOT flip default)"),
+            flush=True,
+        )
+
+        def run_plain(n):
+            out = None
+            t0 = time.perf_counter()
+            for i in range(n):
+                out = plain(audios[i % n_aud])
+            float(jnp.sum(out[0]))
+            return time.perf_counter() - t0
+
+        def run_pipe(n):
+            dc = carry0
+            prod = prod0
+            out = None
+            t0 = time.perf_counter()
+            for i in range(n):
+                out = pipe(audios[i % n_aud], prod, dc, audios[(i + 1) % n_aud])
+                prod, dc = out[3], out[4]
+            float(jnp.sum(out[0]))
+            return time.perf_counter() - t0
+
+        run_plain(1)  # compile
+        run_pipe(1)
+        results = {}
+        for rep in range(REPS):  # interleaved: relay drift shows as spread
+            for name, run in (("plain", run_plain), ("pipelined", run_pipe)):
+                dt = slope_time(run, N_ITERS)
+                results.setdefault(name, []).append(dt)
+                print(
+                    f"  rep{rep} {name:10s} {dt*1e3:8.2f} ms/call "
+                    f"({audio_sec/dt:9.0f}x rt)",
+                    flush=True,
+                )
+        mins = {k: min(v) for k, v in results.items()}
+        winner = min(mins, key=mins.get)
+        print(
+            "  => "
+            + "  ".join(f"{k} {v*1e3:.2f} ms" for k, v in mins.items())
+            + f"  | winner: {winner}"
+            + ("" if same or winner == "plain" else "  [blocked by bitwise gate]"),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -173,7 +173,11 @@ def _gates_lbr(gi, gh, h):
 
 
 def apply_streaming(
-    params: NSNet2Params, state, features: jnp.ndarray, out_frames: int | None = None
+    params: NSNet2Params,
+    state,
+    features: jnp.ndarray,
+    out_frames: int | None = None,
+    rider=None,
 ):
     """Run the network over a feature sequence with explicit GRU state.
 
@@ -185,8 +189,18 @@ def apply_streaming(
         (bit-identical to slicing afterwards, but the post-GRU dense stack
         skips the dropped frames — the 4 warm-up context frames in the
         chunked denoiser, NSNet2.zig:16,186-203).
+      rider: optional ``(fn, xs)`` — independent per-step work fed THROUGH
+        the time scan so the TensorCore's static scheduler can issue its
+        MXU dots while the VPU retires the GRU gate math (the recurrence is
+        the step's latency-bound stage, ROOFLINE.md §"Why not higher MFU?").
+        ``xs`` is a pytree whose leaves have leading axis T; iteration i
+        additionally computes ``fn(xs[i])`` and the stacked outputs are
+        returned as a third element. The GRU math is unchanged — the rider
+        is data-independent of the recurrence by construction (used for the
+        NEXT slab's stft matmul in the cross-slab pipelined offline path).
     Returns:
-      (new_state, gains [..., T_out, 161]).
+      (new_state, gains [..., T_out, 161]) — plus stacked rider outputs
+      when ``rider`` is given.
 
     The time recurrence is a ``lax.scan``; the pointwise dense layers before
     and after the GRUs are applied to the whole sequence at once so they run
@@ -211,6 +225,7 @@ def apply_streaming(
     """
     t = features.shape[-2]
     if t == 0:  # nothing to scan: state unchanged, empty gains
+        assert rider is None
         return state, jnp.zeros(features.shape[:-1] + (N_BINS,), features.dtype)
     from ..ops import precision as _prec
 
@@ -234,6 +249,11 @@ def apply_streaming(
 
     wavefront = bool(g1.linear_before_reset and g2.linear_before_reset)
     if os.environ.get("FVAD_GRU_WAVEFRONT", "off") != "on":
+        wavefront = False
+    if rider is not None and wavefront:
+        # The wavefront schedule's T-1-step scan + prologue/epilogue does
+        # not line up with the rider's T slices; the pipelined offline path
+        # uses the (default) layer-by-layer schedule.
         wavefront = False
 
     if wavefront:
@@ -260,6 +280,19 @@ def apply_streaming(
             _dense(h1, g2.wi, g2.bi), _dense(h2, g2.wh, g2.bh), h2
         )
         ys = jnp.concatenate([ys, h2[None]], axis=0)  # [T, ..., 400]
+    elif rider is not None:
+        rider_fn, rider_xs = rider
+
+        def step(carry, xs_i):
+            gi1_i, rx_i = xs_i
+            h1, h2 = carry
+            h1 = gru_cell_pre(params.gru1, h1, gi1_i)
+            h2 = gru_cell(params.gru2, h2, h1)
+            # Independent of the carry: lands in the loop-body schedule
+            # alongside the gate math (MXU fills while the VPU chains).
+            return (h1, h2), (h2, rider_fn(rx_i))
+
+        (h1, h2), (ys, rider_ys) = jax.lax.scan(step, state, (gi1_t, rider_xs))
     else:  # throughput regime (large batch) or linear_before_reset=0 weights
 
         def step(carry, gi1_i):
@@ -277,16 +310,22 @@ def apply_streaming(
     gains = jax.nn.sigmoid(_dense(y, params.out_w, params.out_b))
     if io is not None and state_dtype != io:
         h1, h2 = h1.astype(state_dtype), h2.astype(state_dtype)
+    if rider is not None:
+        return (h1, h2), gains, rider_ys
     return (h1, h2), gains
 
 
 def apply(
-    params: NSNet2Params, features: jnp.ndarray, out_frames: int | None = None
-) -> jnp.ndarray:
+    params: NSNet2Params,
+    features: jnp.ndarray,
+    out_frames: int | None = None,
+    rider=None,
+):
     """Stateless run from h=0 (matches ONNX Runtime per-chunk semantics).
 
     features: [..., T, 161] -> gains [..., T_out, 161] (see apply_streaming's
-    out_frames for the T_out != T case).
+    out_frames for the T_out != T case; with ``rider`` returns
+    (gains, rider_out)).
     """
     batch_shape = features.shape[:-2]
     # Derive the zero state from the features so it inherits their sharding
@@ -294,7 +333,11 @@ def apply(
     # and fails scan's carry type check inside manual-sharding regions).
     zero = jnp.zeros(batch_shape + (HIDDEN,), features.dtype)
     zero = zero + 0.0 * features[..., 0, 0][..., None]
-    _, gains = apply_streaming(params, (zero, zero), features, out_frames)
+    out = apply_streaming(params, (zero, zero), features, out_frames, rider=rider)
+    if rider is not None:
+        _, gains, rider_ys = out
+        return gains, rider_ys
+    _, gains = out
     return gains
 
 

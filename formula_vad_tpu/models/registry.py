@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from . import nsnet2
@@ -40,20 +41,30 @@ DEMO_WEIGHTS = os.path.join(
 
 
 def apply_model(
-    params: Any, features: jnp.ndarray, out_frames: int | None = None
+    params: Any, features: jnp.ndarray, out_frames: int | None = None, rider=None
 ) -> jnp.ndarray:
     """Run whichever gain model ``params`` is over [..., T, 161] features.
 
     out_frames: return gains for only the last out_frames frames (the
     callers drop the warm-up context frames; pushing the slice into the
-    model lets NSNet2 skip its post-GRU dense stack on dropped frames)."""
+    model lets NSNet2 skip its post-GRU dense stack on dropped frames).
+
+    rider: optional (fn, xs) independent per-step work threaded through the
+    NSNet2 time scan (see nsnet2.apply_streaming) — the cross-slab pipelined
+    offline path. Duck-typed gain models have no recurrence to hide work in:
+    the rider work runs after the gains instead (same outputs, the overlap
+    is simply absent), keeping the pipelined runner model-agnostic."""
     apply_gains = getattr(params, "apply_gains", None)
     if apply_gains is not None:
         gains = apply_gains(features)
         if out_frames is not None and out_frames < gains.shape[-2]:
             gains = gains[..., gains.shape[-2] - out_frames :, :]
+        if rider is not None:
+            fn, xs = rider
+            rider_ys = jax.lax.map(fn, xs)  # no scan to ride: run it plainly
+            return gains, rider_ys
         return gains
-    return nsnet2.apply(params, features, out_frames)
+    return nsnet2.apply(params, features, out_frames, rider=rider)
 
 
 def load_denoiser(spec: str | None, *, seed: int = 0) -> Any:

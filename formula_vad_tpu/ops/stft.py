@@ -92,6 +92,49 @@ def _segmat_basis(window_key: int, n_fft: int, decimate: int) -> np.ndarray:
 _SEGMAT_WINDOWS: dict[int, np.ndarray] = {}
 
 
+def segmat_basis_arr(window: np.ndarray, n_fft: int, decimate: int) -> jnp.ndarray:
+    """The combined segment basis as a device constant (shared by
+    ``stft_segmat`` and the cross-slab pipelined rider, which computes the
+    same matmul in row slices fed through the GRU scan)."""
+    key = hash(window.tobytes())
+    _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
+    return jnp.asarray(_segmat_basis(key, n_fft, decimate))
+
+
+def segmat_segments(
+    x: jnp.ndarray, seg: int, initial_segment: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Assemble the non-overlapping hop-segments [..., T/seg + 1, seg] that
+    feed the segment-basis matmul (pure data movement, no compute).
+
+    Reshape BEFORE concatenating: prepending along the segment (sublane)
+    axis moves whole contiguous rows, while a flat lane-axis concat would
+    shift every element by ``seg`` lanes — a full-array relayout that costs
+    more than the matmul itself on TPU. Bit-identical either way."""
+    t = x.shape[-1]
+    assert t % seg == 0
+    if initial_segment is None:
+        initial_segment = jnp.zeros(x.shape[:-1] + (seg,), x.dtype)
+    return jnp.concatenate(
+        [
+            initial_segment[..., None, :].astype(x.dtype),
+            x.reshape(x.shape[:-1] + (t // seg, seg)),
+        ],
+        axis=-2,
+    )
+
+
+def segmat_spectra(
+    prod: jnp.ndarray, n_fft: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Finish the segment-basis STFT from the raw matmul product
+    [..., S+1, 4*n_bins]: frame f = top half of segment f + bottom half of
+    segment f+1 (the shift-add)."""
+    n_bins = n_fft // 2 + 1
+    z = prod[..., :-1, : 2 * n_bins] + prod[..., 1:, 2 * n_bins :]
+    return z[..., :n_bins], z[..., n_bins : 2 * n_bins]
+
+
 def stft_segmat(
     x: jnp.ndarray,
     window: np.ndarray,
@@ -113,29 +156,10 @@ def stft_segmat(
       samples [f*hop - hop, f*hop + hop).
     """
     hop = n_fft // 2
-    n_bins = n_fft // 2 + 1
-    key = hash(window.tobytes())
-    _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
-    basis = jnp.asarray(_segmat_basis(key, n_fft, decimate))
-    seg = hop * decimate
-    t = x.shape[-1]
-    assert t % seg == 0
-    if initial_segment is None:
-        initial_segment = jnp.zeros(x.shape[:-1] + (seg,), x.dtype)
-    # Reshape BEFORE concatenating: prepending along the segment (sublane)
-    # axis moves whole contiguous rows, while a flat lane-axis concat would
-    # shift every element by `seg` lanes — a full-array relayout that costs
-    # more than the matmul itself on TPU. Bit-identical either way.
-    segs = jnp.concatenate(
-        [
-            initial_segment[..., None, :].astype(x.dtype),
-            x.reshape(x.shape[:-1] + (t // seg, seg)),
-        ],
-        axis=-2,
-    )
+    basis = segmat_basis_arr(window, n_fft, decimate)
+    segs = segmat_segments(x, hop * decimate, initial_segment)
     prod = jnp.matmul(io_cast(segs), io_cast(basis), precision=matmul_precision())
-    z = prod[..., :-1, : 2 * n_bins] + prod[..., 1:, 2 * n_bins :]
-    return z[..., :n_bins], z[..., n_bins : 2 * n_bins]
+    return segmat_spectra(prod, n_fft)
 
 
 @functools.lru_cache(maxsize=None)
@@ -452,6 +476,30 @@ def _bandz_parts(
         r0, r1 = int(nz[0]), int(nz[-1]) + 1
         splits.append((r0, ws[r0:r1]))
     return w32, band_blk, tuple(splits)
+
+
+def band_spec_kernel_flops(
+    den_window: np.ndarray,
+    band_window: np.ndarray,
+    n_fft_den: int,
+    n_fft_band: int,
+    min_bin: int,
+    max_bin: int,
+    rate: int,
+    variant: str,
+) -> int:
+    """MXU FLOPs per output block of ``band_volume_spec``'s kernel form
+    (multiply+add = 2), for bench.py's algorithmic accounting."""
+    den_key = hash(np.asarray(den_window, np.float32).tobytes())
+    _SEGMAT_WINDOWS[den_key] = np.asarray(den_window, np.float32)
+    band_key = hash(np.asarray(band_window, np.float32).tobytes())
+    _SEGMAT_WINDOWS[band_key] = np.asarray(band_window, np.float32)
+    w, _, splits = _bandz_parts(
+        den_key, band_key, n_fft_den, n_fft_band, min_bin, max_bin, rate
+    )
+    if variant == "split":
+        return sum(2 * ws.shape[0] * ws.shape[1] * ws.shape[2] for _, ws in splits)
+    return 2 * w.shape[0] * w.shape[1] * w.shape[2]
 
 
 def band_volume_spec(

@@ -19,6 +19,7 @@ Results are identical to the one-shot path (asserted by tests).
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
@@ -52,9 +53,19 @@ class SlabRunner:
         # peak host RAM is ~(depth + 2) slabs, so depth=1 bounds it at ~3.
         prefetch_workers: int | None = None,
         prefetch_depth: int = 1,
+        # Cross-slab pipelined front-end: slab s+1's segment matmul rides
+        # inside slab s's GRU scan (offline.window_inputs_pipelined) so the
+        # steady-state device step has no standalone front-end stage.
+        # Bitwise-identical outputs (tests/test_pipelined.py). Default from
+        # FVAD_SLAB_PIPELINE (off until the on-chip A/B flips it); requires
+        # the composite band path.
+        pipeline_fe: bool | None = None,
     ):
         if slab_chunks % SLAB_ALIGN_CHUNKS != 0:
             raise ValueError(f"slab_chunks must be a multiple of {SLAB_ALIGN_CHUNKS}")
+        if pipeline_fe is None:
+            pipeline_fe = os.environ.get("FVAD_SLAB_PIPELINE", "off") == "on"
+        self.pipeline_fe = pipeline_fe and offline.band_composite_enabled()
         if use_host_fsm is None:
             # Default: host-FSM decode (native/fvadfsm.cpp) in single-process
             # runs — the device step drops its only serial stage and the
@@ -83,6 +94,7 @@ class SlabRunner:
         self.prefetch_workers = prefetch_workers
         self.prefetch_depth = prefetch_depth
         self._fn = None
+        self._prod_fn = None
 
     # ------------------------------------------------------------------
 
@@ -131,18 +143,58 @@ class SlabRunner:
             n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
             return jax.vmap(one_stream)(audio, den_carry, n_valid)
 
+        def frontend_pipe_fn(audio, prod, den_carry, chunk_valids, audio_next):
+            """Pipelined host-FSM device step: window inputs for slab s from
+            its precomputed segment product; slab s+1's product computed as
+            rider work inside this slab's GRU scan."""
+            audio, audio_next = dequant(audio), dequant(audio_next)
+            n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
+            den_carry, mv, rt, va, prod_next = offline.window_inputs_batch_pipelined(
+                params, st, audio, prod, den_carry, audio_next, n_valid
+            )
+            return den_carry, prod_next, mv, rt, va
+
+        sh = mesh_lib.batch_sharding(self.mesh) if self.mesh is not None else None
+        if self.pipeline_fe:
+            # Prologue: slab 0's segment product (every later slab's product
+            # comes out of the previous step's rider).
+            def prod_fn(audio, raw_tail):
+                return offline.segmat_prod(
+                    dequant(audio), raw_tail, st.downsample_rate
+                )
+
+            self._prod_fn = (
+                jax.jit(prod_fn, in_shardings=(sh, sh)) if sh is not None
+                else jax.jit(prod_fn)
+            )
+
         if self.use_host_fsm:
-            if self.mesh is not None:
-                sh = mesh_lib.batch_sharding(self.mesh)
-                return jax.jit(frontend_fn, in_shardings=(sh,) * 3)
-            return jax.jit(frontend_fn)
+            fn = frontend_pipe_fn if self.pipeline_fe else frontend_fn
+            n_args = 5 if self.pipeline_fe else 3
+            if sh is not None:
+                return jax.jit(fn, in_shardings=(sh,) * n_args)
+            return jax.jit(fn)
 
         def slab_fn(audio, den_carry, fsm_carry, alt_carry, win_base, chunk_valids):
             audio = dequant(audio)
-            b = audio.shape[0]
             n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
             den_carry, mv, rt, va = jax.vmap(one_stream)(audio, den_carry, n_valid)
+            out = _fsm_part(audio.shape[0], fsm_carry, alt_carry, win_base, mv, rt, va)
+            return (den_carry,) + out
 
+        def slab_pipe_fn(
+            audio, prod, den_carry, fsm_carry, alt_carry, win_base, chunk_valids,
+            audio_next,
+        ):
+            audio, audio_next = dequant(audio), dequant(audio_next)
+            n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
+            den_carry, mv, rt, va, prod_next = offline.window_inputs_batch_pipelined(
+                params, st, audio, prod, den_carry, audio_next, n_valid
+            )
+            out = _fsm_part(audio.shape[0], fsm_carry, alt_carry, win_base, mv, rt, va)
+            return (den_carry, prod_next) + out
+
+        def _fsm_part(b, fsm_carry, alt_carry, win_base, mv, rt, va):
             primary_rows = jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (b,) + np.shape(x)), st.fsm_params
             )
@@ -160,12 +212,13 @@ class SlabRunner:
                     lambda x: jnp.tile(x, (b,) + (1,) * (np.ndim(x) - 1)), alt_params
                 )
                 alt_carry, alt_out = run_fsm(alt_rows, alt_carry, mv_a, rt_a, va_a, wb_a)
-            return den_carry, fsm_carry, alt_carry, out, alt_out, va
+            return fsm_carry, alt_carry, out, alt_out, va
 
-        if self.mesh is not None:
-            sh = mesh_lib.batch_sharding(self.mesh)
-            return jax.jit(slab_fn, in_shardings=(sh,) * 6)
-        return jax.jit(slab_fn)
+        fn = slab_pipe_fn if self.pipeline_fe else slab_fn
+        n_args = 8 if self.pipeline_fe else 6
+        if sh is not None:
+            return jax.jit(fn, in_shardings=(sh,) * n_args)
+        return jax.jit(fn)
 
     def _init_den_carry(self, b):
         return jax.vmap(
@@ -226,11 +279,18 @@ class SlabRunner:
                 )
 
         pending = None
-        for s in range(n_slabs):
-            slab, cv = prefetcher.get()
-            den_carry, mv, rt, va = self._fn(
-                jnp.asarray(slab), den_carry, jnp.asarray(cv)
-            )
+        prod = None
+        for s, (slab, cv, slab_next) in enumerate(
+            self._lookahead(prefetcher, n_slabs)
+        ):
+            if self.pipeline_fe:
+                if prod is None:  # prologue: slab 0's segment product
+                    prod = self._prod_fn(slab, den_carry["raw_tail"])
+                den_carry, prod, mv, rt, va = self._fn(
+                    slab, prod, den_carry, cv, slab_next
+                )
+            else:
+                den_carry, mv, rt, va = self._fn(slab, den_carry, cv)
             # Start the D2H copies at dispatch time so the fetch overlaps
             # device compute (serial post-hoc fetches through a slow link
             # would otherwise serialize — measured, ROOFLINE.md).
@@ -244,6 +304,19 @@ class SlabRunner:
             pending = (s, (mv, rt, va))
         if pending is not None:
             decode(*pending)
+
+    def _lookahead(self, prefetcher, n_slabs):
+        """Yield (slab, cv, slab_next) device arrays with one-slab lookahead
+        (slab_next is a zeros slab on the final iteration — the pipelined
+        step computes and discards its product)."""
+        slab, cv = (jnp.asarray(x) for x in prefetcher.get())
+        for s in range(n_slabs):
+            if s + 1 < n_slabs:
+                nslab, ncv = (jnp.asarray(x) for x in prefetcher.get())
+            else:
+                nslab, ncv = jnp.zeros_like(slab), None
+            yield slab, cv, nslab
+            slab, cv = nslab, ncv
 
     def run(
         self, audio_batch: np.ndarray, lengths: Optional[Sequence[int]] = None
@@ -327,12 +400,21 @@ class SlabRunner:
                     slab_outs, alt_outs,
                 )
             else:
-                for s in range(n_slabs):
-                    slab, cv = prefetcher.get()
-                    den_carry, fsm_carry, alt_carry, out, alt_out, va = self._fn(
-                        jnp.asarray(slab), den_carry, fsm_carry, alt_carry, win_base,
-                        jnp.asarray(cv),
-                    )
+                prod = None
+                for slab, cv, slab_next in self._lookahead(prefetcher, n_slabs):
+                    if self.pipeline_fe:
+                        if prod is None:
+                            prod = self._prod_fn(slab, den_carry["raw_tail"])
+                        (den_carry, prod, fsm_carry, alt_carry, out, alt_out, va) = (
+                            self._fn(
+                                slab, prod, den_carry, fsm_carry, alt_carry,
+                                win_base, cv, slab_next,
+                            )
+                        )
+                    else:
+                        den_carry, fsm_carry, alt_carry, out, alt_out, va = self._fn(
+                            slab, den_carry, fsm_carry, alt_carry, win_base, cv
+                        )
                     win_base = win_base + jnp.int32(windows_per_slab)
                     slab_outs.append(out)
                     if alt_out is not None:

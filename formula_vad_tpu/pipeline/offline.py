@@ -55,19 +55,26 @@ from . import fsm, vad
 
 def band_composite_enabled() -> bool:
     """Whether the scoring band path uses the fully-folded spectra->band
-    conv (``stft.band_volume_spec``, PARITY.md deviation 11).  Default on;
-    ``FVAD_BAND_COMPOSITE=off`` restores the materialize-16k path
-    (``band_volume_16k``), whose slab chaining is bitwise against the
-    whole-stream run. ``=split`` selects the structured-sparse per-phase
-    factorization of the same operator (benchmarks/band_fold_ab.py A/Bs
-    the three on chip)."""
-    return os.environ.get("FVAD_BAND_COMPOSITE", "on") != "off"
+    conv (``stft.band_volume_spec``, PARITY.md deviation 11) instead of
+    the materialize-16k path (``band_volume_16k``, whose slab chaining is
+    bitwise against the whole-stream run).
+
+    ``FVAD_BAND_COMPOSITE``: ``on`` (dense kernel) | ``split`` (structured-
+    sparse per-phase kernels) | ``off`` | ``auto`` (default = split).
+    Split is the default form because it does FEWER MXU FLOPs than the
+    chain it replaces (~0.75x) while also removing the istft relayout and
+    the 16 kHz stream's HBM round trip — safe at every precision ladder
+    rung, including 6-pass ``highest`` where the dense form's ~2.5x FLOPs
+    would regress the f32 headline (benchmarks/band_fold_ab.py A/Bs all
+    three per mode on chip)."""
+    return os.environ.get("FVAD_BAND_COMPOSITE", "auto") != "off"
 
 
 def band_composite_variant() -> str:
-    """Kernel form for the composite band conv: "dense" | "split"."""
-    v = os.environ.get("FVAD_BAND_COMPOSITE", "on")
-    return "split" if v == "split" else "dense"
+    """Kernel form for the composite band conv: "dense" | "split".
+    ``auto`` uses split — the FLOP-cheapest form (and the CPU A/B winner);
+    ``on`` forces the dense single-conv kernel."""
+    return "dense" if os.environ.get("FVAD_BAND_COMPOSITE") == "on" else "split"
 
 
 def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32):
@@ -84,33 +91,34 @@ def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32
     }
 
 
-def _gained_spectra(
+def segmat_prod(audio: jnp.ndarray, raw_tail: jnp.ndarray, downsample_rate: int = 3):
+    """The slab's raw segment-basis matmul product [..., S+1, 4*161]
+    (stft_segmat before the shift-add) — the quantity the cross-slab
+    pipelined path computes one slab ahead, inside the previous slab's GRU
+    scan (``window_inputs_pipelined``)."""
+    from ..ops.precision import io_cast, matmul_precision
+
+    basis = stft.segmat_basis_arr(den_mod._WINDOW, NSNET2_N_FFT, downsample_rate)
+    segs = stft.segmat_segments(
+        audio, (NSNET2_N_FFT // 2) * downsample_rate, raw_tail
+    )
+    return jnp.matmul(io_cast(segs), io_cast(basis), precision=matmul_precision())
+
+
+def _gained_spectra_from_prod(
     params: nsnet2.NSNet2Params,
-    audio: jnp.ndarray,
+    prod: jnp.ndarray,
     carry: dict,
-    downsample_rate: int = 3,
+    rider=None,
 ):
-    """Shared front half of the chunk-parallel denoise: decimating STFT,
-    features, per-chunk stateless model run, clipped gains.
+    """Back half of the chunk-parallel denoise, starting from the raw
+    segment-matmul product: spectra shift-add, features, per-chunk stateless
+    model run, clipped gains.
 
-    Returns (re, im, g, feats), each [..., K*50, 161]."""
-    t48 = audio.shape[-1]
-    chunk48 = NSNET2_CHUNK_16K * downsample_rate
-    assert t48 % chunk48 == 0, "length must be a multiple of the chunk size"
-    k = t48 // chunk48
-    lead = audio.shape[:-1]  # (..., C)
-
-    # Fused decimate+window+rDFT: one MXU matmul straight on the 48 kHz audio
-    # (stft_segmat folds the 48k->16k decimation into the DFT basis); the
-    # carried raw tail is the previous slab's final hop-segment
-    # (NSNet2.zig:115-117,175-179 input-tail chain).
-    re, im = stft.stft_segmat(
-        audio,
-        den_mod._WINDOW,
-        NSNET2_N_FFT,
-        decimate=downsample_rate,
-        initial_segment=carry["raw_tail"],
-    )  # [..., K*50, 161]
+    Returns (re, im, g, feats[, rider_out]), spectra [..., K*50, 161]."""
+    lead = prod.shape[:-2]  # (..., C)
+    k = (prod.shape[-2] - 1) // NSNET2_N_FRAMES
+    re, im = stft.segmat_spectra(prod, NSNET2_N_FFT)  # [..., K*50, 161]
 
     feats = den_mod.compute_features(re, im)  # [..., K*50, 161]
     # Per-chunk model input: 4 context frames + 50 current frames; context
@@ -135,10 +143,35 @@ def _gained_spectra(
     from ..models.registry import apply_model
 
     flat = model_in.reshape((-1, n_model_frames, NSNET2_N_BINS))
-    gains = apply_model(params, flat, out_frames=NSNET2_N_FRAMES)  # [N, 50, 161]
+    out = apply_model(params, flat, out_frames=NSNET2_N_FRAMES, rider=rider)
+    gains, rider_out = out if rider is not None else (out, None)  # [N, 50, 161]
     gains = gains.reshape(lead + (k * NSNET2_N_FRAMES, NSNET2_N_BINS))
     g = jnp.clip(gains, den_mod.GAIN_MIN, den_mod.GAIN_MAX)
+    if rider is not None:
+        return re, im, g, feats, rider_out
     return re, im, g, feats
+
+
+def _gained_spectra(
+    params: nsnet2.NSNet2Params,
+    audio: jnp.ndarray,
+    carry: dict,
+    downsample_rate: int = 3,
+):
+    """Shared front half of the chunk-parallel denoise: decimating STFT,
+    features, per-chunk stateless model run, clipped gains.
+
+    Returns (re, im, g, feats), each [..., K*50, 161]."""
+    t48 = audio.shape[-1]
+    chunk48 = NSNET2_CHUNK_16K * downsample_rate
+    assert t48 % chunk48 == 0, "length must be a multiple of the chunk size"
+
+    # Fused decimate+window+rDFT: one MXU matmul straight on the 48 kHz audio
+    # (stft_segmat folds the 48k->16k decimation into the DFT basis); the
+    # carried raw tail is the previous slab's final hop-segment
+    # (NSNet2.zig:115-117,175-179 input-tail chain).
+    prod = segmat_prod(audio, carry["raw_tail"], downsample_rate)
+    return _gained_spectra_from_prod(params, prod, carry)
 
 
 def denoise_offline_spec(
@@ -146,6 +179,9 @@ def denoise_offline_spec(
     audio: jnp.ndarray,
     carry: dict,
     downsample_rate: int = 3,
+    *,
+    prod: jnp.ndarray | None = None,
+    rider=None,
 ):
     """Chunk-parallel denoise stopping at the GAINED SPECTRA — the input of
     the fully-folded scoring band path (``stft.band_volume_spec``), which
@@ -155,8 +191,19 @@ def denoise_offline_spec(
     two-term OLA of the final stream sample (both tiny matmuls; same
     linear-map-reassociation deviation class as the fold itself).
 
-    Returns (re_g, im_g [..., K*50, 161], new_carry)."""
-    re, im, g, feats = _gained_spectra(params, audio, carry, downsample_rate)
+    ``prod``: the slab's precomputed segment-matmul product (the cross-slab
+    pipelined path computed it inside the PREVIOUS slab's GRU scan);
+    ``rider``: (fn, xs) work to thread through THIS slab's GRU scan (the
+    next slab's segment matmul). See ``window_inputs_pipelined``.
+
+    Returns (re_g, im_g [..., K*50, 161], new_carry[, rider_out])."""
+    if prod is None:
+        prod = segmat_prod(audio, carry["raw_tail"], downsample_rate)
+    out = _gained_spectra_from_prod(params, prod, carry, rider=rider)
+    if rider is not None:
+        re, im, g, feats, rider_out = out
+    else:
+        (re, im, g, feats), rider_out = out, None
     re_g, im_g = re * g, im * g
     hop = NSNET2_N_HOP
     key = hash(np.asarray(den_mod._WINDOW, np.float32).tobytes())
@@ -182,6 +229,8 @@ def denoise_offline_spec(
         "out_tail": out_tail.astype(cdt),
         "last_sample": last_sample.astype(cdt),
     }
+    if rider is not None:
+        return re_g, im_g, new_carry, rider_out
     return re_g, im_g, new_carry
 
 
@@ -359,7 +408,21 @@ def window_inputs_carry(
         if collect_denoised:
             denoised, _ = resample.upsample(completed16, prev16, st.downsample_rate)
     min_vol = jnp.min(band, axis=0)
+    ratios, valid = _ratios_valid(st, audio, n_valid_chunks, n_windows)
+    return den_carry, min_vol, ratios, valid, denoised
 
+
+def _ratios_valid(
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    n_valid_chunks: jnp.ndarray,
+    n_windows: int,
+):
+    """Per-window volume ratios + validity from the raw slab audio (the
+    FSM's second input; vad.chunk_step step 5 semantics)."""
+    c = audio.shape[0]
+    chunk = st.chunk_size
+    k = audio.shape[-1] // chunk
     # Channel-axis reductions directly on the [C, K, chunk] layout (a
     # [K, C, chunk] transpose relayouts the entire stream on TPU); values
     # are bitwise those of volume.volume_analysis per chunk.
@@ -387,7 +450,103 @@ def window_inputs_carry(
     # identity of seg_ratio.
     ratios = jnp.where(c0 == c1, r0, weighted)
     valid = w_end <= n_valid_chunks * chunk
-    return den_carry, min_vol, ratios, valid, denoised
+    return ratios, valid
+
+
+T_SCAN = NSNET2_N_FRAMES + NSNET2_CONTEXT_FRAMES  # GRU scan length (54)
+
+
+def next_slab_rider(
+    audio_next: jnp.ndarray, raw_tail: jnp.ndarray, downsample_rate: int = 3
+):
+    """Build the rider computing the NEXT slab's segment product in T_SCAN
+    row slices fed through the current slab's GRU scan — one MXU dot per
+    scan step, scheduled by the TensorCore alongside the VPU gate math so
+    the front-end of slab s+1 hides inside the recurrence of slab s
+    (cross-slab software pipelining, ROOFLINE.md §"Why not higher MFU?").
+
+    Matmuls are row-independent, so the row-sliced product is bitwise the
+    one-shot ``segmat_prod`` (asserted in tests/test_pipelined.py).
+
+    Returns ((fn, xs) for nsnet2.apply_streaming, assemble(rider_out) ->
+    prod_next [..., S+1, 4*161])."""
+    from ..ops.precision import io_cast, matmul_precision
+
+    seg = (NSNET2_N_FFT // 2) * downsample_rate
+    basis = io_cast(stft.segmat_basis_arr(den_mod._WINDOW, NSNET2_N_FFT, downsample_rate))
+    segs = io_cast(stft.segmat_segments(audio_next, seg, raw_tail))
+    rows = segs.shape[-2]
+    per = -(-rows // T_SCAN)
+    pad = T_SCAN * per - rows
+    if pad:
+        segs = jnp.pad(segs, [(0, 0)] * (segs.ndim - 2) + [(0, pad), (0, 0)])
+    prec = matmul_precision()
+
+    def fn(t):
+        rows_t = jax.lax.dynamic_slice_in_dim(segs, t * per, per, axis=-2)
+        return jnp.matmul(rows_t, basis, precision=prec)
+
+    def assemble(rider_out):
+        # [T, ..., per, 644] -> [..., T*per, 644] -> drop the zero pad rows.
+        p = jnp.moveaxis(rider_out, 0, -3)
+        p = p.reshape(p.shape[:-3] + (T_SCAN * per, p.shape[-1]))
+        return p[..., :rows, :]
+
+    return (fn, jnp.arange(T_SCAN, dtype=jnp.int32)), assemble
+
+
+def window_inputs_pipelined(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    prod: jnp.ndarray,
+    den_carry: dict,
+    n_valid_chunks: jnp.ndarray,
+    audio_next: jnp.ndarray,
+):
+    """Window inputs for slab s from its PRECOMPUTED segment product, while
+    computing slab s+1's segment product inside this slab's GRU scan (the
+    rider).  Composite-band scoring path only (the default); outputs are
+    bitwise ``window_inputs_carry``'s — the pipeline only moves WHEN the
+    front-end matmul executes, never what it computes.
+
+    The steady-state device step therefore contains no standalone front-end
+    stage: slab s's big matmul already happened during slab s-1's scan.
+
+    Args:
+      audio: [C, T] slab s (RMS ratios + the next rider's raw tail).
+      prod: [C, S+1, 4*161] slab s's segment product (from the previous
+        call's rider, or ``segmat_prod`` for the first slab).
+      audio_next: [C, T] slab s+1 (zeros for the final slab — its product
+        is computed and discarded).
+    Returns:
+      (new_den_carry, min_vol [W], ratios [W], valid [W], prod_next).
+    """
+    c, t = audio.shape
+    chunk = st.chunk_size
+    k = t // chunk
+    n_windows = (k * chunk) // st.fft_size
+    prev16 = den_carry["last_sample"]
+    out_tail_prev = den_carry["out_tail"]
+    rider, assemble = next_slab_rider(
+        audio_next,
+        audio[..., -NSNET2_N_HOP * st.downsample_rate :],
+        st.downsample_rate,
+    )
+    re_g, im_g, den_carry, rider_out = denoise_offline_spec(
+        params, audio, den_carry, st.downsample_rate, prod=prod, rider=rider
+    )
+    prod_next = assemble(rider_out)
+    band = stft.band_volume_spec(
+        re_g, im_g, prev16, out_tail_prev,
+        den_mod._WINDOW, vad._hann(st.fft_size),
+        NSNET2_N_FFT, st.fft_size, st.norm_factor,
+        st.min_bin, st.max_bin, n_windows, rate=st.downsample_rate,
+        variant=band_composite_variant(),
+    )
+    min_vol = jnp.min(band, axis=0)
+    ratios, valid = _ratios_valid(st, audio, n_valid_chunks, n_windows)
+    return den_carry, min_vol, ratios, valid, prod_next
 
 
 def window_inputs(
@@ -426,6 +585,33 @@ def window_inputs_batch(
     return jax.vmap(lambda a, n: window_inputs(params, st, a, n))(
         audio, n_valid_chunks
     )
+
+
+def window_inputs_batch_pipelined(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    prod: jnp.ndarray,
+    den_carry: dict,
+    audio_next: jnp.ndarray,
+    n_valid_chunks: jnp.ndarray | None = None,
+):
+    """Batched, carried, cross-slab-pipelined front-end (host-FSM mode's
+    device step).  See ``window_inputs_pipelined``.
+
+    Args:
+      audio / audio_next: [B, C, T] slab s and s+1.
+      prod: [B, C, S+1, 4*161] slab s's segment product.
+    Returns:
+      (new_den_carry, min_vol, ratios, valid [B, W], prod_next).
+    """
+    b, c, t = audio.shape
+    k = t // st.chunk_size
+    if n_valid_chunks is None:
+        n_valid_chunks = jnp.full((b,), k, jnp.int32)
+    return jax.vmap(
+        lambda a, p, dc, n, an: window_inputs_pipelined(params, st, a, p, dc, n, an)
+    )(audio, prod, den_carry, n_valid_chunks, audio_next)
 
 
 def process_batch_offline(

@@ -1,0 +1,165 @@
+"""Cross-slab pipelined front-end (``offline.window_inputs_pipelined``).
+
+The pipeline moves WHEN slab s's segment matmul executes (inside slab s-1's
+GRU scan, as rider work) — never what it computes.  These tests pin:
+
+* the rider's row-sliced segment product matches ``segmat_prod`` to <=1 ulp
+  (XLA:CPU's gemm K-blocking depends on the row count, so CPU is not
+  bitwise; the TPU MXU's contraction order is M-independent and the on-chip
+  A/B asserts bitwise there — PARITY.md deviation 12),
+* the pipelined window inputs + carries track the plain carried path over a
+  chained multi-slab run (incl. a ragged final slab); ratios/valid — which
+  derive from the raw audio only — stay BITWISE,
+* the rider mechanism leaves NSNet2's gains/state bitwise unchanged,
+* SlabRunner with FVAD_SLAB_PIPELINE=on produces identical segments.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from formula_vad_tpu.config import VADConfig, VADMachineConfig
+from formula_vad_tpu.models import nsnet2
+from formula_vad_tpu.pipeline import offline, vad
+
+CFG = VADMachineConfig(long_term_speech_avg_sec=10.0)
+
+
+@pytest.fixture(scope="module")
+def st():
+    return vad.statics_from_config(VADConfig(vad_machine_config=CFG))
+
+
+@pytest.fixture(scope="module")
+def params():
+    return nsnet2.load(None)
+
+
+def _audio(rng, c, t):
+    return jnp.asarray(0.05 * rng.standard_normal((c, t)), jnp.float32)
+
+
+def test_rider_prod_close(params, st):
+    """Row-sliced rider product == one-shot segmat_prod to <=1 ulp on CPU
+    (bitwise on TPU — benchmarks/pipeline_ab.py asserts it on chip),
+    including pad rows and a nonzero raw tail."""
+    rng = np.random.default_rng(0)
+    chunk = st.chunk_size
+    audio_next = _audio(rng, 2, 8 * chunk)
+    raw_tail = _audio(rng, 2, 480)
+    rider, assemble = offline.next_slab_rider(audio_next, raw_tail)
+    fn, xs = rider
+    got = np.asarray(assemble(jax.lax.map(fn, xs)))
+    want = np.asarray(offline.segmat_prod(audio_next, raw_tail))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
+
+
+def test_rider_does_not_change_gains(params):
+    """apply_streaming with a rider returns bitwise the riderless gains and
+    state (the rider shares the scan but not the dataflow)."""
+    rng = np.random.default_rng(1)
+    feats = jnp.asarray(rng.standard_normal((3, 54, 161)), jnp.float32)
+    h0 = jnp.zeros((3, nsnet2.HIDDEN), jnp.float32)
+    st0 = (h0, h0)
+    state_a, gains_a = nsnet2.apply_streaming(params, st0, feats, out_frames=50)
+    xs = jnp.asarray(rng.standard_normal((54, 8, 16)), jnp.float32)
+    state_b, gains_b, rider_ys = nsnet2.apply_streaming(
+        params, st0, feats, out_frames=50, rider=(lambda x: 2.0 * x, xs)
+    )
+    np.testing.assert_array_equal(np.asarray(gains_a), np.asarray(gains_b))
+    for a, b in zip(state_a, state_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(rider_ys), np.asarray(2.0 * xs))
+
+
+@pytest.mark.parametrize("ragged", [False, True])
+def test_pipelined_chain_bitwise(params, st, ragged):
+    """Chained pipelined slabs == chained plain slabs (window inputs and
+    den-carry bitwise), with the final slab's rider fed zeros."""
+    rng = np.random.default_rng(2)
+    chunk = st.chunk_size
+    slab_chunks = 32  # 16 s: window accumulator empty at boundaries
+    n_slabs = 3
+    slabs = [_audio(rng, 2, slab_chunks * chunk) for _ in range(n_slabs)]
+    valids = [jnp.int32(slab_chunks)] * n_slabs
+    if ragged:
+        valids[-1] = jnp.int32(slab_chunks - 5)
+
+    # Plain carried path.
+    carry_a = offline.init_slab_carry(2)
+    outs_a = []
+    for s in range(n_slabs):
+        carry_a, mv, rt, va, _ = offline.window_inputs_carry(
+            params, st, slabs[s], carry_a, valids[s]
+        )
+        outs_a.append((mv, rt, va))
+
+    # Pipelined: prologue product, then every front-end rides the scan.
+    carry_b = offline.init_slab_carry(2)
+    prod = offline.segmat_prod(slabs[0], carry_b["raw_tail"])
+    outs_b = []
+    for s in range(n_slabs):
+        nxt = slabs[s + 1] if s + 1 < n_slabs else jnp.zeros_like(slabs[s])
+        carry_b, mv, rt, va, prod = offline.window_inputs_pipelined(
+            params, st, slabs[s], prod, carry_b, valids[s], nxt
+        )
+        outs_b.append((mv, rt, va))
+
+    for (a_mv, a_rt, a_va), (b_mv, b_rt, b_va) in zip(outs_a, outs_b):
+        # min_vol flows through the (row-count-sensitive on CPU) front-end
+        # matmul: <=1 ulp there; ratios/valid derive from raw audio: bitwise.
+        np.testing.assert_allclose(
+            np.asarray(a_mv), np.asarray(b_mv), rtol=3e-6, atol=1e-11
+        )
+        np.testing.assert_array_equal(np.asarray(a_rt), np.asarray(b_rt))
+        np.testing.assert_array_equal(np.asarray(a_va), np.asarray(b_va))
+    for k in carry_a:
+        np.testing.assert_allclose(
+            np.asarray(carry_a[k]), np.asarray(carry_b[k]),
+            rtol=3e-6, atol=1e-7, err_msg=k,
+        )
+
+
+def test_slab_runner_pipelined_segments(params, st):
+    """SlabRunner FVAD_SLAB_PIPELINE=on emits identical segments."""
+    from formula_vad_tpu.parallel.slab_runner import SlabRunner
+
+    def speechy(n_chunks, bursts, seed):
+        rng = np.random.default_rng(seed)
+        t_total = n_chunks * 24000
+        t = np.arange(t_total) / 48000.0
+        base = 0.003 * rng.standard_normal((2, t_total))
+        env = np.zeros(t_total)
+        for a, d in bursts:
+            env[int(a * 48000) : int((a + d) * 48000)] = 1.0
+        s = (
+            0.25 * np.sin(2 * np.pi * 700 * t) + 0.15 * np.sin(2 * np.pi * 1300 * t)
+        ) * env
+        return (base + np.stack([s, 0.9 * s])).astype(np.float32)
+
+    audio = np.stack(
+        [
+            speechy(70, [(3.0, 2.0), (14.0, 1.5), (25.0, 2.5)], seed=1),
+            speechy(70, [(1.0, 1.2), (10.0, 2.0), (30.0, 1.8)], seed=2),
+        ]
+    )  # ~2.2 slabs at 32-chunk slabs, ragged tail
+
+    cfg = VADConfig(vad_machine_config=CFG)
+
+    def run(pipelined):
+        os.environ["FVAD_SLAB_PIPELINE"] = "on" if pipelined else "off"
+        try:
+            r = SlabRunner(
+                params, cfg, slab_chunks=32, use_mesh=False, use_pallas_fsm=False
+            )
+            return r.run(audio)
+        finally:
+            del os.environ["FVAD_SLAB_PIPELINE"]
+
+    res_a, res_b = run(False), run(True)
+    assert [r.segments for r in res_a] == [r.segments for r in res_b]
+    assert any(r.segments for r in res_a), "test corpus produced no segments"
