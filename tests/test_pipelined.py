@@ -163,3 +163,36 @@ def test_slab_runner_pipelined_segments(params, st):
     res_a, res_b = run(False), run(True)
     assert [r.segments for r in res_a] == [r.segments for r in res_b]
     assert any(r.segments for r in res_a), "test corpus produced no segments"
+
+
+def test_slab_runner_pipelined_mesh(params, st):
+    """Pipelined SlabRunner over the 8-virtual-device mesh: the rider scan
+    + prod threading must compile and run under batch sharding, and the
+    segments must match the unsharded pipelined run."""
+    import jax
+
+    from formula_vad_tpu.parallel.slab_runner import SlabRunner
+
+    assert len(jax.devices()) == 8
+    rng = np.random.default_rng(7)
+    b, t = 8, 40 * 24000
+    tt = np.arange(t) / 48000.0
+    batch = (0.003 * rng.standard_normal((b, 2, t))).astype(np.float32)
+    for i in range(0, b, 2):
+        sl = slice(int(1.0 * 48000), int(3.0 * 48000))
+        burst = (0.3 * np.sin(2 * np.pi * (700 + 10 * i) * tt[sl])).astype(np.float32)
+        batch[i, 0, sl] += burst
+        batch[i, 1, sl] += 0.9 * burst
+
+    cfg = VADConfig(vad_machine_config=CFG)
+
+    def run(use_mesh):
+        r = SlabRunner(
+            params, cfg, slab_chunks=32, use_mesh=use_mesh,
+            use_pallas_fsm=False, pipeline_fe=True,
+        )
+        return r.run(batch)
+
+    res_mesh, res_solo = run(True), run(False)
+    assert [r.segments for r in res_mesh] == [r.segments for r in res_solo]
+    assert any(r.segments for r in res_mesh)
