@@ -406,7 +406,9 @@ def measure() -> None:
     # when FVAD_BENCH_PIPELINE=on — flipped after benchmarks/pipeline_ab.py
     # shows a win AND its on-chip bitwise gate passes.
     use_pipeline = (
-        use_host_fsm and os.environ.get("FVAD_BENCH_PIPELINE", "off") == "on"
+        use_host_fsm
+        and os.environ.get("FVAD_BENCH_PIPELINE", "off") == "on"
+        and offline.band_composite_enabled()  # pipelined path is composite-only
     )
 
     def make_pipe_fns():

@@ -112,7 +112,8 @@ def main():
         carry0 = init_carry(N_STREAMS)
         prod0 = prod_fn(audios[0], carry0["raw_tail"])
         _, _, _, prod1, _ = pipe(audios[0], prod0, carry0, audios[1])
-        want = prod_fn(audios[1], audios[0][..., -480:])
+        tail = 160 * st.downsample_rate  # NSNET2_N_HOP * rate
+        want = prod_fn(audios[1], audios[0][..., -tail:])
         same = bool(jnp.all(prod1 == want))
         maxd = float(jnp.max(jnp.abs(prod1.astype(jnp.float32) - want.astype(jnp.float32))))
         print(

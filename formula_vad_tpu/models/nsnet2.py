@@ -250,13 +250,13 @@ def apply_streaming(
     wavefront = bool(g1.linear_before_reset and g2.linear_before_reset)
     if os.environ.get("FVAD_GRU_WAVEFRONT", "off") != "on":
         wavefront = False
-    if rider is not None and wavefront:
-        # The wavefront schedule's T-1-step scan + prologue/epilogue does
-        # not line up with the rider's T slices; the pipelined offline path
-        # uses the (default) layer-by-layer schedule.
-        wavefront = False
 
     if wavefront:
+        # A rider composes with the wavefront schedule too: slices 0..T-2
+        # ride the T-1-iteration scan, the final slice runs in the epilogue
+        # — so schedule choice stays independent of pipelining (the GRU math
+        # is bitwise the riderless wavefront either way).
+        rider_fn, rider_xs = rider if rider is not None else (None, None)
         h1, h2 = state
         # Prologue: layer-1 step 0 (layer 2 has nothing to do yet).
         h1 = _gates_lbr(gi1_t[0], _dense(h1, g1.wh, g1.bh), h1)
@@ -265,21 +265,36 @@ def apply_streaming(
         # contractions as the layer-by-layer form (no stacking/concat, whose
         # blocking can differ by 1 ulp on some backends) — only the schedule
         # changes, so outputs stay bitwise identical.
-        def step(carry, gi1_i):
+        def step(carry, xs_i):
+            gi1_i, rx_i = xs_i if rider is not None else (xs_i, None)
             h1, h2 = carry  # h1 = h1[i-1], h2 = h2[i-2]
             gh1 = _dense(h1, g1.wh, g1.bh)
             gi2 = _dense(h1, g2.wi, g2.bi)
             gh2 = _dense(h2, g2.wh, g2.bh)
             h1n = _gates_lbr(gi1_i, gh1, h1)
             h2n = _gates_lbr(gi2, gh2, h2)  # = h2[i-1]
-            return (h1n, h2n), h2n
+            out = h2n if rider is None else (h2n, rider_fn(rx_i))
+            return (h1n, h2n), out
 
-        (h1, h2), ys = jax.lax.scan(step, (h1, h2), gi1_t[1:])
-        # Epilogue: layer-2 step T-1.
+        tmap = jax.tree_util.tree_map
+        if rider is not None:
+            head = tmap(lambda x: x[:-1], rider_xs)
+            (h1, h2), (ys, rider_head) = jax.lax.scan(
+                step, (h1, h2), (gi1_t[1:], head)
+            )
+        else:
+            (h1, h2), ys = jax.lax.scan(step, (h1, h2), gi1_t[1:])
+        # Epilogue: layer-2 step T-1 (+ the rider's final slice).
         h2 = _gates_lbr(
             _dense(h1, g2.wi, g2.bi), _dense(h2, g2.wh, g2.bh), h2
         )
         ys = jnp.concatenate([ys, h2[None]], axis=0)  # [T, ..., 400]
+        if rider is not None:
+            last = rider_fn(tmap(lambda x: x[-1], rider_xs))
+            rider_ys = tmap(
+                lambda a, b: jnp.concatenate([a, b[None]], axis=0),
+                rider_head, last,
+            )
     elif rider is not None:
         rider_fn, rider_xs = rider
 

@@ -55,11 +55,6 @@ def matmul_precision() -> jax.lax.Precision:
     return _LEVELS[_current]
 
 
-def matmul_precision_level() -> str:
-    """The current level's name ("highest" | "high" | "default")."""
-    return _current
-
-
 def set_io_dtype(name: str) -> None:
     global _io
     if name not in _IO_DTYPES:

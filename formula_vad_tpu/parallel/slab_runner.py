@@ -279,21 +279,13 @@ class SlabRunner:
                 )
 
         pending = None
-        prod = None
-        for s, (slab, cv, slab_next) in enumerate(
-            self._lookahead(prefetcher, n_slabs)
-        ):
-            if self.pipeline_fe:
-                if prod is None:  # prologue: slab 0's segment product
-                    prod = self._prod_fn(slab, den_carry["raw_tail"])
-                den_carry, prod, mv, rt, va = self._fn(
-                    slab, prod, den_carry, cv, slab_next
-                )
-            else:
-                den_carry, mv, rt, va = self._fn(slab, den_carry, cv)
+
+        def dispatched(s, mv, rt, va):
             # Start the D2H copies at dispatch time so the fetch overlaps
             # device compute (serial post-hoc fetches through a slow link
-            # would otherwise serialize — measured, ROOFLINE.md).
+            # would otherwise serialize — measured, ROOFLINE.md); decode the
+            # PREVIOUS slab while the device crunches this one.
+            nonlocal pending
             for x in (mv, rt, va):
                 try:
                     x.copy_to_host_async()
@@ -302,6 +294,25 @@ class SlabRunner:
             if pending is not None:
                 decode(*pending)
             pending = (s, (mv, rt, va))
+
+        if self.pipeline_fe:
+            prod = None
+            for s, (slab, cv, slab_next) in enumerate(
+                self._lookahead(prefetcher, n_slabs)
+            ):
+                if prod is None:  # prologue: slab 0's segment product
+                    prod = self._prod_fn(slab, den_carry["raw_tail"])
+                den_carry, prod, mv, rt, va = self._fn(
+                    slab, prod, den_carry, cv, slab_next
+                )
+                dispatched(s, mv, rt, va)
+        else:
+            for s in range(n_slabs):
+                slab, cv = prefetcher.get()
+                den_carry, mv, rt, va = self._fn(
+                    jnp.asarray(slab), den_carry, jnp.asarray(cv)
+                )
+                dispatched(s, mv, rt, va)
         if pending is not None:
             decode(*pending)
 
@@ -399,22 +410,28 @@ class SlabRunner:
                     prefetcher, n_slabs, b_pad, den_carry, windows_per_slab,
                     slab_outs, alt_outs,
                 )
-            else:
+            elif self.pipeline_fe:
                 prod = None
                 for slab, cv, slab_next in self._lookahead(prefetcher, n_slabs):
-                    if self.pipeline_fe:
-                        if prod is None:
-                            prod = self._prod_fn(slab, den_carry["raw_tail"])
-                        (den_carry, prod, fsm_carry, alt_carry, out, alt_out, va) = (
-                            self._fn(
-                                slab, prod, den_carry, fsm_carry, alt_carry,
-                                win_base, cv, slab_next,
-                            )
+                    if prod is None:
+                        prod = self._prod_fn(slab, den_carry["raw_tail"])
+                    (den_carry, prod, fsm_carry, alt_carry, out, alt_out, va) = (
+                        self._fn(
+                            slab, prod, den_carry, fsm_carry, alt_carry,
+                            win_base, cv, slab_next,
                         )
-                    else:
-                        den_carry, fsm_carry, alt_carry, out, alt_out, va = self._fn(
-                            slab, den_carry, fsm_carry, alt_carry, win_base, cv
-                        )
+                    )
+                    win_base = win_base + jnp.int32(windows_per_slab)
+                    slab_outs.append(out)
+                    if alt_out is not None:
+                        alt_outs.append(alt_out)
+            else:
+                for s in range(n_slabs):
+                    slab, cv = prefetcher.get()
+                    den_carry, fsm_carry, alt_carry, out, alt_out, va = self._fn(
+                        jnp.asarray(slab), den_carry, fsm_carry, alt_carry,
+                        win_base, jnp.asarray(cv),
+                    )
                     win_base = win_base + jnp.int32(windows_per_slab)
                     slab_outs.append(out)
                     if alt_out is not None:

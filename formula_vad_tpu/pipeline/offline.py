@@ -352,6 +352,19 @@ def denoise_span(
     return den[..., (start_chunk - k0) * chunk48 :]
 
 
+def _band_spec(st, re_g, im_g, prev16, out_tail_prev, n_windows):
+    """The composite scoring band volumes from the gained spectra — the ONE
+    call site shape shared by the plain and pipelined paths (the arguments
+    must stay identical for their bitwise-parity contract)."""
+    return stft.band_volume_spec(
+        re_g, im_g, prev16, out_tail_prev,
+        den_mod._WINDOW, vad._hann(st.fft_size),
+        NSNET2_N_FFT, st.fft_size, st.norm_factor,
+        st.min_bin, st.max_bin, n_windows, rate=st.downsample_rate,
+        variant=band_composite_variant(),
+    )
+
+
 def window_inputs_carry(
     params: nsnet2.NSNet2Params,
     st: vad.VADStatics,
@@ -386,13 +399,7 @@ def window_inputs_carry(
         re_g, im_g, den_carry = denoise_offline_spec(
             params, audio, den_carry, st.downsample_rate
         )
-        band = stft.band_volume_spec(
-            re_g, im_g, prev16, out_tail_prev,
-            den_mod._WINDOW, vad._hann(st.fft_size),
-            NSNET2_N_FFT, st.fft_size, st.norm_factor,
-            st.min_bin, st.max_bin, n_windows, rate=st.downsample_rate,
-            variant=band_composite_variant(),
-        )
+        band = _band_spec(st, re_g, im_g, prev16, out_tail_prev, n_windows)
     else:
         completed16, prev16, den_carry = denoise_offline_16k(
             params, audio, den_carry, st.downsample_rate
@@ -525,6 +532,8 @@ def window_inputs_pipelined(
     c, t = audio.shape
     chunk = st.chunk_size
     k = t // chunk
+    audio = audio[:, : k * chunk]
+    audio_next = audio_next[:, : (audio_next.shape[-1] // chunk) * chunk]
     n_windows = (k * chunk) // st.fft_size
     prev16 = den_carry["last_sample"]
     out_tail_prev = den_carry["out_tail"]
@@ -537,13 +546,7 @@ def window_inputs_pipelined(
         params, audio, den_carry, st.downsample_rate, prod=prod, rider=rider
     )
     prod_next = assemble(rider_out)
-    band = stft.band_volume_spec(
-        re_g, im_g, prev16, out_tail_prev,
-        den_mod._WINDOW, vad._hann(st.fft_size),
-        NSNET2_N_FFT, st.fft_size, st.norm_factor,
-        st.min_bin, st.max_bin, n_windows, rate=st.downsample_rate,
-        variant=band_composite_variant(),
-    )
+    band = _band_spec(st, re_g, im_g, prev16, out_tail_prev, n_windows)
     min_vol = jnp.min(band, axis=0)
     ratios, valid = _ratios_valid(st, audio, n_valid_chunks, n_windows)
     return den_carry, min_vol, ratios, valid, prod_next

@@ -14,8 +14,6 @@ GRU scan, as rider work) — never what it computes.  These tests pin:
 * SlabRunner with FVAD_SLAB_PIPELINE=on produces identical segments.
 """
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -69,6 +67,25 @@ def test_rider_does_not_change_gains(params):
     xs = jnp.asarray(rng.standard_normal((54, 8, 16)), jnp.float32)
     state_b, gains_b, rider_ys = nsnet2.apply_streaming(
         params, st0, feats, out_frames=50, rider=(lambda x: 2.0 * x, xs)
+    )
+    np.testing.assert_array_equal(np.asarray(gains_a), np.asarray(gains_b))
+    for a, b in zip(state_a, state_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(rider_ys), np.asarray(2.0 * xs))
+
+
+def test_rider_composes_with_wavefront(params, monkeypatch):
+    """FVAD_GRU_WAVEFRONT=on: the rider rides the wavefront schedule too —
+    gains/state bitwise the riderless wavefront run, rider outputs complete
+    and in order (slices 0..T-2 in the scan, T-1 in the epilogue)."""
+    monkeypatch.setenv("FVAD_GRU_WAVEFRONT", "on")
+    rng = np.random.default_rng(4)
+    feats = jnp.asarray(rng.standard_normal((3, 54, 161)), jnp.float32)
+    h0 = jnp.zeros((3, nsnet2.HIDDEN), jnp.float32)
+    state_a, gains_a = nsnet2.apply_streaming(params, (h0, h0), feats, out_frames=50)
+    xs = jnp.asarray(rng.standard_normal((54, 8, 16)), jnp.float32)
+    state_b, gains_b, rider_ys = nsnet2.apply_streaming(
+        params, (h0, h0), feats, out_frames=50, rider=(lambda x: 2.0 * x, xs)
     )
     np.testing.assert_array_equal(np.asarray(gains_a), np.asarray(gains_b))
     for a, b in zip(state_a, state_b):
@@ -150,19 +167,21 @@ def test_slab_runner_pipelined_segments(params, st):
 
     cfg = VADConfig(vad_machine_config=CFG)
 
-    def run(pipelined):
-        os.environ["FVAD_SLAB_PIPELINE"] = "on" if pipelined else "off"
-        try:
-            r = SlabRunner(
-                params, cfg, slab_chunks=32, use_mesh=False, use_pallas_fsm=False
-            )
-            return r.run(audio)
-        finally:
-            del os.environ["FVAD_SLAB_PIPELINE"]
+    def run(pipelined, **kw):
+        r = SlabRunner(
+            params, cfg, slab_chunks=32, use_mesh=False, use_pallas_fsm=False,
+            pipeline_fe=pipelined, **kw,
+        )
+        return r.run(audio)
 
     res_a, res_b = run(False), run(True)
     assert [r.segments for r in res_a] == [r.segments for r in res_b]
     assert any(r.segments for r in res_a), "test corpus produced no segments"
+
+    # Device-FSM loop (multi-process/sharded configuration): the pipelined
+    # slab_pipe_fn + prod threading there too, same segments.
+    res_c = run(True, use_host_fsm=False)
+    assert [r.segments for r in res_a] == [r.segments for r in res_c]
 
 
 def test_slab_runner_pipelined_mesh(params, st):
