@@ -66,6 +66,11 @@ class SlabRunner:
         if pipeline_fe is None:
             pipeline_fe = os.environ.get("FVAD_SLAB_PIPELINE", "off") == "on"
         self.pipeline_fe = pipeline_fe and offline.band_composite_enabled()
+        if self.pipeline_fe:
+            # The one-slab lookahead consumes one unit of decode-ahead margin
+            # (slab s's dispatch waits for slab s+1's decode); keep the same
+            # effective overlap at the cost of ~one more slab of host RAM.
+            prefetch_depth = max(prefetch_depth, 2)
         if use_host_fsm is None:
             # Default: host-FSM decode (native/fvadfsm.cpp) in single-process
             # runs — the device step drops its only serial stage and the
