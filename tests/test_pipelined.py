@@ -141,6 +141,49 @@ def test_pipelined_chain_bitwise(params, st, ragged):
         )
 
 
+def test_pipelined_bf16_io_tracks_plain(params, st):
+    """Under the bf16 activation-storage tier the pipelined path tracks the
+    plain path (same dtypes throughout — prod/rider are io_cast like
+    stft_segmat; <=bf16-rounding agreement on min_vol; bitwise ratios)."""
+    from formula_vad_tpu.ops import precision
+
+    precision.set_io_dtype("bf16")
+    try:
+        rng = np.random.default_rng(5)
+        chunk = st.chunk_size
+        slabs = [_audio(rng, 2, 32 * chunk) for _ in range(2)]
+        valid = jnp.int32(32)
+
+        carry_a = offline.init_slab_carry(2)
+        outs_a = []
+        for s in range(2):
+            carry_a, mv, rt, va, _ = offline.window_inputs_carry(
+                params, st, slabs[s], carry_a, valid
+            )
+            outs_a.append((mv, rt, va))
+
+        carry_b = offline.init_slab_carry(2)
+        prod = offline.segmat_prod(slabs[0], carry_b["raw_tail"])
+        assert prod.dtype == jnp.bfloat16
+        outs_b = []
+        for s in range(2):
+            nxt = slabs[s + 1] if s + 1 < 2 else jnp.zeros_like(slabs[s])
+            carry_b, mv, rt, va, prod = offline.window_inputs_pipelined(
+                params, st, slabs[s], prod, carry_b, valid, nxt
+            )
+            outs_b.append((mv, rt, va))
+
+        for (a_mv, a_rt, a_va), (b_mv, b_rt, b_va) in zip(outs_a, outs_b):
+            assert a_mv.dtype == b_mv.dtype  # decision inputs stay f32
+            np.testing.assert_allclose(
+                np.asarray(a_mv), np.asarray(b_mv), rtol=2e-2, atol=1e-8
+            )
+            np.testing.assert_array_equal(np.asarray(a_rt), np.asarray(b_rt))
+            np.testing.assert_array_equal(np.asarray(a_va), np.asarray(b_va))
+    finally:
+        precision.set_io_dtype("f32")
+
+
 def test_slab_runner_pipelined_segments(params, st):
     """SlabRunner FVAD_SLAB_PIPELINE=on emits identical segments."""
     from formula_vad_tpu.parallel.slab_runner import SlabRunner
