@@ -226,6 +226,24 @@ def test_slab_runner_pipelined_segments(params, st):
     res_c = run(True, use_host_fsm=False)
     assert [r.segments for r in res_a] == [r.segments for r in res_c]
 
+    # Alt machine rows through the pipelined device-FSM step.
+    alt_cfg = VADConfig(
+        vad_machine_config=CFG,
+        alt_vad_machine_configs=(
+            CFG,
+            VADMachineConfig(
+                long_term_speech_avg_sec=10.0, speech_threshold_factor=1000.0
+            ),
+        ),
+    )
+    r = SlabRunner(
+        params, alt_cfg, slab_chunks=32, use_mesh=False, use_pallas_fsm=False,
+        pipeline_fe=True, use_host_fsm=False,
+    )
+    for i, res in enumerate(r.run(audio)):
+        assert res.alt_segments[0] == res_a[i].segments
+        assert res.alt_segments[1] == []
+
 
 def test_slab_runner_pipelined_mesh(params, st):
     """Pipelined SlabRunner over the 8-virtual-device mesh: the rider scan
