@@ -297,26 +297,27 @@ def _measure_mode_host(fe_fn, st, audios, n_short, n_long) -> float:
 
 
 def _measure_mode_host_pipe(make_fns, st, audios, n_short, n_long) -> float:
-    """Pipelined host-FSM path (FVAD_BENCH_PIPELINE=on, PARITY.md dev. 12):
-    call i consumes its precomputed segment product and computes call i+1's
-    product inside its own GRU scan. Same honest end-to-end accounting as
-    _measure_mode_host; the prologue product is computed once per run and
-    cancels in the slope."""
+    """Pipelined host-FSM path (FVAD_BENCH_PIPELINE=on|deep, PARITY.md
+    dev. 12): call i consumes its precomputed segment product and computes
+    call i+1's product inside its own GRU scan (deep mode additionally
+    defers each slab's FF head into the next call's scan). Same honest
+    end-to-end accounting as _measure_mode_host; the prologue product is
+    computed once per run and cancels in the slope."""
     import numpy as np
 
     from formula_vad_tpu.pipeline import fsm_host
 
-    init_carry, prod_fn, fe = make_fns()
+    init_state, prod_fn, fe = make_fns()
     n_aud = len(audios)
 
     def run(n: int) -> float:
         t0 = time.perf_counter()
-        dc = init_carry()
-        prod = prod_fn(audios[0], dc["raw_tail"])
+        state = init_state()
+        prod = prod_fn(audios[0])
         handles = []
         for i in range(n):
-            mv, rt, va, prod, dc = fe(
-                audios[i % n_aud], prod, dc, audios[(i + 1) % n_aud]
+            mv, rt, va, prod, state = fe(
+                audios[i % n_aud], prod, state, audios[(i + 1) % n_aud]
             )
             for x in (mv, rt, va):
                 try:
@@ -403,30 +404,52 @@ def measure() -> None:
         return fe_fn
 
     # Cross-slab pipelined device step (PARITY.md deviation 12): only used
-    # when FVAD_BENCH_PIPELINE=on — flipped after benchmarks/pipeline_ab.py
-    # shows a win AND its on-chip bitwise gate passes.
+    # when FVAD_BENCH_PIPELINE=on (stage 1: the front-end rides) or =deep
+    # (stage 2: the FF head rides too, emissions lag one call) — flipped
+    # after benchmarks/pipeline_ab.py shows a win AND its on-chip bitwise
+    # gate passes.
+    pipe_mode = os.environ.get("FVAD_BENCH_PIPELINE", "off")
     use_pipeline = (
         use_host_fsm
-        and os.environ.get("FVAD_BENCH_PIPELINE", "off") == "on"
+        and pipe_mode in ("on", "deep")
         and offline.band_composite_enabled()  # pipelined path is composite-only
     )
 
+    def _init_dc():
+        return jax.vmap(
+            lambda _: offline.init_slab_carry(st.n_channels, st.downsample_rate)
+        )(jnp.arange(n_streams))
+
+    def _prod0(audio):
+        return offline.segmat_prod(audio, None, st.downsample_rate)
+
     def make_pipe_fns():
-        def init_carry():
-            return jax.vmap(
-                lambda _: offline.init_slab_carry(st.n_channels, st.downsample_rate)
-            )(jnp.arange(n_streams))
-
-        def prod_fn(audio, raw_tail):
-            return offline.segmat_prod(audio, raw_tail, st.downsample_rate)
-
         def fe(audio, prod, dc, audio_next):
             dc, mv, rt, va, prod_next = offline.window_inputs_batch_pipelined(
                 params, st, audio, prod, dc, audio_next
             )
             return mv, rt, va, prod_next, dc
 
-        return jax.jit(init_carry), jax.jit(prod_fn), jax.jit(fe)
+        return jax.jit(_init_dc), jax.jit(_prod0), jax.jit(fe)
+
+    def make_deep_fns():
+        def init_state():
+            dc = _init_dc()
+            dp = jax.vmap(
+                lambda _: offline.init_deep_state(
+                    st.n_channels, n_chunks, st.fft_size, st.downsample_rate
+                )
+            )(jnp.arange(n_streams))
+            return dp, dc
+
+        def fe(audio, prod, state, audio_next):
+            dp, dc = state
+            dc, dp, (mv, rt, va), prod_next = offline.window_inputs_batch_deep(
+                params, st, audio, prod, dp, dc, audio_next
+            )
+            return mv, rt, va, prod_next, (dp, dc)
+
+        return jax.jit(init_state), jax.jit(_prod0), jax.jit(fe)
 
     rng = np.random.default_rng(0)
     audios = [
@@ -454,7 +477,8 @@ def measure() -> None:
         precision.set_io_dtype(io)
         if use_pipeline:
             per_call = _measure_mode_host_pipe(
-                make_pipe_fns, st, audios, n_short, n_long
+                make_deep_fns if pipe_mode == "deep" else make_pipe_fns,
+                st, audios, n_short, n_long,
             )
         elif use_host_fsm:
             per_call = _measure_mode_host(
@@ -481,7 +505,7 @@ def measure() -> None:
                 "tflops_achieved": head["tflops_achieved"],
                 "mfu": head["mfu"],
                 "fsm": "host" if use_host_fsm else "pallas",
-                "pipelined": use_pipeline,
+                "pipelined": pipe_mode if use_pipeline else False,
                 "modes": modes,
             }
         )

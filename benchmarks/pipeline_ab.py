@@ -68,6 +68,23 @@ def make_pipe_fns(params, st):
     return init_carry, jax.jit(prod_fn), jax.jit(fe)
 
 
+def make_deep_fns(params, st):
+    def init_deep(b):
+        return jax.vmap(
+            lambda _: offline.init_deep_state(
+                st.n_channels, N_CHUNKS, st.fft_size, st.downsample_rate
+            )
+        )(jnp.arange(b))
+
+    def fe(audio, prod, deep, den_carry, audio_next):
+        den_carry, deep, (mv, rt, va), prod_next = offline.window_inputs_batch_deep(
+            params, st, audio, prod, deep, den_carry, audio_next
+        )
+        return mv, rt, va, prod_next, deep, den_carry
+
+    return init_deep, jax.jit(fe)
+
+
 def slope_time(run, n_long):
     n_short = max(1, n_long // 4)
     avg = None
@@ -107,8 +124,11 @@ def main():
         precision.set_io_dtype(io)
         plain = make_plain_fn(params, st)
         init_carry, prod_fn, pipe = make_pipe_fns(params, st)
+        init_deep, deep_fe = make_deep_fns(params, st)
 
-        # --- on-chip bitwise gate: rider product == one-shot product -----
+        # --- on-chip bitwise gates ---------------------------------------
+        # (1) stage-1 rider product == one-shot product;
+        # (2) stage-2 (deep) emission == plain window inputs.
         carry0 = init_carry(N_STREAMS)
         prod0 = prod_fn(audios[0], carry0["raw_tail"])
         _, _, _, prod1, _ = pipe(audios[0], prod0, carry0, audios[1])
@@ -116,9 +136,20 @@ def main():
         want = prod_fn(audios[1], audios[0][..., -tail:])
         same = bool(jnp.all(prod1 == want))
         maxd = float(jnp.max(jnp.abs(prod1.astype(jnp.float32) - want.astype(jnp.float32))))
+
+        deep0 = init_deep(N_STREAMS)
+        _, _, _, prodd, dp, dc = deep_fe(audios[0], prod0, deep0, carry0, audios[1])
+        d_mv, d_rt, d_va = deep_fe(audios[1], prodd, dp, dc, audios[2])[:3]
+        p_mv, p_rt, p_va = plain(audios[0])
+        deep_same = bool(
+            jnp.all(d_mv == p_mv) & jnp.all(d_rt == p_rt) & jnp.all(d_va == p_va)
+        )
+        deep_maxd = float(jnp.max(jnp.abs(d_mv - p_mv)))
         print(
             f"== mode={mode_name} ==  rider-prod bitwise: {same}"
-            + ("" if same else f"  (max |d| = {maxd:.3e} — DO NOT flip default)"),
+            + ("" if same else f"  (max |d| = {maxd:.3e} — DO NOT flip default)")
+            + f"  deep-emission bitwise: {deep_same}"
+            + ("" if deep_same else f"  (max |d| = {deep_maxd:.3e})"),
             flush=True,
         )
 
@@ -141,11 +172,27 @@ def main():
             float(jnp.sum(out[0]))
             return time.perf_counter() - t0
 
+        def run_deep(n):
+            dp, dc = deep0, carry0
+            prod = prod0
+            out = None
+            t0 = time.perf_counter()
+            for i in range(n):
+                out = deep_fe(
+                    audios[i % n_aud], prod, dp, dc, audios[(i + 1) % n_aud]
+                )
+                prod, dp, dc = out[3], out[4], out[5]
+            float(jnp.sum(out[0]))
+            return time.perf_counter() - t0
+
         run_plain(1)  # compile
         run_pipe(1)
+        run_deep(1)
         results = {}
         for rep in range(REPS):  # interleaved: relay drift shows as spread
-            for name, run in (("plain", run_plain), ("pipelined", run_pipe)):
+            for name, run in (
+                ("plain", run_plain), ("pipelined", run_pipe), ("deep", run_deep)
+            ):
                 dt = slope_time(run, N_ITERS)
                 results.setdefault(name, []).append(dt)
                 print(
@@ -155,11 +202,12 @@ def main():
                 )
         mins = {k: min(v) for k, v in results.items()}
         winner = min(mins, key=mins.get)
+        gate_ok = {"plain": True, "pipelined": same, "deep": same and deep_same}
         print(
             "  => "
             + "  ".join(f"{k} {v*1e3:.2f} ms" for k, v in mins.items())
             + f"  | winner: {winner}"
-            + ("" if same or winner == "plain" else "  [blocked by bitwise gate]"),
+            + ("" if gate_ok[winner] else "  [blocked by bitwise gate]"),
             flush=True,
         )
 

@@ -178,6 +178,7 @@ def apply_streaming(
     features: jnp.ndarray,
     out_frames: int | None = None,
     rider=None,
+    defer_head: bool = False,
 ):
     """Run the network over a feature sequence with explicit GRU state.
 
@@ -200,7 +201,8 @@ def apply_streaming(
         NEXT slab's stft matmul in the cross-slab pipelined offline path).
     Returns:
       (new_state, gains [..., T_out, 161]) — plus stacked rider outputs
-      when ``rider`` is given.
+      when ``rider`` is given; with ``defer_head`` the gains slot holds the
+      raw GRU outputs [..., T_out, 400] instead (run ``apply_head`` later).
 
     The time recurrence is a ``lax.scan``; the pointwise dense layers before
     and after the GRUs are applied to the whole sequence at once so they run
@@ -225,7 +227,7 @@ def apply_streaming(
     """
     t = features.shape[-2]
     if t == 0:  # nothing to scan: state unchanged, empty gains
-        assert rider is None
+        assert rider is None and not defer_head
         return state, jnp.zeros(features.shape[:-1] + (N_BINS,), features.dtype)
     from ..ops import precision as _prec
 
@@ -320,9 +322,10 @@ def apply_streaming(
     if out_frames is not None and out_frames < t:
         ys = ys[t - out_frames :]
     y = jnp.moveaxis(ys, 0, -2)  # [..., T_out, 400]
-    y = jax.nn.relu(_dense(y, params.ff1_w, params.ff1_b))
-    y = jax.nn.relu(_dense(y, params.ff2_w, params.ff2_b))
-    gains = jax.nn.sigmoid(_dense(y, params.out_w, params.out_b))
+    # defer_head: return the raw GRU outputs; the caller runs apply_head
+    # later (the deep-pipelined offline path rides it through the NEXT
+    # slab's scan — row-parallel, so slicing commutes with it).
+    gains = y if defer_head else apply_head(params, y)
     if io is not None and state_dtype != io:
         h1, h2 = h1.astype(state_dtype), h2.astype(state_dtype)
     if rider is not None:
@@ -330,17 +333,31 @@ def apply_streaming(
     return (h1, h2), gains
 
 
+def apply_head(params: NSNet2Params, y: jnp.ndarray) -> jnp.ndarray:
+    """Post-GRU dense stack: [..., 400] -> gains [..., 161].
+
+    Row-parallel (no time coupling) — the single definition shared by the
+    immediate path and the deferred/ridden path, so both compute the exact
+    same ops. Callers deferring the head must pass the SAME (possibly
+    io_cast) params and ys dtype apply_streaming would have used."""
+    y = jax.nn.relu(_dense(y, params.ff1_w, params.ff1_b))
+    y = jax.nn.relu(_dense(y, params.ff2_w, params.ff2_b))
+    return jax.nn.sigmoid(_dense(y, params.out_w, params.out_b))
+
+
 def apply(
     params: NSNet2Params,
     features: jnp.ndarray,
     out_frames: int | None = None,
     rider=None,
+    defer_head: bool = False,
 ):
     """Stateless run from h=0 (matches ONNX Runtime per-chunk semantics).
 
     features: [..., T, 161] -> gains [..., T_out, 161] (see apply_streaming's
     out_frames for the T_out != T case; with ``rider`` returns
-    (gains, rider_out)).
+    (gains, rider_out); with ``defer_head`` the raw GRU outputs
+    [..., T_out, 400] replace gains — run ``apply_head`` later).
     """
     batch_shape = features.shape[:-2]
     # Derive the zero state from the features so it inherits their sharding
@@ -348,7 +365,10 @@ def apply(
     # and fails scan's carry type check inside manual-sharding regions).
     zero = jnp.zeros(batch_shape + (HIDDEN,), features.dtype)
     zero = zero + 0.0 * features[..., 0, 0][..., None]
-    out = apply_streaming(params, (zero, zero), features, out_frames, rider=rider)
+    out = apply_streaming(
+        params, (zero, zero), features, out_frames, rider=rider,
+        defer_head=defer_head,
+    )
     if rider is not None:
         _, gains, rider_ys = out
         return gains, rider_ys

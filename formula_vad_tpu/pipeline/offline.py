@@ -105,6 +105,26 @@ def segmat_prod(audio: jnp.ndarray, raw_tail: jnp.ndarray, downsample_rate: int 
     return jnp.matmul(io_cast(segs), io_cast(basis), precision=matmul_precision())
 
 
+def _model_input(feats: jnp.ndarray, feat_ctx: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Per-chunk model input [..., K, 54, 161]: 4 context frames + 50
+    current frames; context for chunk 0 comes from the carry (zeros at
+    stream start, NSNet2.zig:77-79). Built from slices (not a gather):
+    chunk k's context = frames 46..50 of chunk k-1."""
+    lead = feats.shape[:-2]
+    main = feats.reshape(lead + (k, NSNET2_N_FRAMES, NSNET2_N_BINS))
+    prev_tail = jnp.concatenate(
+        [
+            # Carries stay f32 across slab/checkpoint boundaries; cast at the
+            # join so bf16 activation storage (precision.io_dtype) doesn't
+            # silently promote the big tensors back to f32.
+            feat_ctx[..., None, :, :].astype(feats.dtype),
+            main[..., :-1, NSNET2_N_FRAMES - NSNET2_CONTEXT_FRAMES :, :],
+        ],
+        axis=-3,
+    )
+    return jnp.concatenate([prev_tail, main], axis=-2)
+
+
 def _gained_spectra_from_prod(
     params: nsnet2.NSNet2Params,
     prod: jnp.ndarray,
@@ -121,23 +141,8 @@ def _gained_spectra_from_prod(
     re, im = stft.segmat_spectra(prod, NSNET2_N_FFT)  # [..., K*50, 161]
 
     feats = den_mod.compute_features(re, im)  # [..., K*50, 161]
-    # Per-chunk model input: 4 context frames + 50 current frames; context
-    # for chunk 0 comes from the carry (zeros at stream start, NSNet2.zig:
-    # 77-79). Built from slices (not a gather): chunk k's context = frames
-    # 46..50 of chunk k-1.
+    model_in = _model_input(feats, carry["feat_ctx"], k)  # [..., K, 54, 161]
     n_model_frames = NSNET2_N_FRAMES + NSNET2_CONTEXT_FRAMES  # 54
-    main = feats.reshape(lead + (k, NSNET2_N_FRAMES, NSNET2_N_BINS))
-    prev_tail = jnp.concatenate(
-        [
-            # Carries stay f32 across slab/checkpoint boundaries; cast at the
-            # join so bf16 activation storage (precision.io_dtype) doesn't
-            # silently promote the big tensors back to f32.
-            carry["feat_ctx"][..., None, :, :].astype(feats.dtype),
-            main[..., :-1, NSNET2_N_FRAMES - NSNET2_CONTEXT_FRAMES :, :],
-        ],
-        axis=-3,
-    )
-    model_in = jnp.concatenate([prev_tail, main], axis=-2)  # [..., K, 54, 161]
 
     # Stateless model run per chunk, batched over every leading axis * K.
     from ..models.registry import apply_model
@@ -205,6 +210,26 @@ def denoise_offline_spec(
     else:
         (re, im, g, feats), rider_out = out, None
     re_g, im_g = re * g, im * g
+    out_tail, last_sample = band_boundary_carry(re_g, im_g)
+    cdt = carry["feat_ctx"].dtype
+    new_carry = {
+        "raw_tail": audio[..., -NSNET2_N_HOP * downsample_rate :],
+        "feat_ctx": feats[..., -NSNET2_CONTEXT_FRAMES:, :].astype(cdt),
+        "out_tail": out_tail.astype(cdt),
+        "last_sample": last_sample.astype(cdt),
+    }
+    if rider is not None:
+        return re_g, im_g, new_carry, rider_out
+    return re_g, im_g, new_carry
+
+
+def band_boundary_carry(re_g: jnp.ndarray, im_g: jnp.ndarray):
+    """(out_tail [..., hop], last_sample [...]) from the final two gained
+    frames — the inverse-basis epilogue feeding the next slab's composite
+    band corrections (the OLA tail is the final frame's inverse bottom
+    half; the lerp last-sample is the two-term OLA of the final stream
+    sample — NSNet2.zig:175-203 tail chain). Shared verbatim by
+    ``denoise_offline_spec`` and the deep-pipelined path."""
     hop = NSNET2_N_HOP
     key = hash(np.asarray(den_mod._WINDOW, np.float32).tobytes())
     stft._SEGMAT_WINDOWS[key] = np.asarray(den_mod._WINDOW, np.float32)
@@ -222,16 +247,7 @@ def denoise_offline_spec(
     last_sample = jnp.matmul(z_last, inv[:, hop - 1], precision=prec) + jnp.matmul(
         z_prev, inv[:, 2 * hop - 1], precision=prec
     )
-    cdt = carry["feat_ctx"].dtype
-    new_carry = {
-        "raw_tail": audio[..., -hop * downsample_rate :],
-        "feat_ctx": feats[..., -NSNET2_CONTEXT_FRAMES:, :].astype(cdt),
-        "out_tail": out_tail.astype(cdt),
-        "last_sample": last_sample.astype(cdt),
-    }
-    if rider is not None:
-        return re_g, im_g, new_carry, rider_out
-    return re_g, im_g, new_carry
+    return out_tail, last_sample
 
 
 def denoise_offline_16k(
@@ -550,6 +566,195 @@ def window_inputs_pipelined(
     min_vol = jnp.min(band, axis=0)
     ratios, valid = _ratios_valid(st, audio, n_valid_chunks, n_windows)
     return den_carry, min_vol, ratios, valid, prod_next
+
+
+def _compose_riders(r1, r2):
+    """Two independent riders through one scan: fn((a, b)) = (f1(a), f2(b))."""
+    (f1, x1), (f2, x2) = r1, r2
+    return (lambda xs: (f1(xs[0]), f2(xs[1])), (x1, x2))
+
+
+def deferred_head_rider(params: nsnet2.NSNet2Params, ys, re, im):
+    """Rider applying the PREVIOUS slab's deferred FF head + gain clip +
+    gain application in frame-row slices through this slab's GRU scan
+    (stage 2 of the cross-slab pipeline: with the head deferred, every MXU
+    stage outside the recurrences rides a scan).
+
+    ys: [..., F, 400] raw GRU outputs as stored by ``defer_head`` (io
+    dtype); re/im: that slab's spectra. The head weights get the same
+    io_cast ``apply_streaming`` would apply, so the deferred computation is
+    op-for-op the immediate one (row-sliced — PARITY.md deviation 12's
+    row-count note applies).
+
+    Returns ((fn, xs), assemble) with assemble(parts) -> (re_g, im_g)."""
+    from ..ops import precision as _prec
+
+    head = params
+    if _prec.io_dtype() is not None:
+        head = jax.tree_util.tree_map(_prec.io_cast, params)
+    f = ys.shape[-2]
+    per = -(-f // T_SCAN)
+    pad = T_SCAN * per - f
+
+    def padf(x):
+        if not pad:
+            return x
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, pad), (0, 0)])
+
+    ys_p, re_p, im_p = padf(ys), padf(re), padf(im)
+
+    def fn(t):
+        def sl(x):
+            return jax.lax.dynamic_slice_in_dim(x, t * per, per, axis=-2)
+
+        g = nsnet2.apply_head(head, sl(ys_p))
+        g = jnp.clip(g, den_mod.GAIN_MIN, den_mod.GAIN_MAX)
+        return sl(re_p) * g, sl(im_p) * g
+
+    def assemble(parts):
+        def fix(p):
+            p = jnp.moveaxis(p, 0, -3)
+            p = p.reshape(p.shape[:-3] + (T_SCAN * per, p.shape[-1]))
+            return p[..., :f, :]
+
+        re_g, im_g = parts
+        return fix(re_g), fix(im_g)
+
+    return (fn, jnp.arange(T_SCAN, dtype=jnp.int32)), assemble
+
+
+def init_deep_state(
+    n_channels: int,
+    slab_chunks: int,
+    fft_size: int = 1024,
+    downsample_rate: int = 3,
+):
+    """Deferred per-slab state for the deep pipeline (``window_inputs_deep``):
+    the previous slab's raw GRU outputs + spectra (its head/gains/band are
+    computed one call later), its already-computed ratios/valid, and the
+    band boundary carries for ITS band call."""
+    from ..ops.precision import io_dtype
+
+    io = io_dtype() or jnp.float32
+    f = slab_chunks * NSNET2_N_FRAMES
+    w = slab_chunks * NSNET2_CHUNK_16K * downsample_rate // fft_size
+    c = n_channels
+    return {
+        "ys": jnp.zeros((c, f, nsnet2.HIDDEN), io),
+        "re": jnp.zeros((c, f, NSNET2_N_BINS), io),
+        "im": jnp.zeros((c, f, NSNET2_N_BINS), io),
+        "ratios": jnp.zeros((w,), jnp.float32),
+        "valid": jnp.zeros((w,), bool),
+        "prev16": jnp.zeros((c,), jnp.float32),
+        "out_tail": jnp.zeros((c, NSNET2_N_HOP), jnp.float32),
+    }
+
+
+def window_inputs_deep(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    prod: jnp.ndarray,
+    deep: dict,
+    den_carry: dict,
+    n_valid_chunks: jnp.ndarray,
+    audio_next: jnp.ndarray,
+):
+    """Stage-2 ("deep") cross-slab pipelined step: call s EMITS slab s-1's
+    window inputs.  Two riders share slab s's GRU scan — slab s+1's segment
+    matmul (stage 1) and slab s-1's deferred FF head + gain application —
+    so in steady state EVERY MXU stage except the scan's own projections
+    and the fc_in/gi1 prep executes inside some slab's recurrence.
+
+    Protocol: call 0 primes (its emission is the zero deep state — drop
+    it); after the last real slab, one FLUSH call with zero audio drains
+    slab N-1.  Same ops as the plain path, moved across call boundaries
+    (PARITY.md deviation 12 extension); NSNet2-only (duck-typed gain
+    models have no deferred head).
+
+    Returns (new_den_carry, new_deep, (min_vol, ratios, valid) FOR SLAB
+    s-1, prod_next)."""
+    c, t = audio.shape
+    chunk = st.chunk_size
+    k = t // chunk
+    audio = audio[:, : k * chunk]
+    audio_next = audio_next[:, : (audio_next.shape[-1] // chunk) * chunk]
+    n_windows = (k * chunk) // st.fft_size
+    lead = prod.shape[:-2]
+
+    # Pre-scan work for slab s (identical ops to _gained_spectra_from_prod).
+    re, im = stft.segmat_spectra(prod, NSNET2_N_FFT)
+    feats = den_mod.compute_features(re, im)
+    model_in = _model_input(feats, den_carry["feat_ctx"], k)
+
+    rider_a, assemble_a = next_slab_rider(
+        audio_next,
+        audio[..., -NSNET2_N_HOP * st.downsample_rate :],
+        st.downsample_rate,
+    )
+    rider_b, assemble_b = deferred_head_rider(
+        params, deep["ys"], deep["re"], deep["im"]
+    )
+    rider = _compose_riders(rider_a, rider_b)
+
+    flat = model_in.reshape((-1, T_SCAN, NSNET2_N_BINS))
+    ys_flat, (prod_parts, head_parts) = nsnet2.apply(
+        params, flat, out_frames=NSNET2_N_FRAMES, rider=rider, defer_head=True
+    )
+    ys = ys_flat.reshape(lead + (k * NSNET2_N_FRAMES, nsnet2.HIDDEN))
+    prod_next = assemble_a(prod_parts)
+    re_g_prev, im_g_prev = assemble_b(head_parts)
+
+    # Slab s-1's band volumes + emission (its ratios/valid were computed in
+    # call s-1 from its own raw audio and stored).
+    band = _band_spec(
+        st, re_g_prev, im_g_prev, deep["prev16"], deep["out_tail"], n_windows
+    )
+    emission = (jnp.min(band, axis=0), deep["ratios"], deep["valid"])
+    out_tail, last_sample = band_boundary_carry(re_g_prev, im_g_prev)
+
+    ratios, valid = _ratios_valid(st, audio, n_valid_chunks, n_windows)
+    cdt = den_carry["feat_ctx"].dtype
+    new_den = {
+        "raw_tail": audio[..., -NSNET2_N_HOP * st.downsample_rate :],
+        "feat_ctx": feats[..., -NSNET2_CONTEXT_FRAMES:, :].astype(cdt),
+        # Unused in deep mode (the band boundary carries live in `deep`,
+        # one slab delayed); passed through for carry-shape stability.
+        "out_tail": den_carry["out_tail"],
+        "last_sample": den_carry["last_sample"],
+    }
+    new_deep = {
+        "ys": ys,
+        "re": re,
+        "im": im,
+        "ratios": ratios,
+        "valid": valid,
+        "prev16": last_sample,
+        "out_tail": out_tail,
+    }
+    return new_den, new_deep, emission, prod_next
+
+
+def window_inputs_batch_deep(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    prod: jnp.ndarray,
+    deep: dict,
+    den_carry: dict,
+    audio_next: jnp.ndarray,
+    n_valid_chunks: jnp.ndarray | None = None,
+):
+    """Batched ``window_inputs_deep`` (see there for the protocol)."""
+    b, c, t = audio.shape
+    k = t // st.chunk_size
+    if n_valid_chunks is None:
+        n_valid_chunks = jnp.full((b,), k, jnp.int32)
+    return jax.vmap(
+        lambda a, p, dp, dc, n, an: window_inputs_deep(
+            params, st, a, p, dp, dc, n, an
+        )
+    )(audio, prod, deep, den_carry, n_valid_chunks, audio_next)
 
 
 def window_inputs(

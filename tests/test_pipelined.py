@@ -141,6 +141,59 @@ def test_pipelined_chain_bitwise(params, st, ragged):
         )
 
 
+@pytest.mark.parametrize("ragged", [False, True])
+def test_deep_chain_tracks_plain(params, st, ragged):
+    """Stage-2 deep pipeline: call s emits slab s-1 (priming emission
+    dropped, flush call drains the last slab) — emissions track the plain
+    carried path (<=1 ulp min_vol on CPU, bitwise ratios/valid), and the
+    den-carry's feat/raw chains stay bitwise."""
+    rng = np.random.default_rng(6)
+    chunk = st.chunk_size
+    slab_chunks, n_slabs = 32, 3
+    slabs = [_audio(rng, 2, slab_chunks * chunk) for _ in range(n_slabs)]
+    valids = [jnp.int32(slab_chunks)] * n_slabs
+    if ragged:
+        valids[-1] = jnp.int32(slab_chunks - 7)
+
+    carry_a = offline.init_slab_carry(2)
+    outs_a = []
+    for s in range(n_slabs):
+        carry_a, mv, rt, va, _ = offline.window_inputs_carry(
+            params, st, slabs[s], carry_a, valids[s]
+        )
+        outs_a.append((mv, rt, va))
+
+    den = offline.init_slab_carry(2)
+    deep = offline.init_deep_state(2, slab_chunks, st.fft_size)
+    prod = offline.segmat_prod(slabs[0], den["raw_tail"])
+    emissions = []
+    for s in range(n_slabs):
+        nxt = slabs[s + 1] if s + 1 < n_slabs else jnp.zeros_like(slabs[s])
+        den, deep, em, prod = offline.window_inputs_deep(
+            params, st, slabs[s], prod, deep, den, valids[s], nxt
+        )
+        emissions.append(em)
+    zero = jnp.zeros_like(slabs[0])
+    _, _, em, _ = offline.window_inputs_deep(
+        params, st, zero, prod, deep, den, jnp.int32(0), zero
+    )
+    emissions.append(em)
+
+    for (a_mv, a_rt, a_va), (b_mv, b_rt, b_va) in zip(outs_a, emissions[1:]):
+        np.testing.assert_allclose(
+            np.asarray(a_mv), np.asarray(b_mv), rtol=3e-6, atol=1e-11
+        )
+        np.testing.assert_array_equal(np.asarray(a_rt), np.asarray(b_rt))
+        np.testing.assert_array_equal(np.asarray(a_va), np.asarray(b_va))
+    # feat/raw den-carry chains (out_tail/last_sample live in `deep`, one
+    # slab delayed — checked implicitly through the emitted min_vol).
+    for k in ("raw_tail", "feat_ctx"):
+        np.testing.assert_allclose(
+            np.asarray(carry_a[k]), np.asarray(den[k]), rtol=3e-6, atol=1e-7,
+            err_msg=k,
+        )
+
+
 def test_pipelined_bf16_io_tracks_plain(params, st):
     """Under the bf16 activation-storage tier the pipelined path tracks the
     plain path (same dtypes throughout — prod/rider are io_cast like
