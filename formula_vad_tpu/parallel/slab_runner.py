@@ -53,20 +53,30 @@ class SlabRunner:
         # peak host RAM is ~(depth + 2) slabs, so depth=1 bounds it at ~3.
         prefetch_workers: int | None = None,
         prefetch_depth: int = 1,
-        # Cross-slab pipelined front-end: slab s+1's segment matmul rides
-        # inside slab s's GRU scan (offline.window_inputs_pipelined) so the
-        # steady-state device step has no standalone front-end stage.
-        # Bitwise-identical outputs (tests/test_pipelined.py). Default from
-        # FVAD_SLAB_PIPELINE (off until the on-chip A/B flips it); requires
-        # the composite band path.
-        pipeline_fe: bool | None = None,
+        # Cross-slab pipelined front-end: "on" rides slab s+1's segment
+        # matmul inside slab s's GRU scan (offline.window_inputs_pipelined);
+        # "deep" additionally defers each slab's FF head into the next
+        # call's scan (offline.window_inputs_deep — host-FSM loop only,
+        # emissions lag one call). Identical outputs
+        # (tests/test_pipelined.py). Default from FVAD_SLAB_PIPELINE
+        # (off until the on-chip A/B flips it); requires the composite
+        # band path.
+        pipeline_fe: bool | str | None = None,
     ):
         if slab_chunks % SLAB_ALIGN_CHUNKS != 0:
             raise ValueError(f"slab_chunks must be a multiple of {SLAB_ALIGN_CHUNKS}")
         if pipeline_fe is None:
-            pipeline_fe = os.environ.get("FVAD_SLAB_PIPELINE", "off") == "on"
-        self.pipeline_fe = pipeline_fe and offline.band_composite_enabled()
-        if self.pipeline_fe:
+            pipeline_fe = os.environ.get("FVAD_SLAB_PIPELINE", "off")
+        if pipeline_fe in (True, "on"):
+            mode = "on"
+        elif pipeline_fe == "deep":
+            mode = "deep"
+        else:
+            mode = "off"
+        if not offline.band_composite_enabled():
+            mode = "off"  # pipelined paths are composite-only
+        self.pipeline_fe = mode
+        if mode != "off":
             # The one-slab lookahead consumes one unit of decode-ahead margin
             # (slab s's dispatch waits for slab s+1's decode); keep the same
             # effective overlap at the cost of ~one more slab of host RAM.
@@ -80,6 +90,10 @@ class SlabRunner:
 
             use_host_fsm = fsm_host.available() and jax.process_count() == 1
         self.use_host_fsm = use_host_fsm
+        if self.pipeline_fe == "deep" and not use_host_fsm:
+            # Deep mode's one-call emission lag is implemented for the
+            # host-FSM loop; device-FSM runs get stage 1.
+            self.pipeline_fe = "on"
         if use_pallas_fsm is None:
             use_pallas_fsm = jax.devices()[0].platform != "cpu"
         self.use_pallas_fsm = use_pallas_fsm
@@ -100,6 +114,7 @@ class SlabRunner:
         self.prefetch_depth = prefetch_depth
         self._fn = None
         self._prod_fn = None
+        self._deep_init = None
 
     # ------------------------------------------------------------------
 
@@ -159,8 +174,21 @@ class SlabRunner:
             )
             return den_carry, prod_next, mv, rt, va
 
+        def frontend_deep_fn(audio, prod, deep, den_carry, chunk_valids, audio_next):
+            """Deep-pipelined host-FSM device step: EMITS slab s-1's window
+            inputs (its FF head rode this slab's scan — see
+            offline.window_inputs_deep's priming/flush protocol)."""
+            audio, audio_next = dequant(audio), dequant(audio_next)
+            n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
+            den_carry, deep, (mv, rt, va), prod_next = (
+                offline.window_inputs_batch_deep(
+                    params, st, audio, prod, deep, den_carry, audio_next, n_valid
+                )
+            )
+            return den_carry, deep, prod_next, mv, rt, va
+
         sh = mesh_lib.batch_sharding(self.mesh) if self.mesh is not None else None
-        if self.pipeline_fe:
+        if self.pipeline_fe != "off":
             # Prologue: slab 0's segment product (every later slab's product
             # comes out of the previous step's rider).
             def prod_fn(audio, raw_tail):
@@ -172,10 +200,24 @@ class SlabRunner:
                 jax.jit(prod_fn, in_shardings=(sh, sh)) if sh is not None
                 else jax.jit(prod_fn)
             )
+        if self.pipeline_fe == "deep":
+            def deep_init(b):
+                return jax.vmap(
+                    lambda _: offline.init_deep_state(
+                        st.n_channels, self.slab_chunks, st.fft_size,
+                        st.downsample_rate,
+                    )
+                )(jnp.arange(b))
+
+            self._deep_init = deep_init
 
         if self.use_host_fsm:
-            fn = frontend_pipe_fn if self.pipeline_fe else frontend_fn
-            n_args = 5 if self.pipeline_fe else 3
+            fn = {
+                "off": frontend_fn,
+                "on": frontend_pipe_fn,
+                "deep": frontend_deep_fn,
+            }[self.pipeline_fe]
+            n_args = {"off": 3, "on": 5, "deep": 6}[self.pipeline_fe]
             if sh is not None:
                 return jax.jit(fn, in_shardings=(sh,) * n_args)
             return jax.jit(fn)
@@ -219,8 +261,8 @@ class SlabRunner:
                 alt_carry, alt_out = run_fsm(alt_rows, alt_carry, mv_a, rt_a, va_a, wb_a)
             return fsm_carry, alt_carry, out, alt_out, va
 
-        fn = slab_pipe_fn if self.pipeline_fe else slab_fn
-        n_args = 8 if self.pipeline_fe else 6
+        fn = slab_pipe_fn if self.pipeline_fe != "off" else slab_fn
+        n_args = 8 if self.pipeline_fe != "off" else 6
         if sh is not None:
             return jax.jit(fn, in_shardings=(sh,) * n_args)
         return jax.jit(fn)
@@ -300,7 +342,28 @@ class SlabRunner:
                 decode(*pending)
             pending = (s, (mv, rt, va))
 
-        if self.pipeline_fe:
+        if self.pipeline_fe == "deep":
+            # Deep protocol: call s EMITS slab s-1 (drop the priming
+            # emission, flush with a zero slab to drain slab n-1).
+            prod = None
+            dp = self._deep_init(b_pad)
+            zero_slab = zero_cv = None
+            for s, (slab, cv, slab_next) in enumerate(
+                self._lookahead(prefetcher, n_slabs)
+            ):
+                if prod is None:
+                    prod = self._prod_fn(slab, den_carry["raw_tail"])
+                    zero_slab, zero_cv = jnp.zeros_like(slab), jnp.zeros_like(cv)
+                den_carry, dp, prod, mv, rt, va = self._fn(
+                    slab, prod, dp, den_carry, cv, slab_next
+                )
+                if s >= 1:
+                    dispatched(s - 1, mv, rt, va)
+            _, _, _, mv, rt, va = self._fn(
+                zero_slab, prod, dp, den_carry, zero_cv, zero_slab
+            )
+            dispatched(n_slabs - 1, mv, rt, va)
+        elif self.pipeline_fe == "on":
             prod = None
             for s, (slab, cv, slab_next) in enumerate(
                 self._lookahead(prefetcher, n_slabs)
@@ -415,7 +478,7 @@ class SlabRunner:
                     prefetcher, n_slabs, b_pad, den_carry, windows_per_slab,
                     slab_outs, alt_outs,
                 )
-            elif self.pipeline_fe:
+            elif self.pipeline_fe != "off":
                 prod = None
                 for slab, cv, slab_next in self._lookahead(prefetcher, n_slabs):
                     if prod is None:

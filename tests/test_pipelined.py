@@ -274,6 +274,14 @@ def test_slab_runner_pipelined_segments(params, st):
     assert [r.segments for r in res_a] == [r.segments for r in res_b]
     assert any(r.segments for r in res_a), "test corpus produced no segments"
 
+    # Deep mode (host-FSM loop, emissions lag one call + flush): same
+    # segments. Requires the host decoder; skip quietly without it.
+    from formula_vad_tpu.pipeline import fsm_host
+
+    if fsm_host.available():
+        res_d = run("deep")
+        assert [r.segments for r in res_a] == [r.segments for r in res_d]
+
     # Device-FSM loop (multi-process/sharded configuration): the pipelined
     # slab_pipe_fn + prod threading there too, same segments.
     res_c = run(True, use_host_fsm=False)
