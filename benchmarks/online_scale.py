@@ -76,7 +76,7 @@ def measure(b: int, params, st) -> dict:
         _sync(out)
         return time.perf_counter() - t0
 
-    short = max(2, ITERS // 4)
+    short = min(ITERS - 1, max(2, ITERS // 4))  # keep ITERS-short > 0 at tiny ITERS
     tick = (run(ITERS) - run(short)) / (ITERS - short)
 
     decode_ms = 0.0

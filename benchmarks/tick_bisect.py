@@ -15,7 +15,7 @@ from formula_vad_tpu.models import nsnet2
 from formula_vad_tpu.ops import stft, volume
 from formula_vad_tpu.pipeline import denoiser, vad
 
-B = 1024
+B = int(os.environ.get("TB_B", "1024"))
 params = nsnet2.load(None)
 st = vad.statics_from_config(VADConfig())
 
@@ -44,7 +44,11 @@ f_acc = jax.jit(lambda buf, fill, d: jax.vmap(
 # static-fill variant: fill=0 baked in
 def acc_band0(buf, denoised):
     ext = jnp.concatenate([buf, denoised], axis=-1)
-    frames = ext[:, st.fft_size:].reshape(2, -1, st.fft_size)[:, :st.max_windows]
+    # fill=0 baked in: the chunk yields floor(chunk/fft) complete windows
+    # (one fewer than max_windows — this is a cost isolation probe, not the
+    # production framing).
+    n0 = st.chunk_size // st.fft_size
+    frames = ext[:, st.fft_size:st.fft_size + n0 * st.fft_size].reshape(2, n0, st.fft_size)
     mags = stft.magnitude_windows(frames, vad._hann(st.fft_size), st.fft_size, st.norm_factor)
     band = jnp.sum(mags[..., st.min_bin:st.max_bin+1], axis=-1)
     return jnp.min(band, axis=0)
