@@ -1,0 +1,105 @@
+"""bench.py harness coverage (CPU backend, tiny shapes).
+
+bench.py is the artifact the driver records as BENCH_r{N}.json — a silent
+regression there costs a round's official number (it already happened once:
+BENCH_r02 was an rc-124 hang during a relay outage). These tests pin:
+
+* the measure() child emits the full JSON contract — headline + the
+  standard precision modes table + the round-3 self-gated extra rows
+  (``bf16_deep`` with its PARITY.md-deviation-12 bitwise-gate flag,
+  ``bf16_wide`` with its stream width),
+* the preflight fails FAST and STRUCTURED when the relay is down
+  (VERDICT round-2 weak #1): no hang, one parseable
+  ``{"error": "relay_down"}`` line, exit code 2.
+"""
+
+import importlib
+import io
+import json
+import os
+import subprocess
+import sys
+from contextlib import redirect_stdout
+
+import pytest
+
+
+@pytest.fixture()
+def bench(monkeypatch):
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import bench as bench_mod
+
+    return importlib.reload(bench_mod)
+
+
+def test_measure_json_contract(bench, monkeypatch, capsys):
+    """One in-process child run at tiny shapes: every mode row present,
+    extras included, headline positive and derived from mode 'highest'."""
+    for k, v in {
+        "BENCH_STREAMS": "2",
+        "BENCH_CHUNKS": "2",
+        "BENCH_ITERS_SHORT": "1",
+        "BENCH_ITERS_LONG": "2",
+        "BENCH_WIDE_STREAMS": "4",
+        "FVAD_BENCH_CPU": "1",
+    }.items():
+        monkeypatch.setenv(k, v)
+    monkeypatch.delenv("BENCH_MODES", raising=False)
+    monkeypatch.delenv("FVAD_BENCH_PIPELINE", raising=False)
+
+    from formula_vad_tpu.ops import precision
+
+    try:
+        bench.measure()
+    finally:
+        # measure() mutates the global precision policy per mode row.
+        precision.set_matmul_precision("highest")
+        precision.set_io_dtype("f32")
+    out = capsys.readouterr().out.strip().splitlines()
+    got = json.loads(out[-1])
+
+    assert got["metric"] == "realtime_factor"
+    assert got["unit"] == "audio_sec/sec/chip"
+    assert got["value"] and got["value"] > 0
+    # vs_baseline is rounded to 3 decimals in the JSON line.
+    assert got["vs_baseline"] == pytest.approx(got["value"] / 5000.0, abs=5.1e-4)
+    modes = got["modes"]
+    for name in ("highest", "bf16", "bf16_io", "bf16_deep", "bf16_wide"):
+        assert name in modes, f"missing mode row {name}"
+        assert modes[name]["realtime_factor"] > 0
+        assert modes[name]["tflops_achieved"] > 0
+    assert got["value"] == modes["highest"]["realtime_factor"]
+    # The bitwise gate is an MXU property; XLA:CPU gemms are only ~1-ulp
+    # close (PARITY.md deviation 12), so on this backend it must be False —
+    # which also proves the gate actually compares something.
+    assert modes["bf16_deep"]["gate_bitwise"] is False
+    assert modes["bf16_wide"]["streams"] == 4
+
+
+def test_preflight_relay_down_fails_fast(bench, monkeypatch):
+    """Dead relay port + hung backend probe => structured error, exit 2."""
+    monkeypatch.setattr(bench, "RELAY_ADDR", "127.0.0.1:1")
+    monkeypatch.setenv("BENCH_RELAY_WAIT_SEC", "0.1")
+    monkeypatch.delenv("FVAD_BENCH_SKIP_PROBE", raising=False)
+
+    def hang(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd=a[0], timeout=kw.get("timeout", 20))
+
+    monkeypatch.setattr(bench.subprocess, "run", hang)
+    buf = io.StringIO()
+    with pytest.raises(SystemExit) as exc, redirect_stdout(buf):
+        bench._preflight()
+    assert exc.value.code == 2
+    got = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert got == {
+        "metric": "realtime_factor",
+        "value": None,
+        "error": "relay_down",
+        "detail": got["detail"],
+    }
+    assert "relay-down signature" in got["detail"]
+
+
+def test_preflight_skip_env(bench, monkeypatch):
+    monkeypatch.setenv("FVAD_BENCH_SKIP_PROBE", "1")
+    bench._preflight()  # must not raise or probe anything
