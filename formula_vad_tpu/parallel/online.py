@@ -115,6 +115,24 @@ class OnlineBatchServer:
                 st.fsm_shape, st.fsm_params, b
             )
 
+    @staticmethod
+    def _start_fetch(out):
+        """Start async D2H copies on every tick output at DISPATCH time.
+
+        ``_step`` returns futures; enqueueing the copies immediately lets the
+        runtime stream results (the big ``denoised`` batch in particular)
+        while the device is still computing the step, instead of paying a
+        serial fetch afterwards — the same measured ~8x end-to-end win as
+        the offline host-FSM path (benchmarks/host_fsm_ab.py, verify skill
+        D2H notes). Harmless on real hosts (copies overlap PCIe with
+        compute) and a no-op on backends without the method."""
+        for leaf in jax.tree_util.tree_leaves(out):
+            try:
+                leaf.copy_to_host_async()
+            except AttributeError:
+                pass
+        return out
+
     def _finish_outputs(self, out):
         """Host-FSM mode: decode the fetched window inputs and splice the
         WindowOutput into the (device-FSM-free) ChunkOutput."""
@@ -181,7 +199,7 @@ class OnlineBatchServer:
         self._carries, out = self._step(
             self._carries, jnp.asarray(dev_chunks), jnp.asarray(valid)
         )
-        out = self._finish_outputs(jax.device_get(out))
+        out = self._finish_outputs(jax.device_get(self._start_fetch(out)))
         for i in range(self.n_streams):
             if not valid[i]:
                 continue
@@ -214,7 +232,7 @@ class OnlineBatchServer:
         self._carries, out = self._step(
             self._carries, jnp.asarray(chunks), jnp.asarray(valid)
         )
-        out = self._finish_outputs(jax.device_get(out))
+        out = self._finish_outputs(jax.device_get(self._start_fetch(out)))
         for i, p in enumerate(self.pipelines):
             if valid[i]:
                 p.complete_chunk(jax.tree_util.tree_map(lambda x: np.asarray(x)[i], out))

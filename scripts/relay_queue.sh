@@ -30,6 +30,11 @@ for i in $(seq 1 "$PROBES"); do
     run fe_overlap_ab 2400 env BENCH_MODES=both python benchmarks/fe_overlap_ab.py
     run pipeline_ab 2400 env BENCH_MODES=all python benchmarks/pipeline_ab.py
     run batch_scale 2400 env BENCH_MODES=both python benchmarks/batch_scale.py
+    # Deep pipeline + 2-layer GRU wavefront combination (rider composes
+    # with the wavefront schedule — tests/test_pipelined.py): does halving
+    # the serial chain beat the layer-by-layer throughput schedule at the
+    # bench shape once everything else rides the scan?
+    run pipeline_ab_wavefront 2400 env FVAD_GRU_WAVEFRONT=on python benchmarks/pipeline_ab.py
     run chip_identity 4200 python benchmarks/chip_identity_check.py
     run bench 3600 python bench.py
     echo "QUEUE DONE at $(date -u)" >> /tmp/relay_queue.log
