@@ -213,7 +213,7 @@ def main() -> None:
     if not results:
         _fail("no_child_result", "; ".join(e[:160] for e in child_errs))
     best = max(results, key=lambda r: r["value"])
-    for mode in ("bf16", "bf16_io", "bf16_deep", "bf16_wide"):
+    for mode in ("bf16", "bf16_io", "bf16_deep", "highest_deep", "bf16_wide"):
         if mode in best.get("modes", {}):
             continue
         # Adopt a fast-mode number only from a child whose HEADLINE agreed
@@ -523,52 +523,60 @@ def measure() -> None:
         and use_host_fsm
         and offline.band_composite_enabled()
     )
-    if want_extras and time.monotonic() < extra_deadline:
-        precision.set_matmul_precision("default")
-        precision.set_io_dtype("f32")
-        plain_fe = None
-        try:
-            init_state, prod_fn, deep_fe = make_deep_fns()
-            plain_fe = jax.jit(make_fe_fn())
-            # Bitwise gates (mirrors benchmarks/pipeline_ab.py): (1) the
-            # rider's row-sliced segment product == the one-shot product;
-            # (2) the deep step's lagged emission == the plain window
-            # inputs. Expected bitwise on the MXU (contraction order is
-            # row-count independent); XLA:CPU is only ~1-ulp close.
-            state0 = init_state()
-            p0 = prod_fn(audios[0])
-            tail = 160 * st.downsample_rate
-            _, _, _, p1, state1 = deep_fe(audios[0], p0, state0, audios[1])
-            want_p1 = jax.jit(
-                lambda a, t: offline.segmat_prod(a, t, st.downsample_rate)
-            )(audios[1], audios[0][..., -tail:])
-            d_mv, d_rt, d_va = deep_fe(audios[1], p1, state1, audios[2])[:3]
-            p_mv, p_rt, p_va = plain_fe(audios[0])
-            gate = bool(
-                jnp.all(p1 == want_p1)
-                & jnp.all(d_mv == p_mv)
-                & jnp.all(d_rt == p_rt)
-                & jnp.all(d_va == p_va)
-            )
-            per_call = _measure_mode_host_pipe(
-                lambda: (init_state, prod_fn, deep_fe), st, audios, n_short, n_long
-            )
-            rtf = audio_sec / per_call
-            tflops = rtf * gflops_per_audio_sec / 1e3
-            modes["bf16_deep"] = {
-                "realtime_factor": round(rtf, 1),
-                "tflops_achieved": round(tflops, 2),
-                "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
-                "gate_bitwise": gate,
-            }
-        except Exception as e:  # an extra row must never cost the headline
-            print(f"bf16_deep extra row failed: {e!r}", file=sys.stderr)
+    if want_extras:
+        for row, level in (("bf16_deep", "default"), ("highest_deep", "highest")):
+            if time.monotonic() >= extra_deadline:
+                break
+            precision.set_matmul_precision(level)
+            precision.set_io_dtype("f32")
+            try:
+                # FRESH function objects per precision (the trace-cache rule
+                # above applies to the deep fns too).
+                init_state, prod_fn, deep_fe = make_deep_fns()
+                plain_fe = jax.jit(make_fe_fn())
+                # Bitwise gates (mirrors benchmarks/pipeline_ab.py): (1)
+                # the rider's row-sliced segment product == the one-shot
+                # product; (2) the deep step's lagged emission == the plain
+                # window inputs. Expected bitwise on the MXU (contraction
+                # order is row-count independent, at every pass count);
+                # XLA:CPU is only ~1-ulp close.
+                state0 = init_state()
+                p0 = prod_fn(audios[0])
+                tail = 160 * st.downsample_rate
+                _, _, _, p1, state1 = deep_fe(audios[0], p0, state0, audios[1])
+                want_p1 = jax.jit(
+                    lambda a, t: offline.segmat_prod(a, t, st.downsample_rate)
+                )(audios[1], audios[0][..., -tail:])
+                d_mv, d_rt, d_va = deep_fe(audios[1], p1, state1, audios[2])[:3]
+                p_mv, p_rt, p_va = plain_fe(audios[0])
+                gate = bool(
+                    jnp.all(p1 == want_p1)
+                    & jnp.all(d_mv == p_mv)
+                    & jnp.all(d_rt == p_rt)
+                    & jnp.all(d_va == p_va)
+                )
+                per_call = _measure_mode_host_pipe(
+                    lambda: (init_state, prod_fn, deep_fe), st, audios,
+                    n_short, n_long,
+                )
+                rtf = audio_sec / per_call
+                tflops = rtf * gflops_per_audio_sec / 1e3
+                modes[row] = {
+                    "realtime_factor": round(rtf, 1),
+                    "tflops_achieved": round(tflops, 2),
+                    "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
+                    "gate_bitwise": gate,
+                }
+            except Exception as e:  # an extra row must never cost the headline
+                print(f"{row} extra row failed: {e!r}", file=sys.stderr)
         if time.monotonic() < extra_deadline:
+            precision.set_matmul_precision("default")
+            precision.set_io_dtype("f32")
             try:
                 wide = int(os.environ.get("BENCH_WIDE_STREAMS", str(4 * n_streams)))
                 audios_w = make_audios(wide)
                 per_call = _measure_mode_host(
-                    plain_fe or jax.jit(make_fe_fn()), st, audios_w, n_short, n_long
+                    jax.jit(make_fe_fn()), st, audios_w, n_short, n_long
                 )
                 rtf = wide * n_chunks * chunk_sec / per_call
                 tflops = rtf * gflops_per_audio_sec / 1e3

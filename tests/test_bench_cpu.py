@@ -64,7 +64,7 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
     # vs_baseline is rounded to 3 decimals in the JSON line.
     assert got["vs_baseline"] == pytest.approx(got["value"] / 5000.0, abs=5.1e-4)
     modes = got["modes"]
-    for name in ("highest", "bf16", "bf16_io", "bf16_deep", "bf16_wide"):
+    for name in ("highest", "bf16", "bf16_io", "bf16_deep", "highest_deep", "bf16_wide"):
         assert name in modes, f"missing mode row {name}"
         assert modes[name]["realtime_factor"] > 0
         assert modes[name]["tflops_achieved"] > 0
