@@ -65,8 +65,10 @@ def make_fn(params, st, mode_env: str):
     return call
 
 
+from benchmarks._timing import slope_from_run  # noqa: E402
+
+
 def slope_time(fn, audios, n_long):
-    n_short = max(1, n_long // 4)
     mv, _, _ = fn(audios[0])
     float(jnp.sum(mv))  # compile + true sync
 
@@ -78,14 +80,7 @@ def slope_time(fn, audios, n_long):
         float(jnp.sum(out[0]))
         return time.perf_counter() - t0
 
-    avg = None
-    for _ in range(3):
-        dt_s, dt_l = run(n_short), run(n_long)
-        slope = (dt_l - dt_s) / (n_long - n_short)
-        avg = dt_l / n_long
-        if 0.3 * avg <= slope <= 3.0 * avg:
-            return slope
-    return avg
+    return slope_from_run(run, n_long)
 
 
 def main():

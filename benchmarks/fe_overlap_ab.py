@@ -124,8 +124,10 @@ def make_fns(params, dtype):
     }
 
 
+from benchmarks._timing import slope_from_run  # noqa: E402
+
+
 def slope_time(fn, inputs, n_long):
-    n_short = max(1, n_long // 4)
     out = fn(*inputs[0])
     float(out)  # compile + real sync (block_until_ready is a relay no-op)
 
@@ -137,13 +139,7 @@ def slope_time(fn, inputs, n_long):
         float(o)
         return time.perf_counter() - t0
 
-    for _ in range(3):
-        dt_s, dt_l = run(n_short), run(n_long)
-        slope = (dt_l - dt_s) / (n_long - n_short)
-        avg = dt_l / n_long
-        if 0.3 * avg <= slope <= 3.0 * avg:
-            return slope
-    return avg
+    return slope_from_run(run, n_long)
 
 
 def main():

@@ -76,8 +76,11 @@ def measure(b: int, params, st) -> dict:
         _sync(out)
         return time.perf_counter() - t0
 
-    short = min(ITERS - 1, max(2, ITERS // 4))  # keep ITERS-short > 0 at tiny ITERS
-    tick = (run(ITERS) - run(short)) / (ITERS - short)
+    if ITERS < 2:  # degenerate: no slope possible, fall back to the average
+        tick = run(1)
+    else:
+        short = min(ITERS - 1, max(2, ITERS // 4))  # keep ITERS-short > 0
+        tick = (run(ITERS) - run(short)) / (ITERS - short)
 
     decode_ms = 0.0
     if host_fsm:

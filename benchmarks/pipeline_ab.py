@@ -85,16 +85,7 @@ def make_deep_fns(params, st):
     return init_deep, jax.jit(fe)
 
 
-def slope_time(run, n_long):
-    n_short = max(1, n_long // 4)
-    avg = None
-    for _ in range(3):
-        dt_s, dt_l = run(n_short), run(n_long)
-        slope = (dt_l - dt_s) / (n_long - n_short)
-        avg = dt_l / n_long
-        if 0.3 * avg <= slope <= 3.0 * avg:
-            return slope
-    return avg
+from benchmarks._timing import slope_from_run as slope_time  # noqa: E402
 
 
 def main():

@@ -94,6 +94,11 @@ class SlabRunner:
             # Deep mode's one-call emission lag is implemented for the
             # host-FSM loop; device-FSM runs get stage 1.
             self.pipeline_fe = "on"
+        if self.pipeline_fe == "deep" and not isinstance(params, nsnet2.NSNet2Params):
+            # window_inputs_deep defers nsnet2.apply's FF head specifically;
+            # duck-typed gain models (models/registry.py) get stage 1, whose
+            # rider path stays model-agnostic through registry.apply_model.
+            self.pipeline_fe = "on"
         if use_pallas_fsm is None:
             use_pallas_fsm = jax.devices()[0].platform != "cpu"
         self.use_pallas_fsm = use_pallas_fsm

@@ -67,14 +67,29 @@ def band_composite_enabled() -> bool:
     rung, including 6-pass ``highest`` where the dense form's ~2.5x FLOPs
     would regress the f32 headline (benchmarks/band_fold_ab.py A/Bs all
     three per mode on chip)."""
-    return os.environ.get("FVAD_BAND_COMPOSITE", "auto") != "off"
+    return _band_composite_mode() != "off"
+
+
+_BAND_COMPOSITE_MODES = ("auto", "split", "on", "dense", "off")
+
+
+def _band_composite_mode() -> str:
+    v = os.environ.get("FVAD_BAND_COMPOSITE", "auto").lower()
+    if v not in _BAND_COMPOSITE_MODES:
+        # A kill-switch that silently ignores 'OFF'/'0'/'false' would leave
+        # the deviation-11 path running while the operator believes it off.
+        raise ValueError(
+            f"FVAD_BAND_COMPOSITE must be one of {_BAND_COMPOSITE_MODES}, "
+            f"got {v!r}"
+        )
+    return v
 
 
 def band_composite_variant() -> str:
     """Kernel form for the composite band conv: "dense" | "split".
-    ``auto`` uses split — the FLOP-cheapest form (and the CPU A/B winner);
-    ``on`` forces the dense single-conv kernel."""
-    return "dense" if os.environ.get("FVAD_BAND_COMPOSITE") == "on" else "split"
+    ``auto``/``split`` use split — the FLOP-cheapest form (and the CPU A/B
+    winner); ``on``/``dense`` force the dense single-conv kernel."""
+    return "dense" if _band_composite_mode() in ("on", "dense") else "split"
 
 
 def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32):
