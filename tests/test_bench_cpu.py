@@ -41,6 +41,7 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
         "BENCH_ITERS_SHORT": "1",
         "BENCH_ITERS_LONG": "2",
         "BENCH_WIDE_STREAMS": "4",
+        "BENCH_SERVE_STREAMS": "8",
         "FVAD_BENCH_CPU": "1",
     }.items():
         monkeypatch.setenv(k, v)
@@ -75,6 +76,11 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
     assert isinstance(modes["bf16_deep"]["gate_bitwise"], bool)
     assert isinstance(modes["highest_deep"]["gate_bitwise"], bool)
     assert modes["bf16_wide"]["streams"] == 4
+    # Serving tick row (the driver-visible serving-scale record).
+    assert modes["serve"]["streams"] == 8
+    assert modes["serve"]["tick_ms"] > 0
+    assert isinstance(modes["serve"]["fits_500ms_budget"], bool)
+    assert modes["serve"]["streams_per_chip_est"] > 0
 
 
 def test_preflight_relay_down_fails_fast(bench, monkeypatch):
