@@ -236,7 +236,7 @@ def main() -> None:
         _fail("no_child_result", "; ".join(e[:160] for e in child_errs))
     best = max(results, key=lambda r: r["value"])
     for mode in (
-        "bf16", "bf16_io", "bf16_deep", "highest_deep", "bf16_wide", "serve"
+        "bf16", "bf16_io", "bf16_deep", "highest_deep", "highest_wide", "serve"
     ):
         if mode in best.get("modes", {}):
             continue
@@ -628,8 +628,9 @@ def measure() -> None:
     # time before the capture: bf16_deep measures the stage-2 cross-slab
     # pipelined step alongside its OWN bitwise gate (PARITY.md deviation 12
     # — publishable as decision-identical only when gate_bitwise is true);
-    # bf16_wide measures the plain step at 4x the stream width (ROOFLINE
-    # "deeper batching": the serial recurrences amortize across rows). The
+    # highest_wide measures the plain step at 2x the stream width (ROOFLINE
+    # "Scaling note": ~15% measured f32 win at B>=42; bf16 is fastest AT
+    # B=21); serve measures one online tick at B lockstep streams. The
     # headline never depends on either row, and a time budget guarantees
     # the standard table always lands inside the child timeout.
     extra_deadline = t_start + float(
@@ -689,24 +690,29 @@ def measure() -> None:
             except Exception as e:  # an extra row must never cost the headline
                 print(f"{row} extra row failed: {e!r}", file=sys.stderr)
         if time.monotonic() < extra_deadline:
-            precision.set_matmul_precision("default")
+            # Wider batch at HEADLINE precision: batch_scale.py measured
+            # (ROOFLINE "Scaling note") that bf16 cost RISES past B=21 while
+            # `highest` gains ~15% at B>=42 (6-pass matmuls leave idle MXU
+            # to overlap into) — so the wide row is the f32 deployment
+            # number beyond the pinned 21-stream Miami headline shape.
+            precision.set_matmul_precision("highest")
             precision.set_io_dtype("f32")
             try:
-                wide = int(os.environ.get("BENCH_WIDE_STREAMS", str(4 * n_streams)))
+                wide = int(os.environ.get("BENCH_WIDE_STREAMS", str(2 * n_streams)))
                 audios_w = make_audios(wide)
                 per_call = _measure_mode_host(
                     jax.jit(make_fe_fn()), st, audios_w, n_short, n_long
                 )
                 rtf = wide * n_chunks * chunk_sec / per_call
                 tflops = rtf * gflops_per_audio_sec / 1e3
-                modes["bf16_wide"] = {
+                modes["highest_wide"] = {
                     "realtime_factor": round(rtf, 1),
                     "tflops_achieved": round(tflops, 2),
                     "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
                     "streams": wide,
                 }
             except Exception as e:
-                print(f"bf16_wide extra row failed: {e!r}", file=sys.stderr)
+                print(f"highest_wide extra row failed: {e!r}", file=sys.stderr)
         # serve: one online tick at B lockstep streams — the driver-visible
         # record for the serving scale claim (VERDICT round-2 missing #3);
         # full curve: benchmarks/online_scale.py.

@@ -13,6 +13,21 @@ that still counts every real cost.
 from __future__ import annotations
 
 
+def maybe_force_cpu() -> None:
+    """FVAD_BENCH_CPU=1: run this benchmark on the CPU backend.
+
+    For local smoke-testing the queued on-chip scripts (the queue gets ONE
+    shot when the relay recovers — a crash wastes it). The container's
+    sitecustomize pins the axon TPU platform, so only jax.config works;
+    call this before any backend-initializing jax use."""
+    import os
+
+    if os.environ.get("FVAD_BENCH_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
 def slope_from_run(run, n_long: int, n_short: int | None = None) -> float:
     """Per-call seconds from ``run(n) -> elapsed seconds for n calls``.
 

@@ -23,6 +23,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks._timing import maybe_force_cpu  # noqa: E402
+
+maybe_force_cpu()
+
 import jax
 import jax.numpy as jnp
 import numpy as np

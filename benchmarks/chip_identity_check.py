@@ -25,6 +25,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks._timing import maybe_force_cpu  # noqa: E402
+
+maybe_force_cpu()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -79,6 +83,9 @@ def main() -> int:
     # the front-end (e.g. a GRU schedule that varied with the flattened
     # batch would show up here as a scan-vs-offline boundary mismatch).
     cases = [(seed, 16) for seed in range(4)] + [(4, 160)]
+    limit = int(os.environ.get("FVAD_CHECK_CASES", "0"))
+    if limit:  # smoke subset (e.g. CPU queue rehearsal)
+        cases = cases[:limit]
     for seed, n_chunks in cases:
         rng = np.random.default_rng(100 + seed)
         span = n_chunks * 0.5

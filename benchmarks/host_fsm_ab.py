@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from benchmarks._timing import maybe_force_cpu  # noqa: E402
+
+maybe_force_cpu()
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,9 +61,13 @@ def main():
     nv = jnp.full((B,), K, jnp.int32)
 
     def make_full():
+        # Compiled Pallas only exists on TPU; the CPU smoke path
+        # (FVAD_BENCH_CPU) uses the scan FSM so the script runs end-to-end.
+        use_pallas = jax.devices()[0].platform != "cpu"
+
         def f(a):
             win_out, valid = offline.process_batch_offline(
-                params, st, a, use_pallas_fsm=True
+                params, st, a, use_pallas_fsm=use_pallas
             )
             return win_out.event
         return jax.jit(f)

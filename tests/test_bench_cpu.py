@@ -65,7 +65,9 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
     # vs_baseline is rounded to 3 decimals in the JSON line.
     assert got["vs_baseline"] == pytest.approx(got["value"] / 5000.0, abs=5.1e-4)
     modes = got["modes"]
-    for name in ("highest", "bf16", "bf16_io", "bf16_deep", "highest_deep", "bf16_wide"):
+    for name in (
+        "highest", "bf16", "bf16_io", "bf16_deep", "highest_deep", "highest_wide"
+    ):
         assert name in modes, f"missing mode row {name}"
         assert modes[name]["realtime_factor"] > 0
         assert modes[name]["tflops_achieved"] > 0
@@ -75,7 +77,7 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
     # contract here is that the gate RAN and recorded a verdict.
     assert isinstance(modes["bf16_deep"]["gate_bitwise"], bool)
     assert isinstance(modes["highest_deep"]["gate_bitwise"], bool)
-    assert modes["bf16_wide"]["streams"] == 4
+    assert modes["highest_wide"]["streams"] == 4
     # Serving tick row (the driver-visible serving-scale record).
     assert modes["serve"]["streams"] == 8
     assert modes["serve"]["tick_ms"] > 0
