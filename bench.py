@@ -446,6 +446,15 @@ def measure() -> None:
         # backend the same way tests/conftest.py does — the container's
         # sitecustomize pins JAX_PLATFORMS=axon, so only jax.config works.
         jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.environ.get("FVAD_JAX_CACHE", "/tmp/jax_cache_fvad")
+    if cache_dir:
+        # Persistent compilation cache: the 2-3 children recompile the same
+        # programs; every compile burns relay capture time. Guarded — a
+        # backend that cannot serialize executables just skips caching.
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except Exception:
+            pass
     import jax.numpy as jnp
     import numpy as np
 

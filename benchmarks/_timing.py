@@ -13,19 +13,30 @@ that still counts every real cost.
 from __future__ import annotations
 
 
-def maybe_force_cpu() -> None:
-    """FVAD_BENCH_CPU=1: run this benchmark on the CPU backend.
+def bench_setup() -> None:
+    """Common benchmark-process setup; call before any backend use.
 
-    For local smoke-testing the queued on-chip scripts (the queue gets ONE
-    shot when the relay recovers — a crash wastes it). The container's
-    sitecustomize pins the axon TPU platform, so only jax.config works;
-    call this before any backend-initializing jax use."""
+    * FVAD_BENCH_CPU=1 forces the CPU backend — for local smoke-testing the
+      queued on-chip scripts (the queue gets ONE shot when the relay
+      recovers, a crash wastes it). The container's sitecustomize pins the
+      axon TPU platform, so only jax.config works.
+    * Enables JAX's persistent compilation cache (FVAD_JAX_CACHE dir,
+      default /tmp/jax_cache_fvad, empty string disables): the queue's
+      scripts and bench.py's children recompile the same programs many
+      times, and every compile burns relay capture time. Guarded — a
+      backend that cannot serialize executables just skips caching."""
     import os
 
-    if os.environ.get("FVAD_BENCH_CPU"):
-        import jax
+    import jax
 
+    if os.environ.get("FVAD_BENCH_CPU"):
         jax.config.update("jax_platforms", "cpu")
+    cache_dir = os.environ.get("FVAD_JAX_CACHE", "/tmp/jax_cache_fvad")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+        except Exception:
+            pass
 
 
 def slope_from_run(run, n_long: int, n_short: int | None = None) -> float:

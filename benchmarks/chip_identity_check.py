@@ -25,9 +25,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from benchmarks._timing import maybe_force_cpu  # noqa: E402
+from benchmarks._timing import bench_setup  # noqa: E402
 
-maybe_force_cpu()
+bench_setup()
 
 import jax
 import jax.numpy as jnp

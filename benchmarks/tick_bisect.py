@@ -10,9 +10,9 @@ Run from the repo root:  python benchmarks/tick_bisect.py
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from benchmarks._timing import maybe_force_cpu  # noqa: E402
+from benchmarks._timing import bench_setup  # noqa: E402
 
-maybe_force_cpu()
+bench_setup()
 import jax, jax.numpy as jnp, numpy as np
 from formula_vad_tpu.config import VADConfig
 from formula_vad_tpu.models import nsnet2
