@@ -35,6 +35,29 @@ fills = jnp.asarray(rng.integers(0, st.fft_size, (B,)), jnp.int32)
 
 f_den = jax.jit(lambda c, a: jax.vmap(lambda cc, aa: denoiser.denoise_chunk(params, cc, aa))(c, a))
 
+def make_den_wavefront():
+    # FVAD_GRU_WAVEFRONT halves the GRU serial chain (layer-2 step t runs
+    # beside layer-1 step t+1) and measured FASTER in the B=1 online regime
+    # (0.84 vs 1.09 ms, round 1); whether it still wins at the B=1024
+    # serving tick decides whether OnlineBatchServer should default to it.
+    # The env var is read at TRACE time: pin it around every call (the
+    # first one traces).
+    jf = jax.jit(lambda c, a: jax.vmap(
+        lambda cc, aa: denoiser.denoise_chunk(params, cc, aa))(c, a))
+    def call(c, a):
+        old = os.environ.get("FVAD_GRU_WAVEFRONT")
+        os.environ["FVAD_GRU_WAVEFRONT"] = "on"
+        try:
+            return jf(c, a)
+        finally:
+            if old is None:
+                os.environ.pop("FVAD_GRU_WAVEFRONT", None)
+            else:
+                os.environ["FVAD_GRU_WAVEFRONT"] = old
+    return call
+
+f_den_wf = make_den_wavefront()
+
 def acc_band(carry, denoised):
     new_buf, new_fill, frames, n_windows, win_indices, valid = vad._accumulate_windows(
         st, carry, denoised)
@@ -71,6 +94,7 @@ def timed(f, args_list, n):
     return time.perf_counter() - t0
 
 den_out = f_den(den_c, chunks[0]); sync(den_out); print("den compiled", flush=True)
+sync(f_den_wf(den_c, chunks[0])); print("den_wf compiled", flush=True)
 d48 = [den_out[1], f_den(den_c, chunks[1])[1]]
 sync(f_acc(buf0, fills, d48[0])); print("acc compiled", flush=True)
 sync(f_acc0(buf0, d48[0])); print("acc0 compiled", flush=True)
@@ -78,7 +102,8 @@ sync(f_vol(chunks[0])); print("vol compiled", flush=True)
 
 for rep in range(3):
     t_d = (timed(f_den, [(den_c, chunks[0]), (den_c, chunks[1])], 8) - timed(f_den, [(den_c, chunks[0]), (den_c, chunks[1])], 2)) / 6 * 1e3
+    t_dw = (timed(f_den_wf, [(den_c, chunks[0]), (den_c, chunks[1])], 8) - timed(f_den_wf, [(den_c, chunks[0]), (den_c, chunks[1])], 2)) / 6 * 1e3
     t_a = (timed(f_acc, [(buf0, fills, d48[0]), (buf0, fills, d48[1])], 8) - timed(f_acc, [(buf0, fills, d48[0]), (buf0, fills, d48[1])], 2)) / 6 * 1e3
     t_a0 = (timed(f_acc0, [(buf0, d48[0]), (buf0, d48[1])], 8) - timed(f_acc0, [(buf0, d48[0]), (buf0, d48[1])], 2)) / 6 * 1e3
     t_v = (timed(f_vol, [(chunks[0],), (chunks[1],)], 8) - timed(f_vol, [(chunks[0],), (chunks[1],)], 2)) / 6 * 1e3
-    print(f"rep{rep} denoise={t_d:.1f} ms  acc_dynfill={t_a:.1f} ms  acc_staticfill={t_a0:.1f} ms  volume={t_v:.1f} ms", flush=True)
+    print(f"rep{rep} denoise={t_d:.1f} ms  denoise_wavefront={t_dw:.1f} ms  acc_dynfill={t_a:.1f} ms  acc_staticfill={t_a0:.1f} ms  volume={t_v:.1f} ms", flush=True)
