@@ -60,14 +60,16 @@ def band_composite_enabled() -> bool:
     bitwise against the whole-stream run).
 
     ``FVAD_BAND_COMPOSITE``: ``on`` (dense kernel) | ``split`` (structured-
-    sparse per-phase kernels) | ``off`` | ``auto`` (default = split).
-    Split is the default form because it does FEWER MXU FLOPs than the
-    chain it replaces (~0.75x) while also removing the istft relayout and
-    the 16 kHz stream's HBM round trip — safe at every precision ladder
-    rung, including 6-pass ``highest`` where the dense form's ~2.5x FLOPs
-    would regress the f32 headline (benchmarks/band_fold_ab.py A/Bs all
-    three per mode on chip)."""
-    return _band_composite_mode() != "off"
+    sparse per-phase kernels) | ``off`` | ``auto`` (default = off).
+    The on-chip three-way A/B (benchmarks/band_fold_ab.py, 2026-08-19,
+    3 reps/mode) picked MATERIALIZE in every mode: highest 31.7 ms vs
+    33.7/33.8 ms (composite/split), bf16 11.52 vs 11.58/11.80 ms, bf16_io
+    10.03 vs 10.50/11.40 ms. The fold saves HBM traffic but loses the
+    istft+band chain's higher-arithmetic-intensity matmul tiling; the
+    strided conv's block-periodic kernel (lcm 5120) tiles poorly on the
+    MXU. Recorded as a measured dead end in ROOFLINE.md; the fold stays
+    available behind ``on``/``split`` for memory-bound regimes."""
+    return _band_composite_mode() not in ("off", "auto")
 
 
 _BAND_COMPOSITE_MODES = ("auto", "split", "on", "dense", "off")
@@ -87,8 +89,9 @@ def _band_composite_mode() -> str:
 
 def band_composite_variant() -> str:
     """Kernel form for the composite band conv: "dense" | "split".
-    ``auto``/``split`` use split — the FLOP-cheapest form (and the CPU A/B
-    winner); ``on``/``dense`` force the dense single-conv kernel."""
+    ``split`` uses the FLOP-cheapest per-phase form (the CPU A/B winner);
+    ``on``/``dense`` force the dense single-conv kernel. Only consulted
+    when the composite path is enabled (not under the ``auto`` default)."""
     return "dense" if _band_composite_mode() in ("on", "dense") else "split"
 
 

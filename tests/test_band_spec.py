@@ -29,6 +29,15 @@ HOP = NSNET2_N_FFT // 2  # 160
 CFG = VADMachineConfig(long_term_speech_avg_sec=10.0)
 
 
+@pytest.fixture(autouse=True)
+def _composite_on(monkeypatch):
+    # The on-chip A/B picked materialize as the production default
+    # (ROOFLINE.md "Band-fold dead end"); these tests exist to pin the
+    # composite path's numerics, so force it on. Tests of the off/split
+    # forms re-set the env themselves.
+    monkeypatch.setenv("FVAD_BAND_COMPOSITE", "on")
+
+
 @pytest.fixture(scope="module")
 def st():
     return vad.statics_from_config(VADConfig(vad_machine_config=CFG))
@@ -118,7 +127,7 @@ def speechy_audio(n_chunks, bursts, seed=0):
 
 
 def test_composite_segments_match_scan(st):
-    assert offline.band_composite_enabled()  # default on
+    assert offline.band_composite_enabled()  # forced on by _composite_on
     params = nsnet2.init_params(jax.random.PRNGKey(7))
     for seed, bursts in ((8, [(2.0, 2.0)]), (4, [(0.7, 0.9), (3.1, 1.3)])):
         audio = jnp.asarray(speechy_audio(16, bursts, seed=seed))

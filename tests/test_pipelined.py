@@ -26,6 +26,14 @@ from formula_vad_tpu.pipeline import offline, vad
 CFG = VADMachineConfig(long_term_speech_avg_sec=10.0)
 
 
+@pytest.fixture(autouse=True)
+def _composite_on(monkeypatch):
+    # The pipelined paths are composite-band only (slab_runner.py forces
+    # pipeline_fe off otherwise); the production default is materialize
+    # after the on-chip band-fold A/B, so force composite on here.
+    monkeypatch.setenv("FVAD_BAND_COMPOSITE", "on")
+
+
 @pytest.fixture(scope="module")
 def st():
     return vad.statics_from_config(VADConfig(vad_machine_config=CFG))
