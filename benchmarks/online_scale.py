@@ -37,6 +37,11 @@ from formula_vad_tpu.pipeline import vad
 
 BS = tuple(int(x) for x in os.environ.get("SCALE_BS", "64,256,1024,2304").split(","))
 ITERS = int(os.environ.get("SCALE_ITERS", "10"))
+# SCALE_DENOISED=0 measures the events-only serving tier
+# (OnlineBatchServer(collect_denoised=False)): the [B, C, chunk] denoised
+# batch never materializes as a device output — the high-density regime
+# where B=9216 full-tier exhausts HBM.
+DENOISED = os.environ.get("SCALE_DENOISED", "1") != "0"
 
 
 def _sync(x):
@@ -53,7 +58,8 @@ def measure(b: int, params, st) -> dict:
     def batched_step(carries, chunks, valid):
         return jax.vmap(
             lambda c, a, v: vad.chunk_step(
-                params, st, c, a, chunk_valid=v, run_fsm=not host_fsm
+                params, st, c, a, chunk_valid=v, run_fsm=not host_fsm,
+                collect_denoised=DENOISED,
             )
         )(carries, chunks, valid)
 

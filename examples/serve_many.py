@@ -28,6 +28,12 @@ def main(argv=None) -> int:
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--out", default=None, help="Directory for per-stream recordings")
     ap.add_argument("--denoiser", default=None, help="Denoiser spec (default: demo when packaged)")
+    ap.add_argument(
+        "--events-only",
+        action="store_true",
+        help="High-density tier: denoised audio never leaves the device "
+        "(segments + original recordings only; see OnlineBatchServer)",
+    )
     args = ap.parse_args(argv)
 
     from formula_vad_tpu.config import PipelineConfig, VADConfig, VADMachineConfig
@@ -65,7 +71,10 @@ def main(argv=None) -> int:
             vad_machine_config=VADMachineConfig(long_term_speech_avg_sec=30.0),
         )
     )
-    server = OnlineBatchServer(config, args.streams, callbacks=callbacks)
+    server = OnlineBatchServer(
+        config, args.streams, callbacks=callbacks,
+        collect_denoised=not args.events_only,
+    )
     chunk = server.chunk_size
     n_ticks = int(args.seconds * 48000) // chunk
 

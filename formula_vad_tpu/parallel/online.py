@@ -44,7 +44,14 @@ class OnlineBatchServer:
         mesh=None,
         use_mesh: bool = False,
         use_host_fsm: bool | None = None,
+        collect_denoised: bool = True,
     ):
+        """collect_denoised=False is the events-only serving tier: the
+        denoised batch ([B, C, chunk] f32 — ~1.8 GB on device plus the same
+        D2H per tick at B=9216) never leaves the device. Decisions, segments,
+        callbacks and ORIGINAL recordings are unchanged; denoised recordings
+        are unavailable (vad.chunk_step docstring). Use it when serving VAD
+        events at maximum stream density rather than clip extraction."""
         if params is None:
             from ..models.registry import load_denoiser
 
@@ -91,21 +98,31 @@ class OnlineBatchServer:
         self.use_host_fsm = use_host_fsm
         run_fsm = not use_host_fsm
 
+        self.collect_denoised = collect_denoised
+
         def batched_step(carries, chunks, valid):
             # chunk_step's own chunk_valid path freezes the carry of invalid
             # streams (the canonical ragged-batch semantics, vad.py) — their
             # outputs are ignored on the host side.
             return jax.vmap(
                 lambda c, a, v: vad.chunk_step(
-                    params, st, c, a, chunk_valid=v, run_fsm=run_fsm
+                    params, st, c, a, chunk_valid=v, run_fsm=run_fsm,
+                    collect_denoised=collect_denoised,
                 )
             )(carries, chunks, valid)
 
+        # Donate the carries: the server overwrites self._carries with the
+        # step's result every tick, so the old buffers are dead — donation
+        # lets XLA reuse them in place (saves a carry-sized allocation,
+        # ~219 MB at B=4608). CPU lacks donation and warns, so gate it.
+        donate = (0,) if jax.default_backend() != "cpu" else ()
         if self.mesh is not None:
             sh = mesh_lib.batch_sharding(self.mesh)
-            self._step = jax.jit(batched_step, in_shardings=(sh, sh, sh))
+            self._step = jax.jit(
+                batched_step, in_shardings=(sh, sh, sh), donate_argnums=donate
+            )
         else:
-            self._step = jax.jit(batched_step)
+            self._step = jax.jit(batched_step, donate_argnums=donate)
         self._carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
         self._host_fsm_carry = None
         if use_host_fsm:

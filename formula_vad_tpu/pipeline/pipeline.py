@@ -341,9 +341,15 @@ class AudioPipeline:
                 if seg:
                     self.alt_segments[kk].append(seg[0])
         denoised = np.asarray(out.denoised)
-        # The denoised ring is written before event handling so started-
-        # recordings can read their pre-roll.
-        self._write_and_record(self.denoised_ring, self.denoised_recorder, denoised, "denoised")
+        # Events-only serving tier (chunk_step collect_denoised=False): the
+        # denoised batch never left the device, so the denoised ring and
+        # recorder are inactive for this stream — original recordings and
+        # all segment events still work from host-side audio.
+        has_denoised = denoised.size > 0
+        if has_denoised:
+            # The denoised ring is written before event handling so started-
+            # recordings can read their pre-roll.
+            self._write_and_record(self.denoised_ring, self.denoised_recorder, denoised, "denoised")
 
         events = np.asarray(out.windows.event)
         payloads = np.asarray(out.windows.event_win)
@@ -356,11 +362,13 @@ class AudioPipeline:
             if ev == fsm.EV_STARTED:
                 start = max(0, int(payloads[w]) * self.st.fft_size - self._margin)
                 self.original_recorder.start(start)
-                self.denoised_recorder.start(start)
+                if has_denoised:
+                    self.denoised_recorder.start(start)
             elif ev == fsm.EV_COMPLETED:
                 stop = int(payloads[w]) * self.st.fft_size + self._margin
                 self._emit(self.original_recorder.stop(stop, True), "original")
-                self._emit(self.denoised_recorder.stop(stop, True), "denoised")
+                if has_denoised:
+                    self._emit(self.denoised_recorder.stop(stop, True), "denoised")
                 if seg_valid[w]:
                     seg_out = jax.tree_util.tree_map(lambda x: np.asarray(x)[None, w], out.windows)
                     seg = vad.segments_from_outputs(

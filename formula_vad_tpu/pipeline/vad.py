@@ -183,6 +183,7 @@ def chunk_step(
     chunk_valid: jnp.ndarray | bool = True,
     fsm_params: Optional[fsm.FSMParams] = None,
     run_fsm: bool = True,
+    collect_denoised: bool = True,
 ) -> tuple[dict[str, Any], ChunkOutput]:
     """Process one pipeline chunk for one stream.
 
@@ -197,6 +198,13 @@ def chunk_step(
         decodes the returned min_vol/ratios in native code instead
         (parallel/online.py; the vmapped in-device scan costs ~10x the rest
         of the tick at B=1024, ROOFLINE.md).
+      collect_denoised: False returns a zero-width ``denoised`` ([C, 0]) —
+        the events-only serving tier (parallel/online.py): decisions are
+        identical (the denoised audio still feeds the FFT/band stages on
+        device), but the [C, chunk] batch never round-trips HBM→host, so
+        high-B serving drops ~192 KB/stream/tick of D2H and the matching
+        device output buffer. Denoised recordings are unavailable then
+        (the reference always keeps both streams, VADPipeline.zig:144-237).
     Returns:
       (new_carry, ChunkOutput)
     """
@@ -260,7 +268,7 @@ def chunk_step(
     out = ChunkOutput(
         windows=win_out,
         window_valid=valid & chunk_valid,
-        denoised=denoised,
+        denoised=denoised if collect_denoised else denoised[..., :0],
         min_vol=min_vol,
         ratios=ratios,
         win_indices=win_indices,

@@ -243,6 +243,57 @@ def test_host_and_device_fsm_backends_agree(params):
     assert any(servers[True].segments), "test audio must produce segments"
 
 
+def test_events_only_tier_matches_full(params):
+    """collect_denoised=False (the events-only high-density serving tier)
+    must produce identical segments and ORIGINAL recordings to the full
+    tier — the denoised audio still feeds the device decision chain; only
+    its host materialization is dropped. Denoised recordings don't fire and
+    the denoised ring stays untouched."""
+    from formula_vad_tpu.pipeline.pipeline import Callbacks
+
+    n_chunks = 16
+    audios = [
+        speechy(n_chunks, [(2.0, 2.0)], seed=30),
+        speechy(n_chunks, [(1.0, 1.5), (5.5, 1.5)], seed=31),
+    ]
+
+    def collectors(n):
+        orig, den = [[] for _ in range(n)], [[] for _ in range(n)]
+        cbs = [
+            Callbacks(
+                on_original_recording=lambda b, i=i: orig[i].append(
+                    (b.global_start_frame_number, b.channel_pcm.tobytes())
+                ),
+                on_denoised_recording=lambda b, i=i: den[i].append(
+                    b.global_start_frame_number
+                ),
+            )
+            for i in range(n)
+        ]
+        return orig, den, cbs
+
+    o_full, d_full, cb_full = collectors(2)
+    full = OnlineBatchServer(_cfg(), n_streams=2, params=params, callbacks=cb_full)
+    o_ev, d_ev, cb_ev = collectors(2)
+    events = OnlineBatchServer(
+        _cfg(), n_streams=2, params=params, callbacks=cb_ev, collect_denoised=False
+    )
+    for k in range(n_chunks):
+        chunks = np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios])
+        full.push(chunks)
+        events.push(chunks)
+
+    assert events.segments == full.segments
+    assert any(full.segments), "test audio must produce segments"
+    assert o_ev == o_full
+    assert any(o_full), "test audio must produce original recordings"
+    assert any(d_full), "full tier must produce denoised recordings"
+    assert d_ev == [[], []], "events-only tier must not emit denoised recordings"
+    for p in events.pipelines:
+        assert p.denoised_ring.total_written == 0
+        assert not p.denoised_recorder.recording
+
+
 def test_checkpoint_portable_across_fsm_backends(params, tmp_path):
     """A checkpoint saved by a host-FSM server resumes on a device-FSM
     server and vice versa (the host carry is folded back into the
