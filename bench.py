@@ -344,14 +344,26 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int) -> dict
 
     host_fsm = fsm_host.available()
 
-    def batched_step(carries, chunks, valid):
+    def batched_step(carries, chunks, valid, start):
+        # shared_start: the lockstep shared-fill dispatch OnlineBatchServer
+        # uses in production (one contiguous framing slice, no per-row
+        # gather — benchmarks/tick_bisect.py measured the gather at ~3 ms
+        # of the B=1024 tick).
         return jax.vmap(
             lambda c, a, v: vad.chunk_step(
-                params, st, c, a, chunk_valid=v, run_fsm=not host_fsm
+                params, st, c, a, chunk_valid=v, run_fsm=not host_fsm,
+                shared_start=start,
             )
         )(carries, chunks, valid)
 
-    step = jax.jit(batched_step)
+    jstep = jax.jit(batched_step)
+    fill = {"v": 0}
+
+    def step(carries, chunks, valid):
+        out = jstep(carries, chunks, valid, jnp.int32(st.fft_size - fill["v"]))
+        fill["v"] = (fill["v"] + st.chunk_size) % st.fft_size
+        return out
+
     carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
     gen = jax.jit(
         lambda key: 0.02
@@ -366,6 +378,7 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int) -> dict
 
     def run(n):
         c = carries
+        fill["v"] = 0  # each run restarts from the initial carries
         out = None
         t0 = time.perf_counter()
         for i in range(n):
@@ -645,14 +658,65 @@ def measure() -> None:
     extra_deadline = t_start + float(
         os.environ.get("BENCH_EXTRA_DEADLINE", str(min(900.0, 0.6 * CHILD_TIMEOUT)))
     )
+    # NOTE: no band_composite_enabled() term here — when band_fold_ab
+    # flipped the composite default OFF (fb4fd37) that term silently
+    # disabled EVERY extra row including serve (caught by
+    # tests/test_bench_cpu.py). Only the deep rows are composite-only;
+    # they force the composite path themselves below.
     want_extras = (
         os.environ.get("BENCH_EXTRAS", "1") != "0"
         and os.environ.get("BENCH_MODES") != "highest"
         and not use_pipeline  # explicit FVAD_BENCH_PIPELINE: already measured
         and use_host_fsm
-        and offline.band_composite_enabled()
     )
     if want_extras:
+        # serve FIRST: one online tick at B lockstep streams — the
+        # driver-visible record for the serving scale claim (VERDICT
+        # round-2 missing #3); full curve: benchmarks/online_scale.py.
+        # The deep rows come last: benchmarks/pipeline_ab.py measured them
+        # as strict losses (plain 9.6 vs deep 16.5 ms bf16_io) with a
+        # FAILING deep-emission bitwise gate on chip, so they are
+        # evidence rows, not candidates.
+        if os.environ.get("BENCH_SERVE", "1") != "0":
+            precision.set_matmul_precision("default")
+            precision.set_io_dtype("f32")
+            try:
+                sb = int(os.environ.get("BENCH_SERVE_STREAMS", "1024"))
+                modes["serve"] = _measure_serving_tick(
+                    sb, params, st, n_short, n_long
+                )
+            except Exception as e:
+                print(f"serve extra row failed: {e!r}", file=sys.stderr)
+        if time.monotonic() < extra_deadline:
+            # Wider batch at HEADLINE precision: batch_scale.py measured
+            # (ROOFLINE "Scaling note") that bf16 cost RISES past B=21 while
+            # `highest` gains ~15% at B>=42 (6-pass matmuls leave idle MXU
+            # to overlap into) — so the wide row is the f32 deployment
+            # number beyond the pinned 21-stream Miami headline shape.
+            precision.set_matmul_precision("highest")
+            precision.set_io_dtype("f32")
+            try:
+                wide = int(os.environ.get("BENCH_WIDE_STREAMS", str(2 * n_streams)))
+                audios_w = make_audios(wide)
+                per_call = _measure_mode_host(
+                    jax.jit(make_fe_fn()), st, audios_w, n_short, n_long
+                )
+                rtf = wide * n_chunks * chunk_sec / per_call
+                tflops = rtf * gflops_per_audio_sec / 1e3
+                modes["highest_wide"] = {
+                    "realtime_factor": round(rtf, 1),
+                    "tflops_achieved": round(tflops, 2),
+                    "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
+                    "streams": wide,
+                }
+            except Exception as e:
+                print(f"highest_wide extra row failed: {e!r}", file=sys.stderr)
+        # The deep rider path scores through the composite spectra->band
+        # conv by construction; run its rows under composite explicitly
+        # (the default is materialize since the band A/B) so the evidence
+        # rows keep landing regardless of the shipping default.
+        prev_composite = os.environ.get("FVAD_BAND_COMPOSITE")
+        os.environ["FVAD_BAND_COMPOSITE"] = "on"
         for row, level in (("bf16_deep", "default"), ("highest_deep", "highest")):
             if time.monotonic() >= extra_deadline:
                 break
@@ -698,46 +762,10 @@ def measure() -> None:
                 }
             except Exception as e:  # an extra row must never cost the headline
                 print(f"{row} extra row failed: {e!r}", file=sys.stderr)
-        if time.monotonic() < extra_deadline:
-            # Wider batch at HEADLINE precision: batch_scale.py measured
-            # (ROOFLINE "Scaling note") that bf16 cost RISES past B=21 while
-            # `highest` gains ~15% at B>=42 (6-pass matmuls leave idle MXU
-            # to overlap into) — so the wide row is the f32 deployment
-            # number beyond the pinned 21-stream Miami headline shape.
-            precision.set_matmul_precision("highest")
-            precision.set_io_dtype("f32")
-            try:
-                wide = int(os.environ.get("BENCH_WIDE_STREAMS", str(2 * n_streams)))
-                audios_w = make_audios(wide)
-                per_call = _measure_mode_host(
-                    jax.jit(make_fe_fn()), st, audios_w, n_short, n_long
-                )
-                rtf = wide * n_chunks * chunk_sec / per_call
-                tflops = rtf * gflops_per_audio_sec / 1e3
-                modes["highest_wide"] = {
-                    "realtime_factor": round(rtf, 1),
-                    "tflops_achieved": round(tflops, 2),
-                    "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
-                    "streams": wide,
-                }
-            except Exception as e:
-                print(f"highest_wide extra row failed: {e!r}", file=sys.stderr)
-        # serve: one online tick at B lockstep streams — the driver-visible
-        # record for the serving scale claim (VERDICT round-2 missing #3);
-        # full curve: benchmarks/online_scale.py.
-        if (
-            time.monotonic() < extra_deadline
-            and os.environ.get("BENCH_SERVE", "1") != "0"
-        ):
-            precision.set_matmul_precision("default")
-            precision.set_io_dtype("f32")
-            try:
-                sb = int(os.environ.get("BENCH_SERVE_STREAMS", "1024"))
-                modes["serve"] = _measure_serving_tick(
-                    sb, params, st, n_short, n_long
-                )
-            except Exception as e:
-                print(f"serve extra row failed: {e!r}", file=sys.stderr)
+        if prev_composite is None:
+            os.environ.pop("FVAD_BAND_COMPOSITE", None)
+        else:
+            os.environ["FVAD_BAND_COMPOSITE"] = prev_composite
         emit()  # final line: standard table + whichever extras landed
 
 

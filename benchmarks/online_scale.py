@@ -42,6 +42,10 @@ ITERS = int(os.environ.get("SCALE_ITERS", "10"))
 # batch never materializes as a device output — the high-density regime
 # where B=9216 full-tier exhausts HBM.
 DENOISED = os.environ.get("SCALE_DENOISED", "1") != "0"
+# SCALE_SHARED=0 forces the per-stream framing offset (the pre-round-3
+# form); default measures what OnlineBatchServer dispatches in lockstep —
+# the shared-fill fast path (one contiguous slice, no per-row gather).
+SHARED = os.environ.get("SCALE_SHARED", "1") != "0"
 
 
 def _sync(x):
@@ -55,15 +59,24 @@ def measure(b: int, params, st) -> dict:
 
         host_fsm = fsm_host.available()
 
-    def batched_step(carries, chunks, valid):
+    def batched_step(carries, chunks, valid, start):
         return jax.vmap(
             lambda c, a, v: vad.chunk_step(
                 params, st, c, a, chunk_valid=v, run_fsm=not host_fsm,
                 collect_denoised=DENOISED,
+                shared_start=start if SHARED else None,
             )
         )(carries, chunks, valid)
 
-    step = jax.jit(batched_step)
+    jstep = jax.jit(batched_step)
+    fill = {"v": 0}  # lockstep fill phase, host-tracked like the server's
+
+    def step(carries, chunks, valid):
+        start = jnp.int32(st.fft_size - fill["v"])
+        out = jstep(carries, chunks, valid, start)
+        fill["v"] = (fill["v"] + st.chunk_size) % st.fft_size
+        return out
+
     carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
     carry_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(carries))
     rng = np.random.default_rng(0)
@@ -77,9 +90,11 @@ def measure(b: int, params, st) -> dict:
 
     carries, out = step(carries, chunks[0], valid)
     _sync(out)
+    fill0 = fill["v"]  # run() restarts from the post-warmup carries
 
     def run(n):
         c = carries
+        fill["v"] = fill0
         t0 = time.perf_counter()
         for i in range(n):
             c, out = step(c, chunks[i % 2], valid)

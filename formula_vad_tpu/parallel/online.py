@@ -45,6 +45,7 @@ class OnlineBatchServer:
         use_mesh: bool = False,
         use_host_fsm: bool | None = None,
         collect_denoised: bool = True,
+        use_shared_fill: bool = True,
     ):
         """collect_denoised=False is the events-only serving tier: the
         denoised batch ([B, C, chunk] f32 — ~1.8 GB on device plus the same
@@ -111,6 +112,21 @@ class OnlineBatchServer:
                 )
             )(carries, chunks, valid)
 
+        def batched_step_shared(carries, chunks, valid, start):
+            # Lockstep fast path: every valid stream shares one window-fill
+            # phase, so the framing slice offset enters UNBATCHED and lowers
+            # to one contiguous slice instead of a per-row gather (measured
+            # 7.7 → ~4.6 ms of the B=1024 tick, benchmarks/tick_bisect.py).
+            # Invalid streams' frames are garbage under the shared start —
+            # exactly like their zero-pushed chunks: outputs masked, carry
+            # frozen (vad.chunk_step), so results are bitwise-identical.
+            return jax.vmap(
+                lambda c, a, v: vad.chunk_step(
+                    params, st, c, a, chunk_valid=v, run_fsm=run_fsm,
+                    collect_denoised=collect_denoised, shared_start=start,
+                )
+            )(carries, chunks, valid)
+
         # Donate the carries: the server overwrites self._carries with the
         # step's result every tick, so the old buffers are dead — donation
         # lets XLA reuse them in place (saves a carry-sized allocation,
@@ -118,11 +134,24 @@ class OnlineBatchServer:
         donate = (0,) if jax.default_backend() != "cpu" else ()
         if self.mesh is not None:
             sh = mesh_lib.batch_sharding(self.mesh)
+            rep = mesh_lib.replicated(self.mesh)
             self._step = jax.jit(
                 batched_step, in_shardings=(sh, sh, sh), donate_argnums=donate
             )
+            self._step_shared = jax.jit(
+                batched_step_shared,
+                in_shardings=(sh, sh, sh, rep),
+                donate_argnums=donate,
+            )
         else:
             self._step = jax.jit(batched_step, donate_argnums=donate)
+            self._step_shared = jax.jit(batched_step_shared, donate_argnums=donate)
+        # Host-tracked window-fill phases (deterministic: fill' =
+        # (fill + chunk) mod fft for each valid tick) select the shared-
+        # start program whenever all live fills agree — true from t=0 in
+        # lockstep serving until valid-mask freezes desynchronize streams.
+        self._fills = np.zeros(b, np.int64)
+        self._use_shared_fill = use_shared_fill
         self._carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
         self._host_fsm_carry = None
         if use_host_fsm:
@@ -131,6 +160,24 @@ class OnlineBatchServer:
             self._host_fsm_carry = fsm_host.init_host_carry(
                 st.fsm_shape, st.fsm_params, b
             )
+
+    def _run_step(self, chunks_dev, valid_np: np.ndarray):
+        """Dispatch one batched tick, picking the shared-fill fast path when
+        every valid stream's window-fill phase agrees (host-tracked)."""
+        live = self._fills[valid_np]
+        if self._use_shared_fill and live.size and (live == live[0]).all():
+            start = jnp.int32(self.st.fft_size - int(live[0]))
+            self._carries, out = self._step_shared(
+                self._carries, chunks_dev, jnp.asarray(valid_np), start
+            )
+        else:
+            self._carries, out = self._step(
+                self._carries, chunks_dev, jnp.asarray(valid_np)
+            )
+        self._fills[valid_np] = (
+            self._fills[valid_np] + self.chunk_size
+        ) % self.st.fft_size
+        return out
 
     @staticmethod
     def _start_fetch(out):
@@ -213,9 +260,7 @@ class OnlineBatchServer:
                 p.buffer_samples(chunks[i])
                 # residue > 0 plus a full chunk always yields >= 1 pending
                 dev_chunks[i] = p.peek_pending_chunk()
-        self._carries, out = self._step(
-            self._carries, jnp.asarray(dev_chunks), jnp.asarray(valid)
-        )
+        out = self._run_step(jnp.asarray(dev_chunks), valid)
         out = self._finish_outputs(jax.device_get(self._start_fetch(out)))
         for i in range(self.n_streams):
             if not valid[i]:
@@ -246,9 +291,7 @@ class OnlineBatchServer:
                 for p, v in zip(self.pipelines, valid)
             ]
         )
-        self._carries, out = self._step(
-            self._carries, jnp.asarray(chunks), jnp.asarray(valid)
-        )
+        out = self._run_step(jnp.asarray(chunks), valid)
         out = self._finish_outputs(jax.device_get(self._start_fetch(out)))
         for i, p in enumerate(self.pipelines):
             if valid[i]:
@@ -317,3 +360,8 @@ class OnlineBatchServer:
                 )
         for i, p in enumerate(self.pipelines):
             p.load_state(os.path.join(directory, f"stream{i:04d}.npz"))
+        # Re-sync the host-tracked fill phases from the restored carries so
+        # the shared-start dispatch stays exact across failover.
+        self._fills = np.asarray(
+            jax.device_get(self._carries["fft_fill"]), np.int64
+        )

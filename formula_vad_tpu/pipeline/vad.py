@@ -133,16 +133,25 @@ class ChunkOutput(NamedTuple):
     win_indices: jnp.ndarray = None  # [max_windows] global window indices
 
 
-def _accumulate_windows(st: VADStatics, carry, denoised):
+def _accumulate_windows(st: VADStatics, carry, denoised, shared_start=None):
     """Re-chunk denoised audio into fft_size windows across chunk boundaries.
 
     Returns (new_buf, new_fill, frames [C, max_windows, fft_size],
              n_windows, window_indices [max_windows], valid [max_windows]).
+
+    shared_start: optional scalar overriding the carry-derived slice start.
+    Under ``vmap`` with ``in_axes=None`` it stays UNBATCHED, so the framing
+    lowers to one contiguous dynamic-slice of the whole batch instead of a
+    per-row gather — measured 7.7 → ~4.6 ms of the B=1024 serving tick
+    (benchmarks/tick_bisect.py). Callers must pass fft_size − fill of every
+    valid stream (the server tracks fills host-side and falls back to the
+    per-stream form when they diverge); outputs are bitwise-identical
+    because the identical samples are read.
     """
     fft_size = st.fft_size
     fill = carry["fft_fill"]
     ext = jnp.concatenate([carry["fft_buf"], denoised], axis=-1)  # [C, fft+chunk]
-    start = fft_size - fill  # first valid sample in ext
+    start = fft_size - fill if shared_start is None else shared_start
     n_windows = (fill + st.chunk_size) // fft_size
 
     w_range = jnp.arange(st.max_windows, dtype=jnp.int32)
@@ -184,6 +193,7 @@ def chunk_step(
     fsm_params: Optional[fsm.FSMParams] = None,
     run_fsm: bool = True,
     collect_denoised: bool = True,
+    shared_start: Optional[jnp.ndarray] = None,
 ) -> tuple[dict[str, Any], ChunkOutput]:
     """Process one pipeline chunk for one stream.
 
@@ -205,6 +215,8 @@ def chunk_step(
         high-B serving drops ~192 KB/stream/tick of D2H and the matching
         device output buffer. Denoised recordings are unavailable then
         (the reference always keeps both streams, VADPipeline.zig:144-237).
+      shared_start: see ``_accumulate_windows`` — lockstep-serving fast path
+        where the window-framing slice offset is one unbatched scalar.
     Returns:
       (new_carry, ChunkOutput)
     """
@@ -224,7 +236,7 @@ def chunk_step(
     #    (BufferedFFT.zig:129-181).
     fill = carry["fft_fill"]
     new_buf, new_fill, frames, n_windows, win_indices, valid = _accumulate_windows(
-        st, carry, denoised
+        st, carry, denoised, shared_start
     )
     mags = stft.magnitude_windows(frames, _hann(st.fft_size), st.fft_size, st.norm_factor)
 

@@ -294,6 +294,49 @@ def test_events_only_tier_matches_full(params):
         assert not p.denoised_recorder.recording
 
 
+def test_shared_fill_fast_path_bitwise(params):
+    """The lockstep shared-start framing (one unbatched slice offset) must
+    be BITWISE identical to the per-stream form — same segments, same
+    min_vol stream — and must actually engage in lockstep while falling
+    back cleanly when valid-mask freezes desynchronize the fills."""
+    n_chunks = 12
+    audios = [
+        speechy(n_chunks, [(2.0, 2.0)], seed=40),
+        speechy(n_chunks, [(1.0, 1.5)], seed=41),
+    ]
+
+    shared = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    plain = OnlineBatchServer(
+        _cfg(), n_streams=2, params=params, use_shared_fill=False
+    )
+    assert shared._use_shared_fill and not plain._use_shared_fill
+    for k in range(n_chunks):
+        chunks = np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios])
+        shared.push(chunks)
+        plain.push(chunks)
+    assert shared.segments == plain.segments
+    assert any(shared.segments), "test audio must produce segments"
+    # Carries bitwise equal after the whole run (the slice reads the same
+    # samples, so every downstream value matches exactly).
+    import jax as _jax
+
+    for a, b in zip(
+        _jax.tree_util.tree_leaves(shared._carries),
+        _jax.tree_util.tree_leaves(plain._carries),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Desynchronize: stream 0 idles one tick, fills diverge -> fallback
+    # path must engage (fills no longer all equal) and stay correct.
+    extra = speechy(2, [(0.2, 0.5)], seed=42)
+    shared.push(
+        np.stack([np.zeros((2, 24000), np.float32), extra[:, :24000]]),
+        valid=np.array([False, True]),
+    )
+    assert shared._fills[0] != shared._fills[1]
+    shared.push(np.stack([extra[:, :24000], extra[:, 24000:]]))
+
+
 def test_checkpoint_portable_across_fsm_backends(params, tmp_path):
     """A checkpoint saved by a host-FSM server resumes on a device-FSM
     server and vice versa (the host carry is folded back into the
