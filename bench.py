@@ -390,6 +390,7 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int) -> dict
 
     decode_ms = 0.0
     if host_fsm:
+        fill["v"] = 0  # consistent framing for the fresh initial carries
         _, out0 = step(carries, chunks[0], valid)
         mv = np.asarray(out0.min_vol)
         rt = np.asarray(out0.ratios)
