@@ -689,11 +689,12 @@ def measure() -> None:
             except Exception as e:
                 print(f"serve extra row failed: {e!r}", file=sys.stderr)
         if time.monotonic() < extra_deadline:
-            # Wider batch at HEADLINE precision: batch_scale.py measured
-            # (ROOFLINE "Scaling note") that bf16 cost RISES past B=21 while
-            # `highest` gains ~15% at B>=42 (6-pass matmuls leave idle MXU
-            # to overlap into) — so the wide row is the f32 deployment
-            # number beyond the pinned 21-stream Miami headline shape.
+            # Wider batch at HEADLINE precision: a scaling-evidence row.
+            # batch_scale.py (2026-08-19, ROOFLINE "Scaling note") measures
+            # B=21 as the per-chip optimum in EVERY precision now (the
+            # round-2 f32 wide win disappeared with the leaner step); this
+            # row documents that throughput stays near-flat at 2x width
+            # (~0.97x) rather than claiming a win.
             precision.set_matmul_precision("highest")
             precision.set_io_dtype("f32")
             try:
