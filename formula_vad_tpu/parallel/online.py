@@ -101,10 +101,20 @@ class OnlineBatchServer:
 
         self.collect_denoised = collect_denoised
 
+        def dequant(chunks):
+            if chunks.dtype == jnp.int16:
+                # Raw PCM16 shipped at half the H2D bytes; exact in f32
+                # (16-bit int, power-of-two divide) so it is bit-identical
+                # to host-side dequant (same convention as the offline
+                # raw16 slab path, parallel/slab_runner.py).
+                return chunks.astype(jnp.float32) / np.float32(32768.0)
+            return chunks
+
         def batched_step(carries, chunks, valid):
             # chunk_step's own chunk_valid path freezes the carry of invalid
             # streams (the canonical ragged-batch semantics, vad.py) — their
             # outputs are ignored on the host side.
+            chunks = dequant(chunks)
             return jax.vmap(
                 lambda c, a, v: vad.chunk_step(
                     params, st, c, a, chunk_valid=v, run_fsm=run_fsm,
@@ -120,6 +130,7 @@ class OnlineBatchServer:
             # Invalid streams' frames are garbage under the shared start —
             # exactly like their zero-pushed chunks: outputs masked, carry
             # frozen (vad.chunk_step), so results are bitwise-identical.
+            chunks = dequant(chunks)
             return jax.vmap(
                 lambda c, a, v: vad.chunk_step(
                     params, st, c, a, chunk_valid=v, run_fsm=run_fsm,
@@ -227,15 +238,25 @@ class OnlineBatchServer:
         batch D2H (~192 KB/stream each way per 0.5 s) — the host pipelines
         need the denoised audio for recordings. ~0.8 GB/s of PCIe at the
         2,000-stream scale; well within a real host NIC/PCIe budget, but the
-        dominant cost through a tunneled development chip.
+        dominant cost through a tunneled development chip. PCM16 sources
+        may pass an ``int16`` batch instead: it ships raw at HALF the H2D
+        bytes and dequantizes on device bit-identically to host decode
+        (i/32768 is exact in f32 — the offline raw16 convention); rings and
+        recordings hold the identically-dequantized f32 samples.
         """
-        chunks = np.asarray(chunks, np.float32)
+        chunks = np.asarray(chunks)
+        if chunks.dtype != np.int16:
+            chunks = np.asarray(chunks, np.float32)
         if chunks.shape != (self.n_streams, self.config.n_channels, self.chunk_size):
             raise ValueError(
                 f"expected chunks of shape "
                 f"{(self.n_streams, self.config.n_channels, self.chunk_size)}, "
                 f"got {chunks.shape}"
             )
+        i16 = chunks.dtype == np.int16
+        host_chunks = (
+            chunks.astype(np.float32) / np.float32(32768.0) if i16 else chunks
+        )
         if valid is None:
             valid = np.ones((self.n_streams,), bool)
         valid = np.asarray(valid, bool)
@@ -251,15 +272,23 @@ class OnlineBatchServer:
         # ingesting would advance the read count past samples the device
         # never saw and silently desynchronize recordings.
         ring_routed = np.zeros(self.n_streams, bool)
-        dev_chunks = np.array(chunks)
         for i, p in enumerate(self.pipelines):
             if not valid[i]:
                 continue
             if p.original_ring.total_written != p._read_count:
                 ring_routed[i] = True
-                p.buffer_samples(chunks[i])
+                p.buffer_samples(host_chunks[i])
+        if i16 and not ring_routed.any():
+            dev_chunks = chunks  # raw int16, half the H2D bytes
+        else:
+            # Ring-routed rows come back from the ring as f32; the device
+            # batch must be one dtype, so such (rare, mixed-ingestion)
+            # ticks upload the exactly-dequantized f32 — bit-identical,
+            # just without the bandwidth saving.
+            dev_chunks = np.array(host_chunks)
+            for i in np.nonzero(ring_routed)[0]:
                 # residue > 0 plus a full chunk always yields >= 1 pending
-                dev_chunks[i] = p.peek_pending_chunk()
+                dev_chunks[i] = self.pipelines[i].peek_pending_chunk()
         out = self._run_step(jnp.asarray(dev_chunks), valid)
         out = self._finish_outputs(jax.device_get(self._start_fetch(out)))
         for i in range(self.n_streams):
@@ -269,7 +298,7 @@ class OnlineBatchServer:
             if ring_routed[i]:
                 self.pipelines[i].complete_chunk(out_i)
             else:
-                self.pipelines[i].ingest_processed_chunk(chunks[i], out_i)
+                self.pipelines[i].ingest_processed_chunk(host_chunks[i], out_i)
 
     def tick_pending(self) -> bool:
         """Advance every stream holding >= one full chunk in its ring.

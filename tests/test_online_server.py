@@ -337,6 +337,48 @@ def test_shared_fill_fast_path_bitwise(params):
     shared.push(np.stack([extra[:, :24000], extra[:, 24000:]]))
 
 
+def test_int16_push_bitwise_matches_f32(params):
+    """PCM16 ingestion: pushing the raw int16 batch (half the H2D bytes,
+    device dequant) must be BITWISE identical to pushing the host-dequant
+    f32 — segments, recordings, and final carries."""
+    from formula_vad_tpu.pipeline.pipeline import Callbacks
+
+    n_chunks = 16
+    f32 = speechy(n_chunks, [(2.0, 2.0)], seed=50)
+    q = np.clip(np.round(f32 * 32768.0), -32768, 32767).astype(np.int16)
+    deq = q.astype(np.float32) / np.float32(32768.0)
+
+    def collectors():
+        recs = []
+        cb = Callbacks(
+            on_original_recording=lambda b: recs.append(
+                (b.global_start_frame_number, b.channel_pcm.tobytes())
+            )
+        )
+        return recs, [cb]
+
+    r_i, cb_i = collectors()
+    s_i = OnlineBatchServer(_cfg(), n_streams=1, params=params, callbacks=cb_i)
+    r_f, cb_f = collectors()
+    s_f = OnlineBatchServer(_cfg(), n_streams=1, params=params, callbacks=cb_f)
+    for k in range(n_chunks):
+        sl = slice(k * 24000, (k + 1) * 24000)
+        s_i.push(q[None, :, sl])
+        s_f.push(deq[None, :, sl])
+
+    assert s_i.segments == s_f.segments
+    assert any(s_i.segments), "test audio must produce segments"
+    assert r_i == r_f
+    assert r_i, "test audio must produce recordings"
+    import jax as _jax
+
+    for a, b in zip(
+        _jax.tree_util.tree_leaves(s_i._carries),
+        _jax.tree_util.tree_leaves(s_f._carries),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_checkpoint_portable_across_fsm_backends(params, tmp_path):
     """A checkpoint saved by a host-FSM server resumes on a device-FSM
     server and vice versa (the host carry is folded back into the
