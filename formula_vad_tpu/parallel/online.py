@@ -163,6 +163,7 @@ class OnlineBatchServer:
         # lockstep serving until valid-mask freezes desynchronize streams.
         self._fills = np.zeros(b, np.int64)
         self._use_shared_fill = use_shared_fill
+        self._reset_fn = None  # lazily-jitted row reset (reset_stream)
         self._carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
         self._host_fsm_carry = None
         if use_host_fsm:
@@ -171,6 +172,52 @@ class OnlineBatchServer:
             self._host_fsm_carry = fsm_host.init_host_carry(
                 st.fsm_shape, st.fsm_params, b
             )
+
+    def reset_stream(self, i: int, callbacks=None) -> None:
+        """Reassign slot ``i`` to a fresh stream without touching the fleet.
+
+        Production serving rotates radios through a fixed-B server: when a
+        stream ends, its slot is reset in place — device carry row, host
+        FSM row, fill phase, and the host pipeline (rings, recorders,
+        counters, segments) all return to the fresh-stream state; every
+        other slot is bitwise untouched (row-masked ``jnp.where`` on
+        device, no D2H round trip of the batched carry). The reference
+        would restart a daemon process here (main.zig). The new stream
+        starts at window-fill 0, so the shared-fill fast path re-engages
+        once its phase realigns with the fleet (or immediately if the
+        fleet resets together); until then ticks use the per-stream form.
+
+        callbacks: new Callbacks for the slot (default: keep the old ones).
+        """
+        if not 0 <= i < self.n_streams:
+            raise ValueError(f"stream index {i} out of range [0, {self.n_streams})")
+        if self._reset_fn is None:
+            donate = (0,) if jax.default_backend() != "cpu" else ()
+
+            def reset_rows(carries, init_single, mask):
+                def upd(all_, one):
+                    m = mask.reshape((-1,) + (1,) * (all_.ndim - 1))
+                    return jnp.where(m, one[None].astype(all_.dtype), all_)
+
+                return jax.tree_util.tree_map(upd, carries, init_single)
+
+            self._reset_fn = jax.jit(reset_rows, donate_argnums=donate)
+        mask = np.zeros(self.n_streams, bool)
+        mask[i] = True
+        self._carries = self._reset_fn(
+            self._carries, vad.init_carry(self.st), jnp.asarray(mask)
+        )
+        if self._host_fsm_carry is not None:
+            from ..pipeline import fsm_host
+
+            one = fsm_host.init_host_carry(self.st.fsm_shape, self.st.fsm_params, 1)
+            for k, v in one.items():
+                self._host_fsm_carry[k][i] = v[0]
+        self._fills[i] = 0
+        cb = callbacks if callbacks is not None else self.pipelines[i].callbacks
+        self.pipelines[i] = AudioPipeline(
+            self.config, self.params, cb, statics=self.st, server_managed=True
+        )
 
     def _run_step(self, chunks_dev, valid_np: np.ndarray):
         """Dispatch one batched tick, picking the shared-fill fast path when

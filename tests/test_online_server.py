@@ -379,6 +379,41 @@ def test_int16_push_bitwise_matches_f32(params):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_reset_stream_reassigns_slot(params):
+    """reset_stream(i) must give slot i the exact fresh-stream state (its
+    subsequent segments equal a brand-new solo pipeline on the new audio)
+    while the other slots continue bitwise-undisturbed."""
+    n_chunks = 16
+    audio_a = speechy(n_chunks, [(2.0, 2.0)], seed=60)
+    audio_b = speechy(n_chunks, [(3.0, 2.0)], seed=61)
+    audio_c = speechy(2 * n_chunks, [(4.0, 2.0), (12.0, 2.0)], seed=62)
+
+    server = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    for k in range(n_chunks):
+        server.push(np.stack([
+            audio_a[:, k * 24000 : (k + 1) * 24000],
+            audio_c[:, k * 24000 : (k + 1) * 24000],
+        ]))
+    assert server.pipelines[0].segments, "phase 1 must complete a segment"
+    server.reset_stream(0)
+    assert server.pipelines[0].segments == []
+    for k in range(n_chunks):
+        server.push(np.stack([
+            audio_b[:, k * 24000 : (k + 1) * 24000],
+            audio_c[:, (n_chunks + k) * 24000 : (n_chunks + k + 1) * 24000],
+        ]))
+
+    solo_b = AudioPipeline(_cfg(), params)
+    solo_b.push_samples(audio_b)
+    assert server.pipelines[0].segments == solo_b.segments
+    assert solo_b.segments, "new audio must produce segments"
+
+    solo_c = AudioPipeline(_cfg(), params)
+    solo_c.push_samples(audio_c)
+    assert server.pipelines[1].segments == solo_c.segments
+    assert solo_c.segments, "continuing stream must produce segments"
+
+
 def test_checkpoint_portable_across_fsm_backends(params, tmp_path):
     """A checkpoint saved by a host-FSM server resumes on a device-FSM
     server and vice versa (the host carry is folded back into the
