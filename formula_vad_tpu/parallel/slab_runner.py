@@ -53,14 +53,17 @@ class SlabRunner:
         # peak host RAM is ~(depth + 2) slabs, so depth=1 bounds it at ~3.
         prefetch_workers: int | None = None,
         prefetch_depth: int = 1,
-        # Cross-slab pipelined front-end: "on" rides slab s+1's segment
-        # matmul inside slab s's GRU scan (offline.window_inputs_pipelined);
-        # "deep" additionally defers each slab's FF head into the next
-        # call's scan (offline.window_inputs_deep — host-FSM loop only,
-        # emissions lag one call). Identical outputs
-        # (tests/test_pipelined.py). Default from FVAD_SLAB_PIPELINE
-        # (off until the on-chip A/B flips it); requires the composite
-        # band path.
+        # Cross-slab overlapped front-end: "flat" computes slab s+1's
+        # segment product as an independent flat op in slab s's program
+        # (offline.window_inputs_flat — materialize scoring path, XLA
+        # schedules the overlap itself; bitwise-trivial); "on" forces it
+        # through slab s's GRU scan as a rider
+        # (offline.window_inputs_pipelined — composite path; measured a
+        # LOSS on chip, ROOFLINE dead-end section); "deep" additionally
+        # defers each slab's FF head (host-FSM loop only, emissions lag
+        # one call; also a measured loss). Identical outputs
+        # (tests/test_pipelined.py, tests/test_flat_overlap.py). Default
+        # from FVAD_SLAB_PIPELINE (off until an on-chip A/B flips it).
         pipeline_fe: bool | str | None = None,
     ):
         if slab_chunks % SLAB_ALIGN_CHUNKS != 0:
@@ -69,12 +72,14 @@ class SlabRunner:
             pipeline_fe = os.environ.get("FVAD_SLAB_PIPELINE", "off")
         if pipeline_fe in (True, "on"):
             mode = "on"
-        elif pipeline_fe == "deep":
-            mode = "deep"
+        elif pipeline_fe in ("deep", "flat"):
+            mode = pipeline_fe
         else:
             mode = "off"
-        if not offline.band_composite_enabled():
-            mode = "off"  # pipelined paths are composite-only
+        if mode in ("on", "deep") and not offline.band_composite_enabled():
+            mode = "off"  # rider paths are composite-only
+        if mode == "flat" and offline.band_composite_enabled():
+            mode = "off"  # flat overlaps the materialize scoring path
         self.pipeline_fe = mode
         if mode != "off":
             # The one-slab lookahead consumes one unit of decode-ahead margin
@@ -168,13 +173,22 @@ class SlabRunner:
             n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
             return jax.vmap(one_stream)(audio, den_carry, n_valid)
 
+        # "on" rides slab s+1's product through this slab's GRU scan;
+        # "flat" computes it as an independent op in the same program
+        # (XLA schedules the overlap — same call protocol either way).
+        pipe_batch = (
+            offline.window_inputs_batch_flat
+            if self.pipeline_fe == "flat"
+            else offline.window_inputs_batch_pipelined
+        )
+
         def frontend_pipe_fn(audio, prod, den_carry, chunk_valids, audio_next):
-            """Pipelined host-FSM device step: window inputs for slab s from
-            its precomputed segment product; slab s+1's product computed as
-            rider work inside this slab's GRU scan."""
+            """Overlapped host-FSM device step: window inputs for slab s from
+            its precomputed segment product; slab s+1's product computed in
+            the same program (flat op or scan rider per pipeline_fe)."""
             audio, audio_next = dequant(audio), dequant(audio_next)
             n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
-            den_carry, mv, rt, va, prod_next = offline.window_inputs_batch_pipelined(
+            den_carry, mv, rt, va, prod_next = pipe_batch(
                 params, st, audio, prod, den_carry, audio_next, n_valid
             )
             return den_carry, prod_next, mv, rt, va
@@ -220,9 +234,10 @@ class SlabRunner:
             fn = {
                 "off": frontend_fn,
                 "on": frontend_pipe_fn,
+                "flat": frontend_pipe_fn,
                 "deep": frontend_deep_fn,
             }[self.pipeline_fe]
-            n_args = {"off": 3, "on": 5, "deep": 6}[self.pipeline_fe]
+            n_args = {"off": 3, "on": 5, "flat": 5, "deep": 6}[self.pipeline_fe]
             if sh is not None:
                 return jax.jit(fn, in_shardings=(sh,) * n_args)
             return jax.jit(fn)
@@ -240,7 +255,7 @@ class SlabRunner:
         ):
             audio, audio_next = dequant(audio), dequant(audio_next)
             n_valid = jnp.sum(chunk_valids.astype(jnp.int32), axis=1)
-            den_carry, mv, rt, va, prod_next = offline.window_inputs_batch_pipelined(
+            den_carry, mv, rt, va, prod_next = pipe_batch(
                 params, st, audio, prod, den_carry, audio_next, n_valid
             )
             out = _fsm_part(audio.shape[0], fsm_carry, alt_carry, win_base, mv, rt, va)
@@ -368,7 +383,7 @@ class SlabRunner:
                 zero_slab, prod, dp, den_carry, zero_cv, zero_slab
             )
             dispatched(n_slabs - 1, mv, rt, va)
-        elif self.pipeline_fe == "on":
+        elif self.pipeline_fe in ("on", "flat"):
             prod = None
             for s, (slab, cv, slab_next) in enumerate(
                 self._lookahead(prefetcher, n_slabs)

@@ -273,6 +273,8 @@ def denoise_offline_16k(
     audio: jnp.ndarray,
     carry: dict,
     downsample_rate: int = 3,
+    *,
+    prod: jnp.ndarray | None = None,
 ):
     """Chunk-parallel denoise of one slab, stopping at the 16 kHz output.
 
@@ -284,13 +286,19 @@ def denoise_offline_16k(
 
     Args:
       audio: [..., C, S] slab, S a multiple of the 24000-sample chunk.
+      prod: optional precomputed segment product (the flat cross-slab
+        overlap computed it in the previous call's program — bitwise the
+        in-place ``segmat_prod``, same op either way).
     Returns:
       (completed16 [..., C, S/rate], prev16 [..., C] — the 16 kHz sample
        preceding this slab (the lerp carry), new_carry).
     """
     chunk48 = NSNET2_CHUNK_16K * downsample_rate
     k = audio.shape[-1] // chunk48
-    re, im, g, feats = _gained_spectra(params, audio, carry, downsample_rate)
+    if prod is None:
+        re, im, g, feats = _gained_spectra(params, audio, carry, downsample_rate)
+    else:
+        re, im, g, feats = _gained_spectra_from_prod(params, prod, carry)
 
     # Global OLA == the per-chunk output-tail chain (see module docstring);
     # one matmul + shift-add (istft_segmat). The carried OLA tail adds onto
@@ -584,6 +592,80 @@ def window_inputs_pipelined(
     min_vol = jnp.min(band, axis=0)
     ratios, valid = _ratios_valid(st, audio, n_valid_chunks, n_windows)
     return den_carry, min_vol, ratios, valid, prod_next
+
+
+def window_inputs_flat(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    prod: jnp.ndarray,
+    den_carry: dict,
+    n_valid_chunks: jnp.ndarray,
+    audio_next: jnp.ndarray,
+):
+    """FLAT cross-slab overlap on the MATERIALIZE scoring path (the shipping
+    default): slab s's window inputs from its PRECOMPUTED segment product,
+    while slab s+1's product is computed as an INDEPENDENT flat op in the
+    same program — no rider, no forced scan-body placement; XLA's scheduler
+    overlaps the big matmul with the GRU recurrence on its own
+    (`benchmarks/fe_overlap_ab.py`: flat gru+stft 3.58 ms vs 5.50 serial at
+    bf16, beating the rider's 3.75 — and the rider LOST end-to-end,
+    ROOFLINE.md dead-end section).
+
+    Bitwise-trivial: ``prod`` is produced by the identical one-shot
+    ``segmat_prod`` call on every backend — only WHICH program computes it
+    moves, never the op — so outputs equal ``window_inputs_carry``'s
+    exactly (no MXU row-order argument needed, unlike the rider).
+
+    Args:
+      audio: [C, T] slab s; prod: [C, S+1, 4*161] slab s's product
+        (previous call's ``prod_next``, or ``segmat_prod`` for slab 0);
+      audio_next: [C, T'] slab s+1 (zeros for the final slab — its product
+        is computed and discarded).
+    Returns:
+      (new_den_carry, min_vol [W], ratios [W], valid [W], prod_next).
+    """
+    c, t = audio.shape
+    chunk = st.chunk_size
+    k = t // chunk
+    audio = audio[:, : k * chunk]
+    an = audio_next[:, : (audio_next.shape[-1] // chunk) * chunk]
+    n_windows = (k * chunk) // st.fft_size
+    prod_next = segmat_prod(
+        an, audio[..., -NSNET2_N_HOP * st.downsample_rate :], st.downsample_rate
+    )
+    completed16, prev16, den_carry = denoise_offline_16k(
+        params, audio, den_carry, st.downsample_rate, prod=prod
+    )
+    band = stft.band_volume_16k(
+        completed16, prev16, vad._hann(st.fft_size), st.fft_size,
+        st.norm_factor, st.min_bin, st.max_bin, n_windows,
+        rate=st.downsample_rate,
+    )
+    min_vol = jnp.min(band, axis=0)
+    ratios, valid = _ratios_valid(st, audio, n_valid_chunks, n_windows)
+    return den_carry, min_vol, ratios, valid, prod_next
+
+
+def window_inputs_batch_flat(
+    params: nsnet2.NSNet2Params,
+    st: vad.VADStatics,
+    audio: jnp.ndarray,
+    prod: jnp.ndarray,
+    den_carry: dict,
+    audio_next: jnp.ndarray,
+    n_valid_chunks: jnp.ndarray | None = None,
+):
+    """Batched ``window_inputs_flat`` (see there; mirrors
+    ``window_inputs_batch_pipelined``'s signature so runners/bench swap
+    between the cross-slab modes freely)."""
+    b, c, t = audio.shape
+    k = t // st.chunk_size
+    if n_valid_chunks is None:
+        n_valid_chunks = jnp.full((b,), k, jnp.int32)
+    return jax.vmap(
+        lambda a, p, dc, n, an: window_inputs_flat(params, st, a, p, dc, n, an)
+    )(audio, prod, den_carry, n_valid_chunks, audio_next)
 
 
 def _compose_riders(r1, r2):

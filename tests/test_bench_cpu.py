@@ -66,11 +66,21 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
     assert got["vs_baseline"] == pytest.approx(got["value"] / 5000.0, abs=5.1e-4)
     modes = got["modes"]
     for name in (
-        "highest", "bf16", "bf16_io", "bf16_deep", "highest_deep", "highest_wide"
+        "highest", "bf16", "bf16_io", "bf16_flat", "bf16_io_flat",
+        "bf16_deep", "highest_deep", "highest_wide",
     ):
         assert name in modes, f"missing mode row {name}"
         assert modes[name]["realtime_factor"] > 0
-        assert modes[name]["tflops_achieved"] > 0
+        # tflops rounds to 2 decimals; at the tiny CPU shapes a slow row
+        # can legitimately round to 0.0 — non-negative is the contract.
+        assert modes[name]["tflops_achieved"] >= 0
+    # Flat-overlap gates: at f32-highest the flat path is exactly equal on
+    # CPU too (tests/test_flat_overlap.py), but these rows run at bf16
+    # matmul precision, where XLA:CPU's bf16 lowering differs per program
+    # context — so on CPU the contract is that the gate RAN and recorded a
+    # verdict (the MXU's dot is context-independent; chip expected True).
+    assert isinstance(modes["bf16_flat"]["gate_bitwise"], bool)
+    assert isinstance(modes["bf16_io_flat"]["gate_bitwise"], bool)
     assert got["value"] == modes["highest"]["realtime_factor"]
     # The bitwise gate is an MXU property (PARITY.md deviation 12); on
     # XLA:CPU the result is backend-dependent (typically ~1-ulp off). The
