@@ -72,6 +72,20 @@ def make_pipe_fns(params, st):
     return init_carry, jax.jit(prod_fn), jax.jit(fe)
 
 
+def make_flat_fns(params, st):
+    # Flat overlap (offline.window_inputs_flat): the next slab's product as
+    # an independent op in the same program — materialize scoring path, XLA
+    # schedules the overlap itself (no rider). Round-3 candidate after the
+    # rider modes lost.
+    def fe(audio, prod, den_carry, audio_next):
+        den_carry, mv, rt, va, prod_next = offline.window_inputs_batch_flat(
+            params, st, audio, prod, den_carry, audio_next
+        )
+        return mv, rt, va, prod_next, den_carry
+
+    return jax.jit(fe)
+
+
 def make_deep_fns(params, st):
     def init_deep(b):
         return jax.vmap(
@@ -119,6 +133,7 @@ def main():
         precision.set_io_dtype(io)
         plain = make_plain_fn(params, st)
         init_carry, prod_fn, pipe = make_pipe_fns(params, st)
+        flat = make_flat_fns(params, st)
         init_deep, deep_fe = make_deep_fns(params, st)
 
         # --- on-chip bitwise gates ---------------------------------------
@@ -140,11 +155,22 @@ def main():
             jnp.all(d_mv == p_mv) & jnp.all(d_rt == p_rt) & jnp.all(d_va == p_va)
         )
         deep_maxd = float(jnp.max(jnp.abs(d_mv - p_mv)))
+
+        # (3) flat window inputs == plain (identical ops, different program
+        # boundaries — MXU dots are context-independent, so chip expects
+        # bitwise; XLA:CPU's bf16 lowering is context-dependent).
+        f_mv, f_rt, f_va = flat(audios[0], prod0, carry0, audios[1])[:3]
+        flat_same = bool(
+            jnp.all(f_mv == p_mv) & jnp.all(f_rt == p_rt) & jnp.all(f_va == p_va)
+        )
+        flat_maxd = float(jnp.max(jnp.abs(f_mv - p_mv)))
         print(
             f"== mode={mode_name} ==  rider-prod bitwise: {same}"
             + ("" if same else f"  (max |d| = {maxd:.3e} — DO NOT flip default)")
             + f"  deep-emission bitwise: {deep_same}"
-            + ("" if deep_same else f"  (max |d| = {deep_maxd:.3e})"),
+            + ("" if deep_same else f"  (max |d| = {deep_maxd:.3e})")
+            + f"  flat bitwise: {flat_same}"
+            + ("" if flat_same else f"  (max |d| = {flat_maxd:.3e})"),
             flush=True,
         )
 
@@ -167,6 +193,17 @@ def main():
             float(jnp.sum(out[0]))
             return time.perf_counter() - t0
 
+        def run_flat(n):
+            dc = carry0
+            prod = prod0
+            out = None
+            t0 = time.perf_counter()
+            for i in range(n):
+                out = flat(audios[i % n_aud], prod, dc, audios[(i + 1) % n_aud])
+                prod, dc = out[3], out[4]
+            float(jnp.sum(out[0]))
+            return time.perf_counter() - t0
+
         def run_deep(n):
             dp, dc = deep0, carry0
             prod = prod0
@@ -181,12 +218,14 @@ def main():
             return time.perf_counter() - t0
 
         run_plain(1)  # compile
+        run_flat(1)
         run_pipe(1)
         run_deep(1)
         results = {}
         for rep in range(REPS):  # interleaved: relay drift shows as spread
             for name, run in (
-                ("plain", run_plain), ("pipelined", run_pipe), ("deep", run_deep)
+                ("plain", run_plain), ("flat", run_flat),
+                ("pipelined", run_pipe), ("deep", run_deep),
             ):
                 dt = slope_time(run, N_ITERS)
                 results.setdefault(name, []).append(dt)
@@ -197,7 +236,12 @@ def main():
                 )
         mins = {k: min(v) for k, v in results.items()}
         winner = min(mins, key=mins.get)
-        gate_ok = {"plain": True, "pipelined": same, "deep": same and deep_same}
+        gate_ok = {
+            "plain": True,
+            "flat": flat_same,
+            "pipelined": same,
+            "deep": same and deep_same,
+        }
         print(
             "  => "
             + "  ".join(f"{k} {v*1e3:.2f} ms" for k, v in mins.items())
