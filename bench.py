@@ -236,7 +236,8 @@ def main() -> None:
         _fail("no_child_result", "; ".join(e[:160] for e in child_errs))
     best = max(results, key=lambda r: r["value"])
     for mode in (
-        "bf16", "bf16_io", "bf16_deep", "highest_deep", "highest_wide", "serve"
+        "bf16", "bf16_io", "high", "bf16_deep", "highest_deep",
+        "bf16_io_flat", "bf16_flat", "highest_wide", "serve",
     ):
         if mode in best.get("modes", {}):
             continue
@@ -681,13 +682,38 @@ def measure() -> None:
         and not use_pipeline  # explicit FVAD_BENCH_PIPELINE: already measured
         and use_host_fsm
     )
+    # The cross-slab overlap rows (flat/rider/deep) are all MEASURED dead
+    # ends on chip (pipeline_ab 2026-08-19: plain wins every mode; ROOFLINE
+    # dead-end sections) — they stay available behind BENCH_DEADEND_ROWS=1
+    # for re-measurement but no longer spend the default capture window.
+    want_deadend_rows = want_extras and os.environ.get("BENCH_DEADEND_ROWS") == "1"
     if want_extras:
-        # flat rows FIRST: the LIVE offline candidate — the materialize-path
-        # cross-slab overlap (offline.window_inputs_flat) whose product
-        # carry is bitwise-trivial (same segmat_prod op, different program).
-        # fe_overlap_ab measured flat composition recovering ~2/3 of the
-        # stft stage at bf16 where the rider lost end-to-end. Self-gated:
-        # the exact-equality check runs in-process alongside the number.
+        # high FIRST: the bf16_3x tier (~f32 mantissa quality from 3 MXU
+        # passes instead of highest's 6) — the middle rung of the precision
+        # ladder (ops/precision.py; decision deviation vs highest is
+        # characterized by benchmarks/precision_sweep.py).
+        if time.monotonic() < extra_deadline:
+            precision.set_matmul_precision("high")
+            precision.set_io_dtype("f32")
+            try:
+                per_call = _measure_mode_host(
+                    jax.jit(make_fe_fn()), st, audios, n_short, n_long
+                )
+                rtf = audio_sec / per_call
+                tflops = rtf * gflops_per_audio_sec / 1e3
+                modes["high"] = {
+                    "realtime_factor": round(rtf, 1),
+                    "tflops_achieved": round(tflops, 2),
+                    "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
+                }
+            except Exception as e:
+                print(f"high extra row failed: {e!r}", file=sys.stderr)
+    if want_deadend_rows:
+        # flat rows: the materialize-path cross-slab overlap
+        # (offline.window_inputs_flat) whose product carry is
+        # bitwise-trivial (same segmat_prod op, different program).
+        # Self-gated: the exact-equality check runs in-process alongside
+        # the number.
         for row, level, io in (
             ("bf16_io_flat", "default", "bf16"),
             ("bf16_flat", "default", "f32"),
@@ -727,13 +753,10 @@ def measure() -> None:
                 }
             except Exception as e:
                 print(f"{row} extra row failed: {e!r}", file=sys.stderr)
+    if want_extras:
         # serve: one online tick at B lockstep streams — the
         # driver-visible record for the serving scale claim (VERDICT
         # round-2 missing #3); full curve: benchmarks/online_scale.py.
-        # The deep rows come last: benchmarks/pipeline_ab.py measured them
-        # as strict losses (plain 9.6 vs deep 16.5 ms bf16_io) with a
-        # FAILING deep-emission bitwise gate on chip, so they are
-        # evidence rows, not candidates.
         if os.environ.get("BENCH_SERVE", "1") != "0":
             precision.set_matmul_precision("default")
             precision.set_io_dtype("f32")
@@ -769,6 +792,10 @@ def measure() -> None:
                 }
             except Exception as e:
                 print(f"highest_wide extra row failed: {e!r}", file=sys.stderr)
+    if want_deadend_rows:
+        # Deep rider evidence rows: benchmarks/pipeline_ab.py measured them
+        # as strict losses (plain 9.6 vs deep 16.5 ms bf16_io) with a
+        # FAILING deep-emission bitwise gate on chip.
         # The deep rider path scores through the composite spectra->band
         # conv by construction; run its rows under composite explicitly
         # (the default is materialize since the band A/B) so the evidence
@@ -824,6 +851,7 @@ def measure() -> None:
             os.environ.pop("FVAD_BAND_COMPOSITE", None)
         else:
             os.environ["FVAD_BAND_COMPOSITE"] = prev_composite
+    if want_extras:
         emit()  # final line: standard table + whichever extras landed
 
 

@@ -46,6 +46,12 @@ DENOISED = os.environ.get("SCALE_DENOISED", "1") != "0"
 # form); default measures what OnlineBatchServer dispatches in lockstep —
 # the shared-fill fast path (one contiguous slice, no per-row gather).
 SHARED = os.environ.get("SCALE_SHARED", "1") != "0"
+# SCALE_PCM16=1 holds the resident input batches as raw int16 and
+# dequantizes on device — exactly the server's PCM16 ingestion path
+# (OnlineBatchServer.push with an int16 batch; dequant i/32768 is exact in
+# f32). 4x smaller resident inputs: the f32 benchmark buffers alone were
+# the HBM ceiling at B=18,432 (2 x 7.1 GB), not the serving state.
+PCM16 = os.environ.get("SCALE_PCM16", "0") != "0"
 
 
 def _sync(x):
@@ -60,6 +66,9 @@ def measure(b: int, params, st) -> dict:
         host_fsm = fsm_host.available()
 
     def batched_step(carries, chunks, valid, start):
+        if PCM16:
+            # The server's on-device dequant (parallel/online.py::dequant).
+            chunks = chunks.astype(jnp.float32) / np.float32(32768.0)
         return jax.vmap(
             lambda c, a, v: vad.chunk_step(
                 params, st, c, a, chunk_valid=v, run_fsm=not host_fsm,
@@ -79,13 +88,21 @@ def measure(b: int, params, st) -> dict:
 
     carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
     carry_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(carries))
-    rng = np.random.default_rng(0)
-    chunks = [
-        jnp.asarray(
-            0.02 * rng.standard_normal((b, st.n_channels, st.chunk_size)), jnp.float32
+
+    # Inputs are generated ON DEVICE (only the PRNG key crosses the tunnel):
+    # incompressible f32 noise moves at ~10-25 MB/s through the relay, which
+    # at B=13,824 cost minutes per resident buffer.
+    def gen(key):
+        x = 0.02 * jax.random.normal(
+            key, (b, st.n_channels, st.chunk_size), jnp.float32
         )
-        for _ in range(2)
-    ]
+        if PCM16:
+            return jnp.clip(jnp.round(x * 32768.0), -32768, 32767).astype(jnp.int16)
+        return x
+
+    jgen = jax.jit(gen)
+    chunks = [jgen(jax.random.PRNGKey(i)) for i in range(2)]
+    input_bytes = sum(int(c.nbytes) for c in chunks)
     valid = jnp.ones((b,), bool)
 
     carries, out = step(carries, chunks[0], valid)
@@ -134,6 +151,7 @@ def measure(b: int, params, st) -> dict:
         "ms_per_tick": tick * 1e3,
         "decode_ms": decode_ms,
         "carry_mb": carry_bytes / 2**20,
+        "input_mb": input_bytes / 2**20,
         "audio_sec_per_sec": b * (st.chunk_size / st.sample_rate) / tick,
         "fits_budget": tick < 0.5,
     }
@@ -143,12 +161,28 @@ def main():
     params = nsnet2.load(None)
     st = vad.statics_from_config(VADConfig())
     rows = []
-    print(f"{'B':>6} {'ms/tick':>9} {'carry MB':>9} {'audio-s/s':>10} {'<500ms':>7}")
+    print(
+        f"denoised={int(DENOISED)} shared={int(SHARED)} pcm16={int(PCM16)} "
+        f"fsm={os.environ.get('SCALE_FSM', 'host')}"
+    )
+    print(
+        f"{'B':>6} {'ms/tick':>9} {'carry MB':>9} {'input MB':>9} "
+        f"{'audio-s/s':>10} {'<500ms':>7}"
+    )
     for b in BS:
-        r = measure(b, params, st)
+        try:
+            r = measure(b, params, st)
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e) or "ResourceExhausted" in str(e):
+                # Record the ceiling instead of dying mid-sweep; larger B
+                # would only OOM again.
+                print(f"{b:>6}  RESOURCE_EXHAUSTED (HBM ceiling)")
+                break
+            raise
         rows.append(r)
         print(
             f"{r['b']:>6} {r['ms_per_tick']:>9.1f} {r['carry_mb']:>9.1f} "
+            f"{r['input_mb']:>9.1f} "
             f"{r['audio_sec_per_sec']:>10.0f} {str(r['fits_budget']):>7}"
         )
     ok = [r for r in rows if r["fits_budget"]]

@@ -43,6 +43,9 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
         "BENCH_WIDE_STREAMS": "4",
         "BENCH_SERVE_STREAMS": "8",
         "FVAD_BENCH_CPU": "1",
+        # Dead-end evidence rows (flat/deep) are off by default since the
+        # 2026-08-19 pipeline_ab verdicts; keep exercising them here.
+        "BENCH_DEADEND_ROWS": "1",
     }.items():
         monkeypatch.setenv(k, v)
     monkeypatch.delenv("BENCH_MODES", raising=False)
@@ -66,7 +69,7 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
     assert got["vs_baseline"] == pytest.approx(got["value"] / 5000.0, abs=5.1e-4)
     modes = got["modes"]
     for name in (
-        "highest", "bf16", "bf16_io", "bf16_flat", "bf16_io_flat",
+        "highest", "bf16", "bf16_io", "high", "bf16_flat", "bf16_io_flat",
         "bf16_deep", "highest_deep", "highest_wide",
     ):
         assert name in modes, f"missing mode row {name}"
@@ -93,6 +96,37 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
     assert modes["serve"]["tick_ms"] > 0
     assert isinstance(modes["serve"]["fits_500ms_budget"], bool)
     assert modes["serve"]["streams_per_chip_est"] > 0
+
+
+def test_measure_default_extras_gating(bench, monkeypatch, capsys):
+    """Without BENCH_DEADEND_ROWS the capture spends its window only on the
+    live rows: high/serve/wide present, flat/deep absent."""
+    for k, v in {
+        "BENCH_STREAMS": "2",
+        "BENCH_CHUNKS": "2",
+        "BENCH_ITERS_SHORT": "1",
+        "BENCH_ITERS_LONG": "2",
+        "BENCH_WIDE_STREAMS": "4",
+        "BENCH_SERVE_STREAMS": "8",
+        "FVAD_BENCH_CPU": "1",
+    }.items():
+        monkeypatch.setenv(k, v)
+    for k in ("BENCH_MODES", "FVAD_BENCH_PIPELINE", "BENCH_DEADEND_ROWS"):
+        monkeypatch.delenv(k, raising=False)
+
+    from formula_vad_tpu.ops import precision
+
+    try:
+        bench.measure()
+    finally:
+        precision.set_matmul_precision("highest")
+        precision.set_io_dtype("f32")
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    modes = got["modes"]
+    for name in ("highest", "bf16", "bf16_io", "high", "highest_wide", "serve"):
+        assert name in modes, f"missing live mode row {name}"
+    for name in ("bf16_flat", "bf16_io_flat", "bf16_deep", "highest_deep"):
+        assert name not in modes, f"dead-end row {name} ran without opt-in"
 
 
 def test_preflight_relay_down_fails_fast(bench, monkeypatch):
