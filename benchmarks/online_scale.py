@@ -49,16 +49,23 @@ SHARED = os.environ.get("SCALE_SHARED", "1") != "0"
 # SCALE_PCM16=1 holds the resident input batches as raw int16 and
 # dequantizes on device — exactly the server's PCM16 ingestion path
 # (OnlineBatchServer.push with an int16 batch; dequant i/32768 is exact in
-# f32). 4x smaller resident inputs: the f32 benchmark buffers alone were
-# the HBM ceiling at B=18,432 (2 x 7.1 GB), not the serving state.
+# f32). 4x smaller resident inputs. Measured 2026-08-19: even with int16
+# inputs, B=18,432 events-only f32 needs 16.70G of 15.75G HBM — past
+# ~14k streams the binding term is the step's activations + the dequant
+# temp, not the benchmark buffers (FVAD_IO_DTYPE=bf16 halves the former).
 PCM16 = os.environ.get("SCALE_PCM16", "0") != "0"
+# SCALE_AB=1: at each B, measure pcm16 OFF then ON within this one process
+# (the dequant's cost can't be read across processes — relay throttle
+# lottery, verify SKILL.md).
+AB = os.environ.get("SCALE_AB", "0") != "0"
 
 
 def _sync(x):
     float(jnp.max(jnp.abs(jax.tree_util.tree_leaves(x)[0].astype(jnp.float32))))
 
 
-def measure(b: int, params, st) -> dict:
+def measure(b: int, params, st, pcm16: bool | None = None) -> dict:
+    pcm16 = PCM16 if pcm16 is None else pcm16
     host_fsm = os.environ.get("SCALE_FSM", "host") == "host"
     if host_fsm:
         from formula_vad_tpu.pipeline import fsm_host
@@ -66,7 +73,7 @@ def measure(b: int, params, st) -> dict:
         host_fsm = fsm_host.available()
 
     def batched_step(carries, chunks, valid, start):
-        if PCM16:
+        if pcm16:
             # The server's on-device dequant (parallel/online.py::dequant).
             chunks = chunks.astype(jnp.float32) / np.float32(32768.0)
         return jax.vmap(
@@ -96,7 +103,7 @@ def measure(b: int, params, st) -> dict:
         x = 0.02 * jax.random.normal(
             key, (b, st.n_channels, st.chunk_size), jnp.float32
         )
-        if PCM16:
+        if pcm16:
             return jnp.clip(jnp.round(x * 32768.0), -32768, 32767).astype(jnp.int16)
         return x
 
@@ -169,22 +176,36 @@ def main():
         f"{'B':>6} {'ms/tick':>9} {'carry MB':>9} {'input MB':>9} "
         f"{'audio-s/s':>10} {'<500ms':>7}"
     )
+    variants = [(None, "")] if not AB else [(False, " f32"), (True, " pcm16")]
+    hit_ceiling = False
     for b in BS:
-        try:
-            r = measure(b, params, st)
-        except Exception as e:
-            if "RESOURCE_EXHAUSTED" in str(e) or "ResourceExhausted" in str(e):
-                # Record the ceiling instead of dying mid-sweep; larger B
-                # would only OOM again.
-                print(f"{b:>6}  RESOURCE_EXHAUSTED (HBM ceiling)")
-                break
-            raise
-        rows.append(r)
-        print(
-            f"{r['b']:>6} {r['ms_per_tick']:>9.1f} {r['carry_mb']:>9.1f} "
-            f"{r['input_mb']:>9.1f} "
-            f"{r['audio_sec_per_sec']:>10.0f} {str(r['fits_budget']):>7}"
-        )
+        if hit_ceiling:
+            break
+        for pcm16, tag in variants:
+            try:
+                r = measure(b, params, st, pcm16)
+            except Exception as e:
+                # Runtime OOM (RESOURCE_EXHAUSTED) or compile-time OOM
+                # (INTERNAL "Ran out of memory in memory space hbm" through
+                # the relay's remote-compile helper): record the ceiling
+                # instead of dying mid-sweep; larger B would only OOM again.
+                msg = str(e)
+                if (
+                    "RESOURCE_EXHAUSTED" in msg
+                    or "ResourceExhausted" in msg
+                    or "Ran out of memory" in msg
+                    or "out of memory" in msg.lower()
+                ):
+                    print(f"{b:>6}{tag}  HBM ceiling ({msg.splitlines()[0][:120]})")
+                    hit_ceiling = True
+                    break
+                raise
+            rows.append(r)
+            print(
+                f"{r['b']:>6}{tag} {r['ms_per_tick']:>9.1f} {r['carry_mb']:>9.1f} "
+                f"{r['input_mb']:>9.1f} "
+                f"{r['audio_sec_per_sec']:>10.0f} {str(r['fits_budget']):>7}"
+            )
     ok = [r for r in rows if r["fits_budget"]]
     if ok:
         best = max(ok, key=lambda r: r["b"])

@@ -101,6 +101,26 @@ def segmat_basis_arr(window: np.ndarray, n_fft: int, decimate: int) -> jnp.ndarr
     return jnp.asarray(_segmat_basis(key, n_fft, decimate))
 
 
+@functools.lru_cache(maxsize=None)
+def _decim_sel(hop: int, decimate: int) -> np.ndarray:
+    """0/1 selection matrix [hop*decimate, hop]: column k picks 48 kHz sample
+    k*decimate of a raw segment — decimation expressed as a dense matmul.
+
+    Exact at every precision: each output is one 1.0*x plus zero terms, and
+    adding +0.0 never perturbs an f32 partial sum, so feeding the selected
+    segments through the dense (decimate=1) basis is bitwise-identical to
+    the zero-stuffed fused basis while performing 1/decimate of its MXU
+    work (the fused [hop*d, 4*bins] basis is 2/3 structurally-zero rows at
+    d=3 — the measured 13%-of-roofline stage, ROOFLINE.md)."""
+    sel = np.zeros((hop * decimate, hop), np.float32)
+    sel[np.arange(hop) * decimate, np.arange(hop)] = 1.0
+    return sel
+
+
+def decim_sel_arr(hop: int, decimate: int) -> jnp.ndarray:
+    return jnp.asarray(_decim_sel(hop, decimate))
+
+
 def segmat_segments(
     x: jnp.ndarray, seg: int, initial_segment: jnp.ndarray | None = None
 ) -> jnp.ndarray:

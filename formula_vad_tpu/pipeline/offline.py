@@ -109,6 +109,20 @@ def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32
     }
 
 
+import os as _os
+
+# Trace-time toggle for the two-matmul decimating STFT (select-matmul
+# decimation, then the dense hop-row basis) vs the single zero-stuffed
+# fused basis. Bitwise-identical outputs (stft._decim_sel docstring);
+# which one ships is an on-chip A/B (benchmarks/stft_ab.py).
+_PREDECIM = _os.environ.get("FVAD_STFT_PREDECIM", "off").lower() == "on"
+
+
+def set_stft_predecim(on: bool) -> None:
+    global _PREDECIM
+    _PREDECIM = bool(on)
+
+
 def segmat_prod(audio: jnp.ndarray, raw_tail: jnp.ndarray, downsample_rate: int = 3):
     """The slab's raw segment-basis matmul product [..., S+1, 4*161]
     (stft_segmat before the shift-add) — the quantity the cross-slab
@@ -116,10 +130,27 @@ def segmat_prod(audio: jnp.ndarray, raw_tail: jnp.ndarray, downsample_rate: int 
     scan (``window_inputs_pipelined``)."""
     from ..ops.precision import io_cast, matmul_precision
 
+    seg48 = (NSNET2_N_FFT // 2) * downsample_rate
+    if _PREDECIM and downsample_rate > 1:
+        # Decimate FIRST with a 0/1 select matmul (exact), then run the
+        # dense decimate=1 basis on hop-wide segments: 1/3 the fused
+        # basis's MXU work and a 3x smaller segment intermediate. The
+        # initial segment is prepended AFTER decimation so the concat
+        # moves hop-wide rows.
+        hop = NSNET2_N_FFT // 2
+        sel = io_cast(stft.decim_sel_arr(hop, downsample_rate))
+        basis = io_cast(stft.segmat_basis_arr(den_mod._WINDOW, NSNET2_N_FFT, 1))
+        t = audio.shape[-1]
+        segs48 = audio.reshape(audio.shape[:-1] + (t // seg48, seg48))
+        prec = matmul_precision()
+        segs16 = jnp.matmul(io_cast(segs48), sel, precision=prec)
+        tail16 = jnp.matmul(
+            io_cast(raw_tail[..., None, :]), sel, precision=prec
+        )
+        segs = jnp.concatenate([tail16.astype(segs16.dtype), segs16], axis=-2)
+        return jnp.matmul(io_cast(segs), basis, precision=prec)
     basis = stft.segmat_basis_arr(den_mod._WINDOW, NSNET2_N_FFT, downsample_rate)
-    segs = stft.segmat_segments(
-        audio, (NSNET2_N_FFT // 2) * downsample_rate, raw_tail
-    )
+    segs = stft.segmat_segments(audio, seg48, raw_tail)
     return jnp.matmul(io_cast(segs), io_cast(basis), precision=matmul_precision())
 
 
