@@ -109,13 +109,11 @@ def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32
     }
 
 
-import os as _os
-
 # Trace-time toggle for the two-matmul decimating STFT (select-matmul
 # decimation, then the dense hop-row basis) vs the single zero-stuffed
 # fused basis. Bitwise-identical outputs (stft._decim_sel docstring);
 # which one ships is an on-chip A/B (benchmarks/stft_ab.py).
-_PREDECIM = _os.environ.get("FVAD_STFT_PREDECIM", "off").lower() == "on"
+_PREDECIM = os.environ.get("FVAD_STFT_PREDECIM", "off").lower() == "on"
 
 
 def set_stft_predecim(on: bool) -> None:
@@ -143,9 +141,17 @@ def segmat_prod(audio: jnp.ndarray, raw_tail: jnp.ndarray, downsample_rate: int 
         t = audio.shape[-1]
         segs48 = audio.reshape(audio.shape[:-1] + (t // seg48, seg48))
         prec = matmul_precision()
-        segs16 = jnp.matmul(io_cast(segs48), sel, precision=prec)
+        # The select matmul is exact at HIGH already: 1.0 is exact in bf16
+        # and the 3-way operand split of x sums back to exactly x*1.0, so
+        # the 6-pass HIGHEST spend is pure waste on a 0/1 operand. Lower
+        # precisions keep the mode's own level (operand rounding then
+        # matches the fused basis matmul's bit-for-bit).
+        sel_prec = (
+            jax.lax.Precision.HIGH if prec == jax.lax.Precision.HIGHEST else prec
+        )
+        segs16 = jnp.matmul(io_cast(segs48), sel, precision=sel_prec)
         tail16 = jnp.matmul(
-            io_cast(raw_tail[..., None, :]), sel, precision=prec
+            io_cast(raw_tail[..., None, :]), sel, precision=sel_prec
         )
         segs = jnp.concatenate([tail16.astype(segs16.dtype), segs16], axis=-2)
         return jnp.matmul(io_cast(segs), basis, precision=prec)
