@@ -150,9 +150,12 @@ def segmat_prod(audio: jnp.ndarray, raw_tail: jnp.ndarray, downsample_rate: int 
             jax.lax.Precision.HIGH if prec == jax.lax.Precision.HIGHEST else prec
         )
         segs16 = jnp.matmul(io_cast(segs48), sel, precision=sel_prec)
-        tail16 = jnp.matmul(
-            io_cast(raw_tail[..., None, :]), sel, precision=sel_prec
-        )
+        if raw_tail is None:  # stream start (segmat_segments' zero default)
+            tail16 = jnp.zeros(segs16.shape[:-2] + (1, hop), segs16.dtype)
+        else:
+            tail16 = jnp.matmul(
+                io_cast(raw_tail[..., None, :]), sel, precision=sel_prec
+            )
         segs = jnp.concatenate([tail16.astype(segs16.dtype), segs16], axis=-2)
         return jnp.matmul(io_cast(segs), basis, precision=prec)
     basis = stft.segmat_basis_arr(den_mod._WINDOW, NSNET2_N_FFT, downsample_rate)
