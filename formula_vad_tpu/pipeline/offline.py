@@ -111,9 +111,11 @@ def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32
 
 # Trace-time toggle for the two-matmul decimating STFT (select-matmul
 # decimation, then the dense hop-row basis) vs the single zero-stuffed
-# fused basis. Bitwise-identical outputs (stft._decim_sel docstring);
-# which one ships is an on-chip A/B (benchmarks/stft_ab.py).
-_PREDECIM = os.environ.get("FVAD_STFT_PREDECIM", "off").lower() == "on"
+# fused basis. Default ON since the 2026-08-19 on-chip A/B
+# (benchmarks/stft_ab.py: bare op −28% f32, full step wins at highest and
+# bf16_io); ~1-ulp MXU reduction-tree reassociation vs fused — PARITY.md
+# deviation 13 (FVAD_STFT_PREDECIM=off restores the fused basis).
+_PREDECIM = os.environ.get("FVAD_STFT_PREDECIM", "on").lower() == "on"
 
 
 def set_stft_predecim(on: bool) -> None:
