@@ -547,6 +547,14 @@ def measure() -> None:
     def _prod0(audio):
         return offline.segmat_prod(audio, None, st.downsample_rate)
 
+    # The rider/deep modes reproduce the FUSED basis program row-sliced;
+    # their slab-0 product and bitwise-gate references must pin
+    # predecim=False so the chain stays one program (PARITY.md dev. 13).
+    # The flat mode's prod op is the same segmat_prod everywhere, so it
+    # follows the shipping default (_prod0).
+    def _prod0_fused(audio):
+        return offline.segmat_prod(audio, None, st.downsample_rate, predecim=False)
+
     def make_pipe_fns():
         def fe(audio, prod, dc, audio_next):
             dc, mv, rt, va, prod_next = offline.window_inputs_batch_pipelined(
@@ -554,7 +562,7 @@ def measure() -> None:
             )
             return mv, rt, va, prod_next, dc
 
-        return jax.jit(_init_dc), jax.jit(_prod0), jax.jit(fe)
+        return jax.jit(_init_dc), jax.jit(_prod0_fused), jax.jit(fe)
 
     def make_flat_fns():
         def fe(audio, prod, dc, audio_next):
@@ -582,7 +590,7 @@ def measure() -> None:
             )
             return mv, rt, va, prod_next, (dp, dc)
 
-        return jax.jit(init_state), jax.jit(_prod0), jax.jit(fe)
+        return jax.jit(init_state), jax.jit(_prod0_fused), jax.jit(fe)
 
     # Inputs are generated ON DEVICE (only the 4-byte PRNG key crosses the
     # tunnel): through the relay's ~10-25 MB/s H2D, shipping 3x160 MB of
@@ -811,22 +819,36 @@ def measure() -> None:
                 # FRESH function objects per precision (the trace-cache rule
                 # above applies to the deep fns too).
                 init_state, prod_fn, deep_fe = make_deep_fns()
-                plain_fe = jax.jit(make_fe_fn())
                 # Bitwise gates (mirrors benchmarks/pipeline_ab.py): (1)
                 # the rider's row-sliced segment product == the one-shot
                 # product; (2) the deep step's lagged emission == the plain
                 # window inputs. Expected bitwise on the MXU (contraction
                 # order is row-count independent, at every pass count);
-                # XLA:CPU is only ~1-ulp close.
-                state0 = init_state()
-                p0 = prod_fn(audios[0])
-                tail = 160 * st.downsample_rate
-                _, _, _, p1, state1 = deep_fe(audios[0], p0, state0, audios[1])
-                want_p1 = jax.jit(
-                    lambda a, t: offline.segmat_prod(a, t, st.downsample_rate)
-                )(audios[1], audios[0][..., -tail:])
-                d_mv, d_rt, d_va = deep_fe(audios[1], p1, state1, audios[2])[:3]
-                p_mv, p_rt, p_va = plain_fe(audios[0])
+                # XLA:CPU is only ~1-ulp close. The rider reproduces the
+                # FUSED basis program, so every reference here pins
+                # predecim off (PARITY.md dev. 13) — the plain baseline
+                # included, else the gate fails for a spurious
+                # program-mismatch reason.
+                offline.set_stft_predecim(False)
+                try:
+                    plain_fe = jax.jit(make_fe_fn())
+                    state0 = init_state()
+                    p0 = prod_fn(audios[0])
+                    tail = 160 * st.downsample_rate
+                    _, _, _, p1, state1 = deep_fe(
+                        audios[0], p0, state0, audios[1]
+                    )
+                    want_p1 = jax.jit(
+                        lambda a, t: offline.segmat_prod(
+                            a, t, st.downsample_rate, predecim=False
+                        )
+                    )(audios[1], audios[0][..., -tail:])
+                    d_mv, d_rt, d_va = deep_fe(
+                        audios[1], p1, state1, audios[2]
+                    )[:3]
+                    p_mv, p_rt, p_va = plain_fe(audios[0])
+                finally:
+                    offline.set_stft_predecim(None)
                 gate = bool(
                     jnp.all(p1 == want_p1)
                     & jnp.all(d_mv == p_mv)

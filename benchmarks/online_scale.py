@@ -177,18 +177,21 @@ def main():
         f"{'audio-s/s':>10} {'<500ms':>7}"
     )
     variants = [(None, "")] if not AB else [(False, " f32"), (True, " pcm16")]
-    hit_ceiling = False
+    oomed = set()  # variants that hit the ceiling (a larger B only OOMs again)
     for b in BS:
-        if hit_ceiling:
+        if len(oomed) == len(variants):
             break
         for pcm16, tag in variants:
+            if (pcm16, tag) in oomed:
+                continue
             try:
                 r = measure(b, params, st, pcm16)
             except Exception as e:
                 # Runtime OOM (RESOURCE_EXHAUSTED) or compile-time OOM
                 # (INTERNAL "Ran out of memory in memory space hbm" through
-                # the relay's remote-compile helper): record the ceiling
-                # instead of dying mid-sweep; larger B would only OOM again.
+                # the relay's remote-compile helper): record THIS variant's
+                # ceiling and keep sweeping the others (in AB mode the
+                # pcm16 variant holds 4x smaller inputs and may still fit).
                 msg = str(e)
                 if (
                     "RESOURCE_EXHAUSTED" in msg
@@ -197,9 +200,10 @@ def main():
                     or "out of memory" in msg.lower()
                 ):
                     print(f"{b:>6}{tag}  HBM ceiling ({msg.splitlines()[0][:120]})")
-                    hit_ceiling = True
-                    break
+                    oomed.add((pcm16, tag))
+                    continue
                 raise
+            r["variant"] = tag.strip() or ("pcm16" if PCM16 else "f32")
             rows.append(r)
             print(
                 f"{r['b']:>6}{tag} {r['ms_per_tick']:>9.1f} {r['carry_mb']:>9.1f} "
@@ -208,9 +212,12 @@ def main():
             )
     ok = [r for r in rows if r["fits_budget"]]
     if ok:
-        best = max(ok, key=lambda r: r["b"])
+        # Prefer the faster tick on B ties so AB mode attributes the record
+        # to the variant that actually set it.
+        best = max(ok, key=lambda r: (r["b"], -r["ms_per_tick"]))
         print(
             f"\nlargest measured B inside the 0.5 s tick budget: {best['b']} "
+            f"[{best['variant']}] "
             f"({best['ms_per_tick']:.1f} ms/tick; latency-derived ceiling "
             f"~{int(best['b'] * 500 / best['ms_per_tick'])} streams)"
         )

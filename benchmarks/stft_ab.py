@@ -16,10 +16,14 @@ SKILL.md), slope-timed with a real device-reduction sync:
 * the full batched front-end (`offline.window_inputs_batch`, the exact
   device step bench.py times on the host-FSM path),
 
-with bitwise gates alongside: the bare products must be EXACTLY equal on
-the MXU (selection exactness, tests/test_stft_predecim.py), and the full
-step's min_vol/ratios/valid likewise (XLA:CPU is only ~1-ulp close through
-fusion context; the MXU dot is context-independent).
+with equality gates alongside. MEASURED VERDICT (2026-08-19, on chip):
+the products are NOT bitwise (max |d mv| ~5.6e-9 f32 / 2.5e-5 bf16) — the
+MXU's within-tile reduction tree sums the same nonzero terms at different
+leaf positions when the zero rows shift the grouping (K=480-stuffed vs
+K=160-dense), a ~1-ulp reassociation documented as PARITY.md deviation 13.
+The gates below therefore RECORD the deviation rather than demand zero;
+predecim shipped as the default on the A/B win (bare op -28% f32, full
+step wins at highest and bf16_io).
 
 Run on the real chip (cwd=/root/repo):  python benchmarks/stft_ab.py
 Modes: BENCH_MODES=all for highest+bf16+bf16_io; default bf16 only.
@@ -60,7 +64,7 @@ def make_step_fn(params, st, predecim: bool):
         try:
             return jfe(audio)
         finally:
-            offline.set_stft_predecim(False)
+            offline.set_stft_predecim(None)
 
     return call
 
@@ -76,7 +80,7 @@ def make_prod_fn(st, predecim: bool):
         try:
             return jp(audio)
         finally:
-            offline.set_stft_predecim(False)
+            offline.set_stft_predecim(None)
 
     return call
 

@@ -106,12 +106,13 @@ def _decim_sel(hop: int, decimate: int) -> np.ndarray:
     """0/1 selection matrix [hop*decimate, hop]: column k picks 48 kHz sample
     k*decimate of a raw segment — decimation expressed as a dense matmul.
 
-    Exact at every precision: each output is one 1.0*x plus zero terms, and
-    adding +0.0 never perturbs an f32 partial sum, so feeding the selected
-    segments through the dense (decimate=1) basis is bitwise-identical to
-    the zero-stuffed fused basis while performing 1/decimate of its MXU
-    work (the fused [hop*d, 4*bins] basis is 2/3 structurally-zero rows at
-    d=3 — the measured 13%-of-roofline stage, ROOFLINE.md)."""
+    The selection itself is exact at every precision (each output is one
+    1.0*x plus +0.0 terms), and the composite predecim product performs
+    1/decimate of the fused basis's MXU work (the fused [hop*d, 4*bins]
+    basis is 2/3 structurally-zero rows at d=3 — the measured
+    13%-of-roofline stage). vs the fused basis the composite is
+    bitwise on XLA:CPU but ~1 ulp off on the MXU (reduction-tree leaf
+    positions shift with the zero rows) — PARITY.md deviation 13."""
     sel = np.zeros((hop * decimate, hop), np.float32)
     sel[np.arange(hop) * decimate, np.arange(hop)] = 1.0
     return sel

@@ -209,10 +209,17 @@ class SlabRunner:
         sh = mesh_lib.batch_sharding(self.mesh) if self.mesh is not None else None
         if self.pipeline_fe != "off":
             # Prologue: slab 0's segment product (every later slab's product
-            # comes out of the previous step's rider).
+            # comes out of the previous step's rider). The rider/deep modes
+            # reproduce the FUSED basis program row-sliced, so their slab-0
+            # product must pin predecim off to keep the whole chain one
+            # program (PARITY.md deviation 13); flat uses the shipping
+            # default (its prod op is the same segmat_prod everywhere).
+            rider_predecim = False if self.pipeline_fe in ("on", "deep") else None
+
             def prod_fn(audio, raw_tail):
                 return offline.segmat_prod(
-                    dequant(audio), raw_tail, st.downsample_rate
+                    dequant(audio), raw_tail, st.downsample_rate,
+                    predecim=rider_predecim,
                 )
 
             self._prod_fn = (

@@ -115,23 +115,47 @@ def init_slab_carry(n_channels: int, downsample_rate: int = 3, dtype=jnp.float32
 # (benchmarks/stft_ab.py: bare op −28% f32, full step wins at highest and
 # bf16_io); ~1-ulp MXU reduction-tree reassociation vs fused — PARITY.md
 # deviation 13 (FVAD_STFT_PREDECIM=off restores the fused basis).
-_PREDECIM = os.environ.get("FVAD_STFT_PREDECIM", "on").lower() == "on"
+# A kill-switch that silently ignored an unrecognized value would leave
+# the operator believing the other program is running (same contract as
+# FVAD_BAND_COMPOSITE's parser).
+_PREDECIM_ENV = os.environ.get("FVAD_STFT_PREDECIM", "on").lower()
+if _PREDECIM_ENV not in ("on", "off"):
+    raise ValueError(
+        f"FVAD_STFT_PREDECIM must be 'on' or 'off', got {_PREDECIM_ENV!r}"
+    )
+_PREDECIM = _PREDECIM_ENV == "on"
 
 
-def set_stft_predecim(on: bool) -> None:
+def set_stft_predecim(on: bool | None) -> None:
+    """Override the predecim default at trace time; ``None`` restores the
+    FVAD_STFT_PREDECIM env default."""
     global _PREDECIM
-    _PREDECIM = bool(on)
+    _PREDECIM = (_PREDECIM_ENV == "on") if on is None else bool(on)
 
 
-def segmat_prod(audio: jnp.ndarray, raw_tail: jnp.ndarray, downsample_rate: int = 3):
+def segmat_prod(
+    audio: jnp.ndarray,
+    raw_tail: jnp.ndarray,
+    downsample_rate: int = 3,
+    predecim: bool | None = None,
+):
     """The slab's raw segment-basis matmul product [..., S+1, 4*161]
     (stft_segmat before the shift-add) — the quantity the cross-slab
     pipelined path computes one slab ahead, inside the previous slab's GRU
-    scan (``window_inputs_pipelined``)."""
+    scan (``window_inputs_pipelined``).
+
+    ``predecim=None`` follows the global default (PARITY.md deviation 13).
+    The opt-in rider/deep paths pass ``False`` explicitly: their row-sliced
+    in-scan program reproduces the FUSED basis matmul, and their bitwise
+    gates compare against that premise — the two programs differ by ~1 ulp
+    on the MXU (different reduction-tree leaf positions), so mixing them
+    in one chain would fail the gates for a spurious reason."""
     from ..ops.precision import io_cast, matmul_precision
 
+    if predecim is None:
+        predecim = _PREDECIM
     seg48 = (NSNET2_N_FFT // 2) * downsample_rate
-    if _PREDECIM and downsample_rate > 1:
+    if predecim and downsample_rate > 1:
         # Decimate FIRST with a 0/1 select matmul (exact), then run the
         # dense decimate=1 basis on hop-wide segments: 1/3 the fused
         # basis's MXU work and a 3x smaller segment intermediate. The

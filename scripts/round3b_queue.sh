@@ -9,6 +9,11 @@
 cd "$(dirname "$0")/.." || exit 1
 LOG=/tmp/relay_queue.log
 
+# One chip job at a time through the tunnel: wait for any tracked bench
+# capture to finish before queueing (same rule as serve_ceiling_queue.sh).
+if [ -f /tmp/bench_high.pid ]; then
+  while kill -0 "$(cat /tmp/bench_high.pid)" 2>/dev/null; do sleep 30; done
+fi
 for i in $(seq 1 "${RELAY_PROBES:-120}"); do
   code=$(curl -s -m 5 http://127.0.0.1:8083/ -o /dev/null -w "%{http_code}" 2>/dev/null)
   if [ "$code" != "000" ] && [ -n "$code" ]; then

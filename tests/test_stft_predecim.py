@@ -27,7 +27,7 @@ from formula_vad_tpu.pipeline import offline, vad
 @pytest.fixture(autouse=True)
 def _restore_toggles():
     yield
-    offline.set_stft_predecim(False)
+    offline.set_stft_predecim(None)  # back to the env/shipping default
     precision.set_matmul_precision("highest")
     precision.set_io_dtype("f32")
 
