@@ -118,8 +118,17 @@ def flops_per_audio_sec(st) -> float:
     hidden, ff1, ff2 = 400, 600, 600
     n_band = st.max_bin - st.min_bin + 1
 
-    # stft_segmat: per chunk, `frames` segment-rows through [480, 4*161].
-    stft = 2 * frames * (hop16 * 3) * (4 * bins16)
+    from formula_vad_tpu.pipeline import offline as _off
+
+    if _off.stft_predecim_enabled():
+        # Predecim split (PARITY.md dev. 13): per chunk, `frames`
+        # segment-rows through the 0/1 select [480, 160] then the dense
+        # basis [160, 4*161] — the compiled program performs ~42% fewer
+        # MACs than the fused zero-stuffed basis.
+        stft = 2 * frames * ((hop16 * 3) * hop16 + hop16 * (4 * bins16))
+    else:
+        # Fused basis: `frames` segment-rows through [480, 4*161].
+        stft = 2 * frames * (hop16 * 3) * (4 * bins16)
     # model: fc_in on 54 frames, 2 GRU layers (input + recurrent projections
     # each [*, 400] @ [400, 1200]), FF head on 50 output frames.
     mf = frames + 4

@@ -126,6 +126,12 @@ if _PREDECIM_ENV not in ("on", "off"):
 _PREDECIM = _PREDECIM_ENV == "on"
 
 
+def stft_predecim_enabled() -> bool:
+    """Current trace-time predecim default (bench.py's FLOP accounting
+    follows the compiled program — STATUS round-3 item 8)."""
+    return _PREDECIM
+
+
 def set_stft_predecim(on: bool | None) -> None:
     """Override the predecim default at trace time; ``None`` restores the
     FVAD_STFT_PREDECIM env default."""
