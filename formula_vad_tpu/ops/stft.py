@@ -122,6 +122,31 @@ def decim_sel_arr(hop: int, decimate: int) -> jnp.ndarray:
     return jnp.asarray(_decim_sel(hop, decimate))
 
 
+@functools.lru_cache(maxsize=None)
+def _segmat_basis_padded(window_key: int, n_fft: int) -> np.ndarray:
+    """Dense (decimate=1) segment basis with its columns EXPLICITLY
+    zero-padded to the next multiple of 128 lanes (644 -> 768).
+
+    Measured (benchmarks/stft_layout_exp.py, on chip 2026-08-19): the
+    hand-padded matmul runs ~22% faster than XLA's implicit pad at
+    highest/bf16 precision (neutral at bf16_io, where the op is
+    HBM-bound). Bitwise-safe: zero basis columns cannot change the
+    consumed columns' contractions; consumers slice [.., :4*n_bins]
+    (segmat_spectra)."""
+    base = _segmat_basis(window_key, n_fft, 1)
+    n = base.shape[1]
+    pad = (-n) % 128
+    if pad == 0:
+        return base
+    return np.concatenate([base, np.zeros((base.shape[0], pad), base.dtype)], axis=1)
+
+
+def segmat_basis_padded_arr(window: np.ndarray, n_fft: int) -> jnp.ndarray:
+    key = hash(window.tobytes())
+    _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
+    return jnp.asarray(_segmat_basis_padded(key, n_fft))
+
+
 def segmat_segments(
     x: jnp.ndarray, seg: int, initial_segment: jnp.ndarray | None = None
 ) -> jnp.ndarray:
@@ -149,10 +174,11 @@ def segmat_spectra(
     prod: jnp.ndarray, n_fft: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Finish the segment-basis STFT from the raw matmul product
-    [..., S+1, 4*n_bins]: frame f = top half of segment f + bottom half of
-    segment f+1 (the shift-add)."""
+    [..., S+1, >=4*n_bins]: frame f = top half of segment f + bottom half
+    of segment f+1 (the shift-add). Columns past 4*n_bins (the padded
+    basis's zero lanes, ``_segmat_basis_padded``) are ignored."""
     n_bins = n_fft // 2 + 1
-    z = prod[..., :-1, : 2 * n_bins] + prod[..., 1:, 2 * n_bins :]
+    z = prod[..., :-1, : 2 * n_bins] + prod[..., 1:, 2 * n_bins : 4 * n_bins]
     return z[..., :n_bins], z[..., n_bins : 2 * n_bins]
 
 

@@ -169,7 +169,10 @@ def segmat_prod(
         # moves hop-wide rows.
         hop = NSNET2_N_FFT // 2
         sel = io_cast(stft.decim_sel_arr(hop, downsample_rate))
-        basis = io_cast(stft.segmat_basis_arr(den_mod._WINDOW, NSNET2_N_FFT, 1))
+        # Explicitly 768-padded dense basis: ~22% faster than XLA's
+        # implicit 644->768 pad at highest/bf16 (stft_layout_exp.py);
+        # bitwise-safe, consumers slice the first 4*n_bins columns.
+        basis = io_cast(stft.segmat_basis_padded_arr(den_mod._WINDOW, NSNET2_N_FFT))
         t = audio.shape[-1]
         segs48 = audio.reshape(audio.shape[:-1] + (t // seg48, seg48))
         prec = matmul_precision()

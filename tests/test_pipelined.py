@@ -32,6 +32,13 @@ def _composite_on(monkeypatch):
     # pipeline_fe off otherwise); the production default is materialize
     # after the on-chip band-fold A/B, so force composite on here.
     monkeypatch.setenv("FVAD_BAND_COMPOSITE", "on")
+    # The rider reproduces the FUSED basis program row-sliced (PARITY
+    # dev. 13): its <=1-ulp-vs-plain contracts are same-program claims,
+    # so pin the fused STFT for this module (rider chains can't run the
+    # predecim split).
+    offline.set_stft_predecim(False)
+    yield
+    offline.set_stft_predecim(None)
 
 
 @pytest.fixture(scope="module")
@@ -59,7 +66,9 @@ def test_rider_prod_close(params, st):
     rider, assemble = offline.next_slab_rider(audio_next, raw_tail)
     fn, xs = rider
     got = np.asarray(assemble(jax.lax.map(fn, xs)))
-    want = np.asarray(offline.segmat_prod(audio_next, raw_tail))
+    # The rider reproduces the FUSED basis program (PARITY dev. 13):
+    # compare against the fused one-shot product, not the predecim default.
+    want = np.asarray(offline.segmat_prod(audio_next, raw_tail, predecim=False))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=0, atol=2e-6)
 
@@ -125,7 +134,7 @@ def test_pipelined_chain_bitwise(params, st, ragged):
 
     # Pipelined: prologue product, then every front-end rides the scan.
     carry_b = offline.init_slab_carry(2)
-    prod = offline.segmat_prod(slabs[0], carry_b["raw_tail"])
+    prod = offline.segmat_prod(slabs[0], carry_b["raw_tail"], predecim=False)
     outs_b = []
     for s in range(n_slabs):
         nxt = slabs[s + 1] if s + 1 < n_slabs else jnp.zeros_like(slabs[s])
@@ -173,7 +182,7 @@ def test_deep_chain_tracks_plain(params, st, ragged):
 
     den = offline.init_slab_carry(2)
     deep = offline.init_deep_state(2, slab_chunks, st.fft_size)
-    prod = offline.segmat_prod(slabs[0], den["raw_tail"])
+    prod = offline.segmat_prod(slabs[0], den["raw_tail"], predecim=False)
     emissions = []
     for s in range(n_slabs):
         nxt = slabs[s + 1] if s + 1 < n_slabs else jnp.zeros_like(slabs[s])
@@ -224,7 +233,7 @@ def test_pipelined_bf16_io_tracks_plain(params, st):
             outs_a.append((mv, rt, va))
 
         carry_b = offline.init_slab_carry(2)
-        prod = offline.segmat_prod(slabs[0], carry_b["raw_tail"])
+        prod = offline.segmat_prod(slabs[0], carry_b["raw_tail"], predecim=False)
         assert prod.dtype == jnp.bfloat16
         outs_b = []
         for s in range(2):
