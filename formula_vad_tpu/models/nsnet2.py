@@ -172,6 +172,76 @@ def _gates_lbr(gi, gh, h):
     return (1.0 - z) * n + z * h
 
 
+# --- split3: per-gate GRU matmuls (lane-aligned gate outputs) ---------------
+#
+# HIDDEN=400 is not a lane multiple (400 != k*128), so the fused [400, 1200]
+# projections force 400/800-boundary slicing of every gate tensor — inside
+# the scan, every step. Computing each gate's projection as its own
+# [400, 400] matmul leaves outputs natively gate-aligned with no slicing
+# anywhere. Measured on chip (benchmarks/gru_pad_exp.py 2026-08-19,
+# interleaved): the full model stage wins 7.5% at bf16 (all 3 reps, gate
+# vs plain BITWISE), +2.5% at highest (all 3 reps, also BITWISE on chip),
+# ties at bf16_io (gate 3.9e-3 — per-gate activations round to bf16
+# storage separately there). On XLA:CPU the split is ~1-ulp off the fused
+# form at every level (dot N-tiling changes — PARITY.md dev. 13 class),
+# which is where the parity/fuzz suites run, so default "auto" enables it
+# only at DEFAULT matmul precision (the bf16/bf16_io production modes);
+# the parity tiers keep the fused program (the highest-tier +2.5% is left
+# on the table for cross-backend bitwise parity; FVAD_GRU_SPLIT3=on takes
+# it explicitly). The whpad/kpad512 padding variants LOSE at every mode —
+# measured dead ends (same log).
+# The opt-in rider/deep/wavefront paths always pin the fused form — their
+# bitwise gates compare against plain chains, so both sides must run one
+# program (the same reason those paths pin predecim off).
+
+_SPLIT3_ENV = os.environ.get("FVAD_GRU_SPLIT3", "auto").lower()
+if _SPLIT3_ENV not in ("auto", "on", "off"):
+    raise ValueError(
+        f"FVAD_GRU_SPLIT3 must be 'auto', 'on' or 'off', got {_SPLIT3_ENV!r}"
+    )
+_SPLIT3 = _SPLIT3_ENV
+
+
+def set_gru_split3(mode: str | None) -> None:
+    """Override the split3 mode at trace time ('auto'|'on'|'off');
+    ``None`` restores the FVAD_GRU_SPLIT3 env default."""
+    global _SPLIT3
+    if mode is not None and mode not in ("auto", "on", "off"):
+        raise ValueError(f"split3 mode must be 'auto', 'on' or 'off', got {mode!r}")
+    _SPLIT3 = _SPLIT3_ENV if mode is None else mode
+
+
+def _split3_enabled() -> bool:
+    if _SPLIT3 == "on":
+        return True
+    if _SPLIT3 == "off":
+        return False
+    return matmul_precision() in (None, jax.lax.Precision.DEFAULT)
+
+
+def _split_gru3(g: GRUParams):
+    """(wi[in,3H], wh[H,3H], bi, bh) -> per-gate triples (z, r, n each)."""
+    return (
+        tuple(jnp.split(g.wi, 3, axis=-1)),
+        tuple(jnp.split(g.wh, 3, axis=-1)),
+        tuple(jnp.split(g.bi, 3)),
+        tuple(jnp.split(g.bh, 3)),
+    )
+
+
+def _proj3(h, w3, b3):
+    return tuple(_dense(h, w, b) for w, b in zip(w3, b3))
+
+
+def _gates_split3(gi3, gh3, h):
+    """_gates_lbr with the projections arriving per-gate (no slicing)."""
+    (z_i, r_i, n_i), (z_h, r_h, n_h) = gi3, gh3
+    z = jax.nn.sigmoid(z_i + z_h)
+    r = jax.nn.sigmoid(r_i + r_h)
+    n = jnp.tanh(n_i + r * n_h)
+    return (1.0 - z) * n + z * h
+
+
 def apply_streaming(
     params: NSNet2Params,
     state,
@@ -244,14 +314,52 @@ def apply_streaming(
         state = jax.tree_util.tree_map(_prec.io_cast, state)
     g1, g2 = params.gru1, params.gru2
     x = _dense(features, params.fc_in_w, params.fc_in_b)  # [..., T, 400]
-    # GRU1's input projection over the whole sequence: one big matmul.
-    gi1 = _dense(x, params.gru1.wi, params.gru1.bi)  # [..., T, 1200]
-    # scan over time: move T to the front.
-    gi1_t = jnp.moveaxis(gi1, -2, 0)  # [T, ..., 1200]
 
     wavefront = bool(g1.linear_before_reset and g2.linear_before_reset)
     if os.environ.get("FVAD_GRU_WAVEFRONT", "off") != "on":
         wavefront = False
+
+    # Per-gate matmuls (no 400-boundary slicing) in the plain layer-by-layer
+    # path at the precisions where they measure faster; the rider/deep/
+    # wavefront opt-ins pin the fused form (see the split3 block above).
+    split3 = (
+        _split3_enabled()
+        and not wavefront
+        and rider is None
+        and not defer_head
+        and bool(g1.linear_before_reset and g2.linear_before_reset)
+    )
+    if split3:
+        wi1_3, wh1_3, bi1_3, bh1_3 = _split_gru3(g1)
+        wi2_3, wh2_3, bi2_3, bh2_3 = _split_gru3(g2)
+        # GRU1's input projections over the whole sequence: three big
+        # matmuls, each gate's output natively aligned.
+        gi1_t = tuple(
+            jnp.moveaxis(_dense(x, w, b), -2, 0)
+            for w, b in zip(wi1_3, bi1_3)
+        )  # 3 x [T, ..., 400]
+
+        def step3(carry, gi1_i):
+            h1, h2 = carry
+            h1 = _gates_split3(gi1_i, _proj3(h1, wh1_3, bh1_3), h1)
+            h2 = _gates_split3(
+                _proj3(h1, wi2_3, bi2_3), _proj3(h2, wh2_3, bh2_3), h2
+            )
+            return (h1, h2), h2
+
+        (h1, h2), ys = jax.lax.scan(step3, state, gi1_t)
+        if out_frames is not None and out_frames < t:
+            ys = ys[t - out_frames :]
+        y = jnp.moveaxis(ys, 0, -2)  # [..., T_out, 400]
+        gains = apply_head(params, y)
+        if io is not None and state_dtype != io:
+            h1, h2 = h1.astype(state_dtype), h2.astype(state_dtype)
+        return (h1, h2), gains
+
+    # GRU1's input projection over the whole sequence: one big matmul.
+    gi1 = _dense(x, params.gru1.wi, params.gru1.bi)  # [..., T, 1200]
+    # scan over time: move T to the front.
+    gi1_t = jnp.moveaxis(gi1, -2, 0)  # [T, ..., 1200]
 
     if wavefront:
         # A rider composes with the wavefront schedule too: slices 0..T-2

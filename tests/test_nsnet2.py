@@ -127,3 +127,59 @@ class TestOnnxImport:
             np.asarray(nsnet2.apply(params, feats)),
             atol=0,
         )
+
+
+class TestSplit3:
+    """Per-gate GRU matmuls (FVAD_GRU_SPLIT3) vs the fused projections.
+
+    Contract (nsnet2.py split3 block): same math, different dot tiling —
+    BITWISE on the TPU MXU at highest/bf16 (measured, gru_pad_exp.py), ~1 ulp
+    apart on XLA:CPU. Here: ulp-tolerance equivalence on CPU, plus the
+    auto-mode gating rules."""
+
+    def _run(self, params, mode, level="default"):
+        from formula_vad_tpu.ops import precision
+
+        precision.set_matmul_precision(level)
+        nsnet2.set_gru_split3(mode)
+        try:
+            x = jnp.asarray(
+                np.random.default_rng(11).standard_normal((3, 9, nsnet2.N_BINS)) * 0.3,
+                jnp.float32,
+            )
+            st = nsnet2.zero_state((3,))
+            # Fresh function object per trace (the toggle is trace-time).
+            (h1, h2), gains = jax.jit(
+                lambda p, s, f: nsnet2.apply_streaming(p, s, f)
+            )(params, st, x)
+            return np.asarray(h1), np.asarray(h2), np.asarray(gains)
+        finally:
+            nsnet2.set_gru_split3(None)
+            precision.set_matmul_precision("highest")
+
+    @pytest.mark.parametrize("level", ["highest", "default"])
+    def test_split3_tracks_fused(self, params, level):
+        h1a, h2a, ga = self._run(params, "off", level)
+        h1b, h2b, gb = self._run(params, "on", level)
+        np.testing.assert_allclose(ga, gb, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(h1a, h1b, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(h2a, h2b, rtol=0, atol=1e-5)
+
+    def test_auto_gates_on_precision(self):
+        from formula_vad_tpu.ops import precision
+
+        try:
+            nsnet2.set_gru_split3("auto")
+            precision.set_matmul_precision("default")
+            assert nsnet2._split3_enabled()
+            precision.set_matmul_precision("highest")
+            assert not nsnet2._split3_enabled()
+            precision.set_matmul_precision("high")
+            assert not nsnet2._split3_enabled()
+        finally:
+            nsnet2.set_gru_split3(None)
+            precision.set_matmul_precision("highest")
+
+    def test_mode_validation(self):
+        with pytest.raises(ValueError, match="split3"):
+            nsnet2.set_gru_split3("sometimes")

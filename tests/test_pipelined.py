@@ -35,10 +35,14 @@ def _composite_on(monkeypatch):
     # The rider reproduces the FUSED basis program row-sliced (PARITY
     # dev. 13): its <=1-ulp-vs-plain contracts are same-program claims,
     # so pin the fused STFT for this module (rider chains can't run the
-    # predecim split).
+    # predecim split). Same for the fused GRU projections: the rider/deep
+    # scan steps always run the fused [400, 1200] form, so the plain
+    # baselines must not take the split3 path at default precision.
     offline.set_stft_predecim(False)
+    nsnet2.set_gru_split3("off")
     yield
     offline.set_stft_predecim(None)
+    nsnet2.set_gru_split3(None)
 
 
 @pytest.fixture(scope="module")
