@@ -58,6 +58,12 @@ PCM16 = os.environ.get("SCALE_PCM16", "0") != "0"
 # (the dequant's cost can't be read across processes — relay throttle
 # lottery, verify SKILL.md).
 AB = os.environ.get("SCALE_AB", "0") != "0"
+# SCALE_MICROBATCH=m: split each tick into m sequential shard dispatches of
+# B/m streams (OnlineBatchServer(microbatch=m)). Carries stay per-stream
+# resident; the step's TRANSIENT activations — the measured HBM binder past
+# ~14k streams — shrink by m, trading a few dispatch round trips for
+# capacity. Per-row math identical (row-count-independent MXU contractions).
+MICRO = int(os.environ.get("SCALE_MICROBATCH", "1"))
 
 
 def _sync(x):
@@ -86,34 +92,51 @@ def measure(b: int, params, st, pcm16: bool | None = None) -> dict:
 
     jstep = jax.jit(batched_step)
     fill = {"v": 0}  # lockstep fill phase, host-tracked like the server's
+    m = MICRO
+    if b % m:
+        raise ValueError(f"B={b} must be a multiple of SCALE_MICROBATCH={m}")
+    sh = b // m
 
-    def step(carries, chunks, valid):
+    def step(carries, chunks_m, valid):
+        # One tick = m sequential shard dispatches (the server's
+        # microbatch loop, parallel/online.py::_run_step).
         start = jnp.int32(st.fft_size - fill["v"])
-        out = jstep(carries, chunks, valid, start)
+        new_c, outs = [], []
+        for s in range(m):
+            c2, o = jstep(carries[s], chunks_m[s], valid, start)
+            new_c.append(c2)
+            outs.append(o)
         fill["v"] = (fill["v"] + st.chunk_size) % st.fft_size
-        return out
+        return new_c, outs
 
-    carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
-    carry_bytes = sum(x.nbytes for x in jax.tree_util.tree_leaves(carries))
+    carries = [
+        jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(sh)) for _ in range(m)
+    ]
+    carry_bytes = m * sum(
+        x.nbytes for x in jax.tree_util.tree_leaves(carries[0])
+    )
 
     # Inputs are generated ON DEVICE (only the PRNG key crosses the tunnel):
     # incompressible f32 noise moves at ~10-25 MB/s through the relay, which
     # at B=13,824 cost minutes per resident buffer.
     def gen(key):
         x = 0.02 * jax.random.normal(
-            key, (b, st.n_channels, st.chunk_size), jnp.float32
+            key, (sh, st.n_channels, st.chunk_size), jnp.float32
         )
         if pcm16:
             return jnp.clip(jnp.round(x * 32768.0), -32768, 32767).astype(jnp.int16)
         return x
 
     jgen = jax.jit(gen)
-    chunks = [jgen(jax.random.PRNGKey(i)) for i in range(2)]
-    input_bytes = sum(int(c.nbytes) for c in chunks)
-    valid = jnp.ones((b,), bool)
+    chunks = [
+        [jgen(jax.random.PRNGKey(2 * i * m + s)) for s in range(m)]
+        for i in range(2)
+    ]
+    input_bytes = sum(int(c.nbytes) for row in chunks for c in row)
+    valid = jnp.ones((sh,), bool)
 
-    carries, out = step(carries, chunks[0], valid)
-    _sync(out)
+    carries, outs = step(carries, chunks[0], valid)
+    _sync(outs[-1])
     fill0 = fill["v"]  # run() restarts from the post-warmup carries
 
     def run(n):
@@ -121,8 +144,9 @@ def measure(b: int, params, st, pcm16: bool | None = None) -> dict:
         fill["v"] = fill0
         t0 = time.perf_counter()
         for i in range(n):
-            c, out = step(c, chunks[i % 2], valid)
-        _sync(out)
+            c, outs = step(c, chunks[i % 2], valid)
+        for o in outs:
+            _sync(o)
         return time.perf_counter() - t0
 
     if ITERS < 2:  # degenerate: no slope possible, fall back to the average
@@ -138,11 +162,11 @@ def measure(b: int, params, st, pcm16: bool | None = None) -> dict:
         # tick). Inputs are the per-tick outputs the server fetches anyway.
         from formula_vad_tpu.pipeline import fsm_host
 
-        _, out0 = step(carries, chunks[0], valid)
-        mv = np.asarray(out0.min_vol)
-        rt = np.asarray(out0.ratios)
-        va = np.asarray(out0.window_valid)
-        wb = np.asarray(out0.win_indices)[:, 0]
+        _, outs0 = step(carries, chunks[0], valid)
+        mv = np.concatenate([np.asarray(o.min_vol) for o in outs0])
+        rt = np.concatenate([np.asarray(o.ratios) for o in outs0])
+        va = np.concatenate([np.asarray(o.window_valid) for o in outs0])
+        wb = np.concatenate([np.asarray(o.win_indices)[:, 0] for o in outs0])
         hc = fsm_host.init_host_carry(st.fsm_shape, st.fsm_params, b)
         t0 = time.perf_counter()
         n_dec = 10
@@ -170,7 +194,7 @@ def main():
     rows = []
     print(
         f"denoised={int(DENOISED)} shared={int(SHARED)} pcm16={int(PCM16)} "
-        f"fsm={os.environ.get('SCALE_FSM', 'host')}"
+        f"fsm={os.environ.get('SCALE_FSM', 'host')} microbatch={MICRO}"
     )
     print(
         f"{'B':>6} {'ms/tick':>9} {'carry MB':>9} {'input MB':>9} "

@@ -46,13 +46,24 @@ class OnlineBatchServer:
         use_host_fsm: bool | None = None,
         collect_denoised: bool = True,
         use_shared_fill: bool = True,
+        microbatch: int = 1,
     ):
         """collect_denoised=False is the events-only serving tier: the
         denoised batch ([B, C, chunk] f32 — ~1.8 GB on device plus the same
         D2H per tick at B=9216) never leaves the device. Decisions, segments,
         callbacks and ORIGINAL recordings are unchanged; denoised recordings
         are unavailable (vad.chunk_step docstring). Use it when serving VAD
-        events at maximum stream density rather than clip extraction."""
+        events at maximum stream density rather than clip extraction.
+
+        microbatch=m splits each tick into m sequential shard dispatches of
+        B/m streams: per-stream carries stay resident, but the step's
+        TRANSIENT activations (the HBM-capacity binder past ~14k streams —
+        STATUS round-3 item 12) shrink by m. Per-row math is unchanged —
+        vmapped rows are independent and MXU contraction order is
+        row-count-independent (the pipeline_ab gate premise) — so outputs
+        are expected bitwise-identical to microbatch=1; shard k+1's compute
+        overlaps shard k's async D2H. Time is ~linear in B at these scales,
+        so m trades nothing but a few dispatch round trips for capacity."""
         if params is None:
             from ..models.registry import load_denoiser
 
@@ -71,15 +82,22 @@ class OnlineBatchServer:
             for cb in cbs
         ]
         self.chunk_size = self.st.chunk_size
+        if microbatch < 1 or n_streams % microbatch:
+            raise ValueError(
+                f"n_streams={n_streams} must be a positive multiple of "
+                f"microbatch={microbatch}"
+            )
+        self.microbatch = microbatch
+        self._shard = n_streams // microbatch
         self.mesh = mesh if mesh is not None else (
             mesh_lib.data_mesh() if use_mesh else None
         )
         if self.mesh is not None:
             n_dev = int(np.prod(list(self.mesh.shape.values())))
-            if n_streams % n_dev:
+            if self._shard % n_dev:
                 raise ValueError(
-                    f"n_streams={n_streams} must be divisible by the mesh's "
-                    f"{n_dev} devices (pad with always-invalid streams)"
+                    f"microbatch shard {self._shard} must be divisible by the "
+                    f"mesh's {n_dev} devices (pad with always-invalid streams)"
                 )
 
         st = self.st
@@ -164,7 +182,12 @@ class OnlineBatchServer:
         self._fills = np.zeros(b, np.int64)
         self._use_shared_fill = use_shared_fill
         self._reset_fn = None  # lazily-jitted row reset (reset_stream)
-        self._carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
+        # One carry pytree per microbatch shard (len 1 when microbatch=1);
+        # shards never move after init — only their leaves are replaced.
+        self._carries = [
+            jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(self._shard))
+            for _ in range(microbatch)
+        ]
         self._host_fsm_carry = None
         if use_host_fsm:
             from ..pipeline import fsm_host
@@ -202,10 +225,11 @@ class OnlineBatchServer:
                 return jax.tree_util.tree_map(upd, carries, init_single)
 
             self._reset_fn = jax.jit(reset_rows, donate_argnums=donate)
-        mask = np.zeros(self.n_streams, bool)
-        mask[i] = True
-        self._carries = self._reset_fn(
-            self._carries, vad.init_carry(self.st), jnp.asarray(mask)
+        s, r = divmod(i, self._shard)
+        mask = np.zeros(self._shard, bool)
+        mask[r] = True
+        self._carries[s] = self._reset_fn(
+            self._carries[s], vad.init_carry(self.st), jnp.asarray(mask)
         )
         if self._host_fsm_carry is not None:
             from ..pipeline import fsm_host
@@ -219,23 +243,41 @@ class OnlineBatchServer:
             self.config, self.params, cb, statics=self.st, server_managed=True
         )
 
-    def _run_step(self, chunks_dev, valid_np: np.ndarray):
-        """Dispatch one batched tick, picking the shared-fill fast path when
-        every valid stream's window-fill phase agrees (host-tracked)."""
+    def _run_step(self, chunks_host: np.ndarray, valid_np: np.ndarray):
+        """Dispatch one tick as ``microbatch`` sequential shard steps (one
+        when microbatch=1), picking the shared-fill fast path when every
+        valid stream's window-fill phase agrees (host-tracked; the shared
+        start is fleet-global, so the choice is made once per tick).
+        Returns the tick output as HOST arrays — each shard's async D2H is
+        started at dispatch, so shard k's fetch overlaps shard k+1's
+        compute (and the host-FSM decode consumes host buffers anyway)."""
         live = self._fills[valid_np]
-        if self._use_shared_fill and live.size and (live == live[0]).all():
-            start = jnp.int32(self.st.fft_size - int(live[0]))
-            self._carries, out = self._step_shared(
-                self._carries, chunks_dev, jnp.asarray(valid_np), start
-            )
-        else:
-            self._carries, out = self._step(
-                self._carries, chunks_dev, jnp.asarray(valid_np)
-            )
+        shared = self._use_shared_fill and live.size and (live == live[0]).all()
+        start = (
+            jnp.int32(self.st.fft_size - int(live[0])) if shared else None
+        )
+        sh = self._shard
+        outs = []
+        for s in range(self.microbatch):
+            rows = slice(s * sh, (s + 1) * sh)
+            ck = jnp.asarray(chunks_host[rows])
+            va = jnp.asarray(valid_np[rows])
+            if shared:
+                self._carries[s], out_s = self._step_shared(
+                    self._carries[s], ck, va, start
+                )
+            else:
+                self._carries[s], out_s = self._step(self._carries[s], ck, va)
+            outs.append(self._start_fetch(out_s))
         self._fills[valid_np] = (
             self._fills[valid_np] + self.chunk_size
         ) % self.st.fft_size
-        return out
+        if self.microbatch == 1:
+            return jax.device_get(outs[0])
+        host = [jax.device_get(o) for o in outs]
+        return jax.tree_util.tree_map(
+            lambda *xs: np.concatenate(xs, axis=0), *host
+        )
 
     @staticmethod
     def _start_fetch(out):
@@ -336,8 +378,7 @@ class OnlineBatchServer:
             for i in np.nonzero(ring_routed)[0]:
                 # residue > 0 plus a full chunk always yields >= 1 pending
                 dev_chunks[i] = self.pipelines[i].peek_pending_chunk()
-        out = self._run_step(jnp.asarray(dev_chunks), valid)
-        out = self._finish_outputs(jax.device_get(self._start_fetch(out)))
+        out = self._finish_outputs(self._run_step(np.asarray(dev_chunks), valid))
         for i in range(self.n_streams):
             if not valid[i]:
                 continue
@@ -367,8 +408,7 @@ class OnlineBatchServer:
                 for p, v in zip(self.pipelines, valid)
             ]
         )
-        out = self._run_step(jnp.asarray(chunks), valid)
-        out = self._finish_outputs(jax.device_get(self._start_fetch(out)))
+        out = self._finish_outputs(self._run_step(chunks, valid))
         for i, p in enumerate(self.pipelines):
             if valid[i]:
                 p.complete_chunk(jax.tree_util.tree_map(lambda x: np.asarray(x)[i], out))
@@ -388,7 +428,7 @@ class OnlineBatchServer:
         from ..utils import checkpoint
 
         os.makedirs(directory, exist_ok=True)
-        carries = self._carries
+        carries = self._full_carries()
         if self._host_fsm_carry is not None:
             # Host-FSM mode: the authoritative FSM state lives host-side
             # (the device carry's fsm slot is frozen at init). Fold it back
@@ -411,14 +451,32 @@ class OnlineBatchServer:
             # file above is authoritative).
             p.save_state(os.path.join(directory, f"stream{i:04d}.npz"))
 
+    def _full_carries(self):
+        """The batched [B, ...] carry pytree (concatenating microbatch
+        shards when there are several — checkpoints stay microbatch-
+        portable: save at m=4, resume at m=1, and vice versa)."""
+        if self.microbatch == 1:
+            return self._carries[0]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *self._carries
+        )
+
+    def _set_full_carries(self, carries) -> None:
+        sh = self._shard
+        self._carries = [
+            jax.tree_util.tree_map(lambda x: x[s * sh : (s + 1) * sh], carries)
+            for s in range(self.microbatch)
+        ]
+
     def load_state(self, directory: str) -> None:
         import os
 
         from ..utils import checkpoint
 
-        self._carries = checkpoint.load_carry(
-            os.path.join(directory, "carries.npz"), self._carries
+        full = checkpoint.load_carry(
+            os.path.join(directory, "carries.npz"), self._full_carries()
         )
+        self._set_full_carries(full)
         if self._host_fsm_carry is not None:
             path = os.path.join(directory, "host_fsm.npz")
             if os.path.exists(path):
@@ -432,12 +490,12 @@ class OnlineBatchServer:
                 from ..pipeline import fsm_host
 
                 self._host_fsm_carry = fsm_host.host_carry(
-                    self.st.fsm_shape, jax.device_get(self._carries["fsm"])
+                    self.st.fsm_shape, jax.device_get(full["fsm"])
                 )
         for i, p in enumerate(self.pipelines):
             p.load_state(os.path.join(directory, f"stream{i:04d}.npz"))
         # Re-sync the host-tracked fill phases from the restored carries so
         # the shared-start dispatch stays exact across failover.
         self._fills = np.asarray(
-            jax.device_get(self._carries["fft_fill"]), np.int64
+            jax.device_get(full["fft_fill"]), np.int64
         )

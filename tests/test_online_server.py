@@ -447,3 +447,59 @@ def test_checkpoint_portable_across_fsm_backends(params, tmp_path):
         resumed = [a + b for a, b in zip(seg_before, s2.segments)]
         assert resumed == ref.segments, (save_host, load_host)
     assert any(ref.segments)
+
+
+def test_microbatch_matches_single_dispatch(params, tmp_path):
+    """microbatch=2 must reproduce microbatch=1 exactly — vmapped rows are
+    independent and per-row programs identical (parallel/online.py
+    microbatch notes) — including reset_stream in the SECOND shard and a
+    checkpoint saved at one microbatch factor resumed at another."""
+    n_chunks = 12
+    audios = [speechy(n_chunks, [(1.0 + 0.5 * i, 1.5)], seed=70 + i) for i in range(4)]
+
+    def chunk_at(k):
+        return np.stack([a[:, k * 24000 : (k + 1) * 24000] for a in audios])
+
+    ref = OnlineBatchServer(_cfg(), n_streams=4, params=params)
+    mb = OnlineBatchServer(_cfg(), n_streams=4, params=params, microbatch=2)
+    half = n_chunks // 2
+    for k in range(half):
+        ref.push(chunk_at(k))
+        mb.push(chunk_at(k))
+
+    # Checkpoint portability across factors: save at m=2, resume at m=1.
+    ckpt = str(tmp_path / "mb_ckpt")
+    mb.save_state(ckpt)
+    resumed = OnlineBatchServer(_cfg(), n_streams=4, params=params)
+    resumed.load_state(ckpt)
+    seg_before = [list(s) for s in mb.segments]
+
+    # Slot 3 lives in shard 1 (rows 2-3): reset must hit the right row.
+    fresh = speechy(n_chunks - half, [(0.5, 1.5)], seed=99)
+    ref.reset_stream(3)
+    mb.reset_stream(3)
+    for k in range(half, n_chunks):
+        c = chunk_at(k)
+        c[3] = fresh[:, (k - half) * 24000 : (k - half + 1) * 24000]
+        ref.push(c)
+        mb.push(c)
+        resumed.push(chunk_at(k))
+
+    assert mb.segments == ref.segments
+    assert any(ref.segments), "test audio must produce segments"
+    solo3 = AudioPipeline(_cfg(), params)
+    solo3.push_samples(fresh)
+    assert mb.pipelines[3].segments == solo3.segments
+
+    # The m=1 server resumed from the m=2 checkpoint matches an
+    # uninterrupted run (no reset on this pair).
+    unint = OnlineBatchServer(_cfg(), n_streams=4, params=params)
+    for k in range(n_chunks):
+        unint.push(chunk_at(k))
+    joined = [a + b for a, b in zip(seg_before, resumed.segments)]
+    assert joined == unint.segments
+
+
+def test_microbatch_validation(params):
+    with pytest.raises(ValueError, match="multiple of"):
+        OnlineBatchServer(_cfg(), n_streams=3, params=params, microbatch=2)
