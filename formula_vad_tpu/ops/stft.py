@@ -15,6 +15,7 @@ applied to the unnormalized inverse), which nets out to
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -221,6 +222,45 @@ def _inv_segmat_basis(window_key: int, n_fft: int) -> np.ndarray:
     return top_bot.astype(np.float32)
 
 
+# Explicit K+N lane padding of the inverse-basis matmul (default on;
+# FVAD_ISTFT_PAD=off restores the unpadded program). Measured on chip
+# (benchmarks/tail_layout_exp.py, 2026-08-19, interleaved): the padded form
+# wins 8 of 9 reps across highest/bf16/bf16_io AND removes the op's
+# long-standing 1.0-3.2 ms run-to-run spread (ROOFLINE's unexplained
+# istft variance) — it runs a stable ~1.0-1.2 ms in every rep while the
+# unpadded op's tiling lottery spreads 3x. Gate: max|d| = 0.0 at all three
+# modes on chip (the explicit zero K rows occupy the same tile positions
+# as XLA's implicit K pad of 322->384; zero N cols are sliced off).
+_ISTFT_PAD_ENV = os.environ.get("FVAD_ISTFT_PAD", "on").lower()
+if _ISTFT_PAD_ENV not in ("on", "off"):
+    raise ValueError(
+        f"FVAD_ISTFT_PAD must be 'on' or 'off', got {_ISTFT_PAD_ENV!r}"
+    )
+_ISTFT_PAD = _ISTFT_PAD_ENV == "on"
+
+
+def set_istft_pad(on: bool | None) -> None:
+    """Override the istft lane-pad default at trace time; ``None`` restores
+    the FVAD_ISTFT_PAD env default."""
+    global _ISTFT_PAD
+    _ISTFT_PAD = (_ISTFT_PAD_ENV == "on") if on is None else bool(on)
+
+
+@functools.lru_cache(maxsize=None)
+def _inv_segmat_basis_padded(window_key: int, n_fft: int) -> np.ndarray:
+    """``_inv_segmat_basis`` with BOTH contraction dims explicitly padded to
+    the next 128-lane multiple: K (2*n_bins = 322 -> 384) as zero rows, N
+    (n_fft = 320 -> 384) as zero columns. See the FVAD_ISTFT_PAD note."""
+    base = _inv_segmat_basis(window_key, n_fft)
+    kp = (-base.shape[0]) % 128
+    np_ = (-base.shape[1]) % 128
+    if kp == 0 and np_ == 0:
+        return base
+    out = np.zeros((base.shape[0] + kp, base.shape[1] + np_), base.dtype)
+    out[: base.shape[0], : base.shape[1]] = base
+    return out
+
+
 def istft_segmat(
     re: jnp.ndarray, im: jnp.ndarray, window: np.ndarray, n_fft: int
 ) -> jnp.ndarray:
@@ -234,9 +274,19 @@ def istft_segmat(
     n_bins = n_fft // 2 + 1
     key = hash(window.tobytes())
     _SEGMAT_WINDOWS[key] = np.asarray(window, np.float32)
-    inv = jnp.asarray(_inv_segmat_basis(key, n_fft))
     z = jnp.concatenate([io_cast(re), io_cast(im)], axis=-1)  # [..., n_frames, 2*bins]
-    prod = jnp.matmul(z, io_cast(inv), precision=matmul_precision())  # [..., F, n_fft]
+    if _ISTFT_PAD:
+        inv = jnp.asarray(_inv_segmat_basis_padded(key, n_fft))
+        kpad = inv.shape[0] - 2 * n_bins
+        if kpad:
+            z = jnp.concatenate(
+                [z, jnp.zeros(z.shape[:-1] + (kpad,), z.dtype)], axis=-1
+            )
+        prod = jnp.matmul(z, io_cast(inv), precision=matmul_precision())
+        prod = prod[..., :n_fft]  # drop the zero N lanes
+    else:
+        inv = jnp.asarray(_inv_segmat_basis(key, n_fft))
+        prod = jnp.matmul(z, io_cast(inv), precision=matmul_precision())
     top = prod[..., :hop]
     bot = prod[..., hop:]
     lead = prod.shape[:-2]
