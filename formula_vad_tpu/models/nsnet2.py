@@ -219,6 +219,32 @@ def _split3_enabled() -> bool:
     return matmul_precision() in (None, jax.lax.Precision.DEFAULT)
 
 
+# --- scan unroll: amortize the recurrence's per-iteration loop overhead ---
+#
+# `lax.scan(..., unroll=u)` stitches u iteration bodies into one loop body:
+# the ops and their order are UNCHANGED (bitwise — a pure loop transform),
+# but XLA schedules a u-step window at once, overlapping iteration t's VPU
+# gate math with t+1's carry-independent work and paying the loop-bookkeeping
+# cost 1/u as often. Applies to the production layer-by-layer scans only
+# (split3 and fused); the rider/deep/wavefront opt-ins keep unroll=1 — their
+# A/B gates compare against plain chains traced at the shipping default.
+_GRU_UNROLL_ENV = int(os.environ.get("FVAD_GRU_UNROLL", "1"))
+if _GRU_UNROLL_ENV < 1:
+    raise ValueError(
+        f"FVAD_GRU_UNROLL must be a positive integer, got {_GRU_UNROLL_ENV}"
+    )
+_GRU_UNROLL = _GRU_UNROLL_ENV
+
+
+def set_gru_unroll(u: int | None) -> None:
+    """Override the scan unroll factor at trace time; ``None`` restores the
+    FVAD_GRU_UNROLL env default."""
+    global _GRU_UNROLL
+    if u is not None and u < 1:
+        raise ValueError(f"unroll must be a positive integer, got {u}")
+    _GRU_UNROLL = _GRU_UNROLL_ENV if u is None else int(u)
+
+
 def _split_gru3(g: GRUParams):
     """(wi[in,3H], wh[H,3H], bi, bh) -> per-gate triples (z, r, n each)."""
     return (
@@ -347,7 +373,7 @@ def apply_streaming(
             )
             return (h1, h2), h2
 
-        (h1, h2), ys = jax.lax.scan(step3, state, gi1_t)
+        (h1, h2), ys = jax.lax.scan(step3, state, gi1_t, unroll=_GRU_UNROLL)
         if out_frames is not None and out_frames < t:
             ys = ys[t - out_frames :]
         y = jnp.moveaxis(ys, 0, -2)  # [..., T_out, 400]
@@ -426,7 +452,7 @@ def apply_streaming(
             h2 = gru_cell(params.gru2, h2, h1)
             return (h1, h2), h2
 
-        (h1, h2), ys = jax.lax.scan(step, state, gi1_t)
+        (h1, h2), ys = jax.lax.scan(step, state, gi1_t, unroll=_GRU_UNROLL)
     if out_frames is not None and out_frames < t:
         ys = ys[t - out_frames :]
     y = jnp.moveaxis(ys, 0, -2)  # [..., T_out, 400]

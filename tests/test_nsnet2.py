@@ -183,3 +183,38 @@ class TestSplit3:
     def test_mode_validation(self):
         with pytest.raises(ValueError, match="split3"):
             nsnet2.set_gru_split3("sometimes")
+
+
+class TestScanUnroll:
+    """FVAD_GRU_UNROLL is a pure loop transform: bitwise at any factor,
+    on both the fused (highest) and split3 (default) scan paths."""
+
+    @pytest.mark.parametrize("level", ["highest", "default"])
+    @pytest.mark.parametrize("unroll", [2, 3])
+    def test_unroll_bitwise(self, params, level, unroll):
+        from formula_vad_tpu.ops import precision
+
+        precision.set_matmul_precision(level)
+        try:
+            x = jnp.asarray(
+                np.random.default_rng(13).standard_normal((4, 12, nsnet2.N_BINS)) * 0.3,
+                jnp.float32,
+            )
+            st = nsnet2.zero_state((4,))
+            nsnet2.set_gru_unroll(1)
+            (h1a, h2a), ga = jax.jit(
+                lambda p, s, f: nsnet2.apply_streaming(p, s, f)
+            )(params, st, x)
+            nsnet2.set_gru_unroll(unroll)
+            (h1b, h2b), gb = jax.jit(
+                lambda p, s, f: nsnet2.apply_streaming(p, s, f)
+            )(params, st, x)
+            assert bool(jnp.all(ga == gb))
+            assert bool(jnp.all(h1a == h1b)) and bool(jnp.all(h2a == h2b))
+        finally:
+            nsnet2.set_gru_unroll(None)
+            precision.set_matmul_precision("highest")
+
+    def test_unroll_validation(self):
+        with pytest.raises(ValueError, match="positive"):
+            nsnet2.set_gru_unroll(0)
