@@ -204,7 +204,7 @@ def main() -> None:
             if salvaged is not None and salvaged.get("value"):
                 print(
                     f"child {attempt} timed out mid-extras; salvaged its "
-                    "standard table", file=sys.stderr,
+                    "standard table", file=sys.stderr, flush=True,
                 )
                 results.append(salvaged)
                 if len(results) >= 2:
@@ -216,7 +216,7 @@ def main() -> None:
             # re-probe before burning another child's worth of the capture
             # window on it.
             child_errs.append(f"child {attempt} timed out after {CHILD_TIMEOUT:.0f}s")
-            print(child_errs[-1], file=sys.stderr)
+            print(child_errs[-1], file=sys.stderr, flush=True)
             if not _relay_reachable() and not os.environ.get("FVAD_BENCH_SKIP_PROBE"):
                 if results:
                     break
@@ -236,7 +236,7 @@ def main() -> None:
                 f"child {attempt} failed (rc={proc.returncode}): "
                 + proc.stderr.strip()[-2000:]
             )
-            print(child_errs[-1], file=sys.stderr)
+            print(child_errs[-1], file=sys.stderr, flush=True)
         if len(results) >= 2:
             vals = sorted(r["value"] for r in results)
             if vals[-1] <= 1.3 * vals[-2]:  # two runs agree: done
@@ -724,7 +724,7 @@ def measure() -> None:
                     "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
                 }
             except Exception as e:
-                print(f"high extra row failed: {e!r}", file=sys.stderr)
+                print(f"high extra row failed: {e!r}", file=sys.stderr, flush=True)
     if want_deadend_rows:
         # flat rows: the materialize-path cross-slab overlap
         # (offline.window_inputs_flat) whose product carry is
@@ -769,7 +769,7 @@ def measure() -> None:
                     "gate_bitwise": gate,
                 }
             except Exception as e:
-                print(f"{row} extra row failed: {e!r}", file=sys.stderr)
+                print(f"{row} extra row failed: {e!r}", file=sys.stderr, flush=True)
     if want_extras:
         # serve: one online tick at B lockstep streams — the
         # driver-visible record for the serving scale claim (VERDICT
@@ -783,7 +783,7 @@ def measure() -> None:
                     sb, params, st, n_short, n_long
                 )
             except Exception as e:
-                print(f"serve extra row failed: {e!r}", file=sys.stderr)
+                print(f"serve extra row failed: {e!r}", file=sys.stderr, flush=True)
         if time.monotonic() < extra_deadline:
             # Wider batch at HEADLINE precision: a scaling-evidence row.
             # batch_scale.py (2026-08-19, ROOFLINE "Scaling note") measures
@@ -808,7 +808,7 @@ def measure() -> None:
                     "streams": wide,
                 }
             except Exception as e:
-                print(f"highest_wide extra row failed: {e!r}", file=sys.stderr)
+                print(f"highest_wide extra row failed: {e!r}", file=sys.stderr, flush=True)
     if want_deadend_rows:
         # Deep rider evidence rows: benchmarks/pipeline_ab.py measured them
         # as strict losses (plain 9.6 vs deep 16.5 ms bf16_io) with a
@@ -877,7 +877,7 @@ def measure() -> None:
                     "gate_bitwise": gate,
                 }
             except Exception as e:  # an extra row must never cost the headline
-                print(f"{row} extra row failed: {e!r}", file=sys.stderr)
+                print(f"{row} extra row failed: {e!r}", file=sys.stderr, flush=True)
         if prev_composite is None:
             os.environ.pop("FVAD_BAND_COMPOSITE", None)
         else:

@@ -222,16 +222,18 @@ def _inv_segmat_basis(window_key: int, n_fft: int) -> np.ndarray:
     return top_bot.astype(np.float32)
 
 
-# Explicit K+N lane padding of the inverse-basis matmul (default on;
-# FVAD_ISTFT_PAD=off restores the unpadded program). Measured on chip
-# (benchmarks/tail_layout_exp.py, 2026-08-19, interleaved): the padded form
-# wins 8 of 9 reps across highest/bf16/bf16_io AND removes the op's
-# long-standing 1.0-3.2 ms run-to-run spread (ROOFLINE's unexplained
-# istft variance) — it runs a stable ~1.0-1.2 ms in every rep while the
-# unpadded op's tiling lottery spreads 3x. Gate: max|d| = 0.0 at all three
-# modes on chip (the explicit zero K rows occupy the same tile positions
-# as XLA's implicit K pad of 322->384; zero N cols are sliced off).
-_ISTFT_PAD_ENV = os.environ.get("FVAD_ISTFT_PAD", "on").lower()
+# Explicit K+N lane padding of the inverse-basis matmul (default OFF).
+# Bare-op story (benchmarks/tail_layout_exp.py, 2026-08-19, interleaved):
+# the padded form wins 8 of 9 reps across highest/bf16/bf16_io and removes
+# the op's 1.0-3.2 ms run-to-run tiling spread. But the FULL-STEP A/B
+# (benchmarks/istft_ab.py, 2026-08-19, interleaved, bitwise gate max|d|=0
+# at all modes) shows plain wins every rep of every mode — highest 30.94
+# vs 31.38 ms, bf16 11.41 vs 11.59, bf16_io 9.53 vs 9.69: inside the real
+# program XLA fuses the iSTFT product with its OLA consumers, and the
+# explicit pad's extra concat/slice breaks that fusion for more than the
+# tiling win. Dead end recorded in ROOFLINE.md; knob kept for re-testing
+# on future XLA versions.
+_ISTFT_PAD_ENV = os.environ.get("FVAD_ISTFT_PAD", "off").lower()
 if _ISTFT_PAD_ENV not in ("on", "off"):
     raise ValueError(
         f"FVAD_ISTFT_PAD must be 'on' or 'off', got {_ISTFT_PAD_ENV!r}"

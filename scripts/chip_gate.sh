@@ -46,7 +46,14 @@ if [ "${1:-}" != "--quick" ]; then
   run_stage identity 4200 python benchmarks/chip_identity_check.py
 fi
 run_stage host_fsm_ab 1800 python benchmarks/host_fsm_ab.py
-run_stage bench 1800 python bench.py
+# Sanity bench: ONE mode, no extra rows, short child timeout — the gate
+# often runs first after a relay recovery with cold compile caches, and a
+# full 4-mode child can legitimately hang past 1500 s there (round-3d:
+# rc=124 with an empty log while a standalone bench 40 min later took
+# 93 s). Headline-only keeps two child attempts inside the stage budget;
+# full-table captures belong to bench.py runs outside the gate.
+run_stage bench 1800 env BENCH_MODES=highest BENCH_EXTRA_DEADLINE=0 \
+  BENCH_CHILD_TIMEOUT=700 python bench.py
 
 if [ $fail -eq 0 ]; then
   note "chip_gate PASS"
