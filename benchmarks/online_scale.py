@@ -64,6 +64,16 @@ AB = os.environ.get("SCALE_AB", "0") != "0"
 # ~14k streams — shrink by m, trading a few dispatch round trips for
 # capacity. Per-row math identical (row-count-independent MXU contractions).
 MICRO = int(os.environ.get("SCALE_MICROBATCH", "1"))
+# SCALE_INPUT_SETS=1 holds ONE resident input batch instead of the default
+# two alternating sets. The double-buffer exists to rule out same-input
+# cache/fold artifacts, but the full pipeline step was verified unaffected
+# (same-vs-distinct ratio 1.0, verify SKILL.md) — and at B=32k the two
+# pcm16 sets alone are ~6 GB of HBM, a BENCHMARK cost production doesn't
+# pay (the server uploads per tick, overlapping shard s's compute with
+# shard s+1's H2D). Use 1 to probe the true serving HBM ceiling.
+INPUT_SETS = int(os.environ.get("SCALE_INPUT_SETS", "2"))
+if INPUT_SETS not in (1, 2):
+    raise ValueError(f"SCALE_INPUT_SETS must be 1 or 2, got {INPUT_SETS}")
 
 
 def _sync(x):
@@ -130,7 +140,7 @@ def measure(b: int, params, st, pcm16: bool | None = None) -> dict:
     jgen = jax.jit(gen)
     chunks = [
         [jgen(jax.random.PRNGKey(2 * i * m + s)) for s in range(m)]
-        for i in range(2)
+        for i in range(INPUT_SETS)
     ]
     input_bytes = sum(int(c.nbytes) for row in chunks for c in row)
     valid = jnp.ones((sh,), bool)
@@ -144,7 +154,7 @@ def measure(b: int, params, st, pcm16: bool | None = None) -> dict:
         fill["v"] = fill0
         t0 = time.perf_counter()
         for i in range(n):
-            c, outs = step(c, chunks[i % 2], valid)
+            c, outs = step(c, chunks[i % INPUT_SETS], valid)
         for o in outs:
             _sync(o)
         return time.perf_counter() - t0

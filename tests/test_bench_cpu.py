@@ -129,6 +129,36 @@ def test_measure_default_extras_gating(bench, monkeypatch, capsys):
         assert name not in modes, f"dead-end row {name} ran without opt-in"
 
 
+def test_measure_gate_sanity_contract(bench, monkeypatch, capsys):
+    """chip_gate.sh's sanity stage (BENCH_MODES=highest, extras deadline 0)
+    must yield exactly the headline row and NO other mode/extra rows — the
+    contract that keeps the gate's bench inside its stage budget even with
+    cold compile caches (round-3d FAIL postmortem)."""
+    for k, v in {
+        "BENCH_STREAMS": "2",
+        "BENCH_CHUNKS": "2",
+        "BENCH_ITERS_SHORT": "1",
+        "BENCH_ITERS_LONG": "2",
+        "FVAD_BENCH_CPU": "1",
+        "BENCH_MODES": "highest",
+        "BENCH_EXTRA_DEADLINE": "0",
+    }.items():
+        monkeypatch.setenv(k, v)
+    for k in ("FVAD_BENCH_PIPELINE", "BENCH_DEADEND_ROWS"):
+        monkeypatch.delenv(k, raising=False)
+
+    from formula_vad_tpu.ops import precision
+
+    try:
+        bench.measure()
+    finally:
+        precision.set_matmul_precision("highest")
+        precision.set_io_dtype("f32")
+    got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert got["value"] == got["modes"]["highest"]["realtime_factor"] > 0
+    assert set(got["modes"]) == {"highest"}
+
+
 def test_preflight_relay_down_fails_fast(bench, monkeypatch):
     """Dead relay port + hung backend probe => structured error, exit 2."""
     monkeypatch.setattr(bench, "RELAY_ADDR", "127.0.0.1:1")
