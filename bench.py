@@ -837,8 +837,15 @@ def measure() -> None:
                 # FUSED basis program, so every reference here pins
                 # predecim off (PARITY.md dev. 13) — the plain baseline
                 # included, else the gate fails for a spurious
-                # program-mismatch reason.
+                # program-mismatch reason. Same rule for the GRU: the deep
+                # path always runs the fused [400, 1200] projections
+                # (defer_head disables split3 in apply()), so the plain
+                # baseline must pin split3 off too — at level="default"
+                # FVAD_GRU_SPLIT3=auto would otherwise trace split3 and
+                # rest the gate on the measured-but-non-contractual
+                # split3==fused MXU coincidence (PARITY.md dev. 14).
                 offline.set_stft_predecim(False)
+                nsnet2.set_gru_split3("off")
                 try:
                     plain_fe = jax.jit(make_fe_fn())
                     state0 = init_state()
@@ -858,6 +865,7 @@ def measure() -> None:
                     p_mv, p_rt, p_va = plain_fe(audios[0])
                 finally:
                     offline.set_stft_predecim(None)
+                    nsnet2.set_gru_split3(None)
                 gate = bool(
                     jnp.all(p1 == want_p1)
                     & jnp.all(d_mv == p_mv)

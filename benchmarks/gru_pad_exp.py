@@ -89,7 +89,17 @@ def _cast_tree(tree):
 
 def make_plain(params):
     def f(features):
-        return nsnet2.apply(params, features, out_frames=OUT_FRAMES)
+        # Pin the FUSED [400, 1200] projections: since FVAD_GRU_SPLIT3=auto
+        # shipped (default-on at default matmul precision), the shipping
+        # apply() would otherwise BE split3 at this script's bf16/bf16_io
+        # modes — making the plain-vs-split3 A/B vacuous on rerun and the
+        # whpad/kpad512 deltas measured against the wrong baseline (same
+        # vacuous-gate class as fe0458a).
+        nsnet2.set_gru_split3("off")
+        try:
+            return nsnet2.apply(params, features, out_frames=OUT_FRAMES)
+        finally:
+            nsnet2.set_gru_split3(None)
 
     return f
 

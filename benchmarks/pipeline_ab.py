@@ -61,7 +61,14 @@ def make_pipe_fns(params, st):
         )(jnp.arange(b))
 
     def prod_fn(audio, raw_tail):
-        return offline.segmat_prod(audio, raw_tail, st.downsample_rate)
+        # predecim=False: the rider path always computes the FUSED-basis
+        # product (644 cols) — the gate's `want` must be the same program,
+        # not the global predecim default (768-col padded), or the bitwise
+        # compare raises a shape mismatch (same vacuous/broken-gate class
+        # as fe0458a).
+        return offline.segmat_prod(
+            audio, raw_tail, st.downsample_rate, predecim=False
+        )
 
     def fe(audio, prod, den_carry, audio_next):
         den_carry, mv, rt, va, prod_next = offline.window_inputs_batch_pipelined(

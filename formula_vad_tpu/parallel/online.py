@@ -428,7 +428,7 @@ class OnlineBatchServer:
         from ..utils import checkpoint
 
         os.makedirs(directory, exist_ok=True)
-        carries = self._full_carries()
+        carries = self._full_carries(host=True)
         if self._host_fsm_carry is not None:
             # Host-FSM mode: the authoritative FSM state lives host-side
             # (the device carry's fsm slot is frozen at init). Fold it back
@@ -436,7 +436,7 @@ class OnlineBatchServer:
             # a device-FSM server too, and save the exact host form (incl.
             # the Kahan running sums) alongside.
             fsm_sub = {
-                k: jnp.asarray(v)
+                k: np.asarray(v)
                 for k, v in self._host_fsm_carry.items()
                 if not k.startswith("_")
             }
@@ -451,20 +451,38 @@ class OnlineBatchServer:
             # file above is authoritative).
             p.save_state(os.path.join(directory, f"stream{i:04d}.npz"))
 
-    def _full_carries(self):
+    def _full_carries(self, host: bool = False):
         """The batched [B, ...] carry pytree (concatenating microbatch
         shards when there are several — checkpoints stay microbatch-
-        portable: save at m=4, resume at m=1, and vice versa)."""
+        portable: save at m=4, resume at m=1, and vice versa).
+
+        ``host=True`` fetches each shard with ``device_get`` and
+        concatenates in host memory: at microbatch>1 a device-side concat
+        would transiently hold a SECOND full-size carry copy in HBM —
+        exactly the capacity-bound regime microbatch exists to serve, where
+        a mid-serve checkpoint must not be able to OOM the fleet."""
         if self.microbatch == 1:
-            return self._carries[0]
+            return jax.device_get(self._carries[0]) if host else self._carries[0]
+        if host:
+            shards = [jax.device_get(c) for c in self._carries]
+            return jax.tree_util.tree_map(
+                lambda *xs: np.concatenate(xs, axis=0), *shards
+            )
         return jax.tree_util.tree_map(
             lambda *xs: jnp.concatenate(xs, axis=0), *self._carries
         )
 
     def _set_full_carries(self, carries) -> None:
+        # Slice on host (numpy views are free), upload per shard — the
+        # device never holds more than one bounded shard in flight beyond
+        # the resident carries being replaced.
         sh = self._shard
         self._carries = [
-            jax.tree_util.tree_map(lambda x: x[s * sh : (s + 1) * sh], carries)
+            jax.device_put(
+                jax.tree_util.tree_map(
+                    lambda x: x[s * sh : (s + 1) * sh], carries
+                )
+            )
             for s in range(self.microbatch)
         ]
 
@@ -473,8 +491,11 @@ class OnlineBatchServer:
 
         from ..utils import checkpoint
 
+        # Host template: restored leaves stay numpy, so the full-B carry is
+        # never materialized on device — _set_full_carries uploads bounded
+        # shard slices (see _full_carries note on the HBM-tight regime).
         full = checkpoint.load_carry(
-            os.path.join(directory, "carries.npz"), self._full_carries()
+            os.path.join(directory, "carries.npz"), self._full_carries(host=True)
         )
         self._set_full_carries(full)
         if self._host_fsm_carry is not None:

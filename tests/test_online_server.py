@@ -503,3 +503,30 @@ def test_microbatch_matches_single_dispatch(params, tmp_path):
 def test_microbatch_validation(params):
     with pytest.raises(ValueError, match="multiple of"):
         OnlineBatchServer(_cfg(), n_streams=3, params=params, microbatch=2)
+
+
+def test_checkpoint_stays_host_side(params):
+    """The checkpoint path must never materialize a second full-B carry on
+    device: ``_full_carries(host=True)`` (what save_state/load_state use)
+    returns numpy leaves at every microbatch factor, so the microbatch>1
+    HBM-capacity regime can checkpoint mid-serve without an OOM spike
+    (parallel/online.py _full_carries note)."""
+    import jax
+
+    audio = speechy(1, [(0.1, 0.3)], seed=7)
+    for m in (1, 2):
+        srv = OnlineBatchServer(_cfg(), n_streams=4, params=params, microbatch=m)
+        srv.push(np.stack([audio] * 4))
+        full = srv._full_carries(host=True)
+        bad = [
+            type(leaf).__name__
+            for leaf in jax.tree_util.tree_leaves(full)
+            if not isinstance(leaf, (np.ndarray, np.generic))
+        ]
+        assert not bad, f"microbatch={m}: non-host leaves {bad}"
+        # The device form is unchanged by the host fetch.
+        dev = srv._full_carries()
+        for a, b in zip(
+            jax.tree_util.tree_leaves(full), jax.tree_util.tree_leaves(dev)
+        ):
+            assert np.array_equal(a, np.asarray(b))
