@@ -79,6 +79,19 @@ def load_segment_audio(cmd: dict, config, report_error, on_channel_mismatch):
     if playhead is None:
         report_error(f"Missing playhead_timestamp_ms in command: {cmd}", False)
         return None, None
+    # Typed-JSON parse errors are non-fatal protocol errors in the reference
+    # (main.zig's typed command struct); without these checks a string
+    # playhead poisons correlated_timestamp_ms (TypeError hours later inside
+    # a recording callback) and an int file_path would make open() treat it
+    # as a raw fd.
+    if not isinstance(file_path, str):
+        report_error(f"file_path must be a string in command: {cmd}", False)
+        return None, None
+    if isinstance(playhead, bool) or not isinstance(playhead, (int, float)):
+        report_error(
+            f"playhead_timestamp_ms must be a number in command: {cmd}", False
+        )
+        return None, None
     try:
         buffer = AudioBuffer.load_from_file(file_path)
     except (OSError, ValueError, RuntimeError) as e:
@@ -199,8 +212,14 @@ class Daemon:
         if self.state_path and os.path.exists(self.state_path):
             try:
                 self.pipeline.load_state(self.state_path)
-            except (ValueError, OSError) as e:
-                self.report_error(f"Could not resume state: {e}", False)
+            except (ValueError, OSError, KeyError) as e:
+                # FATAL (same rule as multidaemon): a checkpoint exists but
+                # cannot be resumed (truncated npz, changed --denoiser /
+                # --io-dtype template). Serving with fresh state would
+                # overwrite it in the finally block below, irrecoverably
+                # destroying the state --state exists to preserve.
+                self.report_error(f"Could not resume state: {e}", True)
+                return 1
         stdin = stdin or sys.stdin
         try:
             for line in stdin:

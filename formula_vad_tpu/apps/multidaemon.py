@@ -149,8 +149,18 @@ class MultiDaemon:
         with open(tmp_ptr, "w") as f:
             f.write(gen_name)
         os.replace(tmp_ptr, os.path.join(base, "LATEST"))  # the commit point
-        for entry in os.listdir(base):  # prune superseded generations
-            if entry.startswith("gen-") and entry != gen_name:
+        for entry in os.listdir(base):
+            # Prune superseded generations AND orphaned staging dirs: a
+            # crash mid-save leaves a full-size .stage-<oldpid> that a
+            # restarted process (new PID) would otherwise never clean —
+            # each crash/restart cycle would leak a fleet-sized directory
+            # in the state dir of the crash-recovery feature itself. Our
+            # own in-progress stage was just renamed away, so any .stage-*
+            # here is stale (or belongs to a second fleet misconfigured to
+            # share a state dir — also safe: it re-stages on its next save).
+            if (entry.startswith("gen-") and entry != gen_name) or entry.startswith(
+                ".stage-"
+            ):
                 shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
 
     def _resume_dir(self) -> str | None:

@@ -31,6 +31,7 @@ import numpy as np
 from ..config import SIMULATOR_STAT_CONFIG, SimConfig, StatConfig, sim_config_from_dict
 from ..eval import SpeechSegment, formats, init_and_run, report
 from ..io_ import AudioSource
+from ..io_ import native as io_native
 from ..io_ import ogg
 from ..io_.wav import write_wav
 from ..utils.logging import scoped
@@ -149,8 +150,14 @@ def _save_clips(
             )
             clips.append(("denoised", den[:, a - ka * chunk : b - ka * chunk]))
         for kind, data in clips:
-            rms = np.sqrt(np.mean(data.astype(np.float32) ** 2, axis=1))
-            best = int(np.argmin(rms))  # quietest channel (Recorder.zig:113-128)
+            # Quietest channel (Recorder.zig:113-128) — same double-precision
+            # RMS as the streaming recorder (pipeline.StreamRecorder._finalize)
+            # so near-tied channels pick identically on both paths.
+            data = np.ascontiguousarray(data, np.float32)
+            rms = io_native.rms_per_channel(data)
+            if rms is None:
+                rms = np.sqrt(np.mean(data.astype(np.float64) ** 2, axis=1))
+            best = int(np.argmin(rms))
             write(os.path.join(inst.out_dir, f"{a}-{kind}{ext}"), data[best : best + 1], 48000)
 
 
@@ -167,6 +174,14 @@ def run_batched(instances: list[Instance], config: SimConfig) -> None:
             srcs.append(src)
             if src.sample_rate != 48000:
                 raise ValueError(f"{inst.name}: sample rate {src.sample_rate} != 48000")
+            if src.n_channels != 2:
+                # Without this a mono [1, T] source would broadcast into both
+                # rows of the batch/slab (forcing the FSM's channel-volume
+                # ratio to 1.0 — silently different segments); the daemon
+                # path rejects the same mismatch (main.zig:242-257).
+                raise ValueError(
+                    f"{inst.name}: {src.n_channels} channels != pipeline's 2"
+                )
             lengths.append(src.n_frames)
         _run_batched_srcs(instances, config, params, srcs, lengths)
     finally:
@@ -297,8 +312,23 @@ def main(argv=None) -> int:
     # Timestamped output dir + verbatim plan copy (simulator.zig:156-176).
     resolved_out = None
     if config.output_dir:
-        resolved_out = os.path.join(base, config.output_dir, str(int(time.time())))
-        os.makedirs(resolved_out, exist_ok=True)
+        stamp = int(time.time())
+        # exist_ok=False + suffix retry: two runs launched within the same
+        # second must not share a directory (the second would silently
+        # overwrite the first's plan.json/clips/report.txt).
+        for suffix in range(1000):
+            resolved_out = os.path.join(
+                base,
+                config.output_dir,
+                str(stamp) if suffix == 0 else f"{stamp}-{suffix}",
+            )
+            try:
+                os.makedirs(resolved_out, exist_ok=False)
+                break
+            except FileExistsError:
+                continue
+        else:
+            raise RuntimeError(f"could not allocate an output dir under {stamp}")
         with open(os.path.join(resolved_out, "plan.json"), "w") as f:
             f.write(plan_text)
         for inst in instances:

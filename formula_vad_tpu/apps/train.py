@@ -159,7 +159,13 @@ def main(argv=None) -> int:
     else:
         ap.error("provide --data DIR or --synthetic N")
 
-    rng = np.random.default_rng(args.seed)
+    def batch_idx(i):
+        # Seeded per STEP, not once per process: a resumed run draws the
+        # same batch sequence from start_step on as an uninterrupted run
+        # (a process-lifetime generator would restart at the step-0 draws).
+        return np.random.default_rng((args.seed, i)).integers(
+            0, len(examples), args.batch
+        )
 
     from jax.sharding import NamedSharding
 
@@ -181,13 +187,13 @@ def main(argv=None) -> int:
         )
 
         def get_batch(i):
-            idx = jnp.asarray(rng.integers(0, len(examples), args.batch))
+            idx = jnp.asarray(batch_idx(i))
             return tuple(jnp.take(c, idx, axis=0) for c in pool)
 
     else:
 
         def get_batch(i):
-            idx = rng.integers(0, len(examples), args.batch)
+            idx = batch_idx(i)
             cols = list(zip(*[examples[j] for j in idx]))
             return tuple(jnp.asarray(np.stack(c)) for c in cols)
 

@@ -165,6 +165,8 @@ class OggStream:
         return np.ascontiguousarray(out[:, :got])
 
     def seek_to_sample(self, frame: int) -> None:
+        if self._h is None:
+            raise ValueError("stream is closed")
         if self._lib.fvad_ogg_seek(self._h, frame) != 0:
             raise IOError(f"Ogg Vorbis seek to frame {frame} failed")
         self._frame_pos = frame

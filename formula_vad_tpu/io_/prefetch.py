@@ -76,6 +76,17 @@ class SlabPrefetcher:
         if n_valid == 0:
             return
         data = self._readers[i](start_chunk * self._chunk, n_valid * self._chunk)
+        if data.dtype != slab.dtype:
+            # Indexed assignment would cast silently — float audio in [-1, 1)
+            # written into a raw16 (int16) slab truncates every sample to 0.
+            raise TypeError(
+                f"reader {i} returned {data.dtype} for a {slab.dtype} slab"
+            )
+        if data.shape[0] != slab.shape[1]:
+            raise ValueError(
+                f"reader {i} returned {data.shape[0]} channels, slab has "
+                f"{slab.shape[1]} (a mono row would broadcast silently)"
+            )
         slab[i, :, : data.shape[1]] = data[:, : n_valid * self._chunk]
         # A truncated file (header overstates n_frames) yields a short read;
         # only chunks actually backed by decoded samples are marked valid so

@@ -241,7 +241,7 @@ def write_wav(
         inter = native.encode_f32_interleaved(data)
         if inter is None:
             inter = np.ascontiguousarray(data.T).reshape(-1)
-        payload = inter.astype("<f4").tobytes()
+        payload = np.asarray(inter, "<f4").tobytes()
     elif fmt == "pcm16":
         tag, bits = WAVE_FORMAT_PCM, 16
         inter16 = native.encode_pcm16_interleaved(data)
@@ -249,7 +249,7 @@ def write_wav(
             inter16 = (
                 np.round(np.clip(np.ascontiguousarray(data.T), -1.0, 1.0) * 32767.0)
             ).astype(np.int16).reshape(-1)
-        payload = inter16.astype("<i2").tobytes()
+        payload = np.asarray(inter16, "<i2").tobytes()
     else:
         raise ValueError(f"unsupported write format {fmt}")
     byte_rate = sample_rate * n_ch * bits // 8

@@ -299,3 +299,71 @@ class TestSyntheticCorpusExample:
             assert labels, "each stream must contain speech segments"
             a, b, tag = labels[0].split("\t")
             assert float(b) > float(a) and tag == "speech"
+
+
+class TestDaemonHardening:
+    """Round-3 review fixes: typed protocol validation and the
+    unresumable-checkpoint refusal (mirrors multidaemon's FATAL rule)."""
+
+    def test_bad_field_types_report_nonfatal_errors(self, tmp_path):
+        from formula_vad_tpu.apps.daemon import Daemon
+
+        out = io.StringIO()
+        daemon = Daemon("TEST", str(tmp_path), None, stdout=out)
+        # A string playhead would poison correlated_timestamp_ms (TypeError
+        # hours later in a recording callback); an int file_path would make
+        # open() treat it as a raw fd (0 == stdin).
+        daemon.process_line(
+            json.dumps(
+                {"action": "segment", "file_path": "a.wav", "playhead_timestamp_ms": "1000"}
+            )
+        )
+        daemon.process_line(
+            json.dumps({"action": "segment", "file_path": 0, "playhead_timestamp_ms": 0})
+        )
+        daemon.process_line(
+            json.dumps(
+                {"action": "segment", "file_path": "a.wav", "playhead_timestamp_ms": True}
+            )
+        )
+        lines = [json.loads(l) for l in out.getvalue().strip().splitlines()]
+        assert len(lines) == 3
+        assert all(l["action"] == "error" and not l["fatal"] for l in lines)
+
+    def test_unresumable_state_is_fatal_and_not_clobbered(self, tmp_path):
+        from formula_vad_tpu.apps.daemon import Daemon
+
+        state = tmp_path / "state.npz"
+        state.write_bytes(b"not an npz checkpoint")
+        before = state.read_bytes()
+        out = io.StringIO()
+        daemon = Daemon("TEST", str(tmp_path), None, stdout=out, state_path=str(state))
+        rc = daemon.run(stdin=io.StringIO(""))
+        assert rc == 1
+        lines = [json.loads(l) for l in out.getvalue().strip().splitlines()]
+        assert any(l["action"] == "error" and l["fatal"] for l in lines)
+        # The unreadable checkpoint must survive for the operator to fix —
+        # serving fresh state would have overwritten it on exit.
+        assert state.read_bytes() == before
+
+
+def test_simulator_rejects_mono_sources(tmp_path):
+    """A mono [1, T] source must error, not broadcast into both stereo rows
+    (that forces the FSM's channel-volume ratio to 1.0 — silently different
+    segments; the daemon path rejects the same mismatch)."""
+    from formula_vad_tpu.apps import simulator
+
+    mono = speechy_audio(4, [(0.5, 0.5)], seed=3)[:1]
+    wav_path = tmp_path / "mono.wav"
+    write_wav(str(wav_path), mono, 48000)
+    (tmp_path / "ref.txt").write_text("0.5\t1.0\tspeech\n")
+    plan = {
+        "instances": [
+            {"name": "Mono", "audio_path": "mono.wav", "ref_path": "ref.txt"}
+        ],
+        "config": {"batch_streams": True},
+    }
+    plan_path = tmp_path / "plan.json"
+    plan_path.write_text(json.dumps(plan))
+    with pytest.raises(ValueError, match="channels"):
+        simulator.main(["-i", str(plan_path)])

@@ -200,3 +200,28 @@ def test_state_failover_resumes_bit_identically(corpus_wavs, tmp_path):
     md3.run(stdin=io.StringIO(""))
     errs = [e for e in _events(out_c) if e["action"] == "error"]
     assert errs and "streams" in errs[0]["message"]
+
+
+def test_orphaned_staging_dirs_pruned(corpus_wavs, tmp_path):
+    """A crash mid-save leaves a fleet-sized .stage-<oldpid> dir; the next
+    completed save (any PID) must prune it, or every crash/restart cycle
+    leaks a full checkpoint's worth of disk in the state dir."""
+    streams = ["x"]
+    outdir = tmp_path / "o"
+    os.makedirs(outdir / "x", exist_ok=True)
+    state = tmp_path / "state"
+    os.makedirs(state)
+    orphan = state / ".stage-99999"
+    os.makedirs(orphan)
+    (orphan / "carries.npz").write_bytes(b"torn write from a killed process")
+
+    out = io.StringIO()
+    md = MultiDaemon("M", str(outdir), streams, "spectral_gate", stdout=out,
+                     state_dir=str(state))
+    md.run(stdin=io.StringIO(json.dumps(
+        {"action": "segment", "stream": "x", "file_path": corpus_wavs[0],
+         "playhead_timestamp_ms": 0}) + "\n"))
+
+    entries = sorted(os.listdir(state))
+    assert not any(e.startswith(".stage-") for e in entries), entries
+    assert "LATEST" in entries and any(e.startswith("gen-") for e in entries)

@@ -128,3 +128,18 @@ class TestIntegration:
         src = AudioSource.open_stream(path)  # still dispatches to WavStream
         assert src.sample_rate == 48000
         src.close()
+
+
+def test_closed_stream_guards(tmp_path):
+    """read() AND seek_to_sample() must raise a clean ValueError on a closed
+    stream — an unguarded seek passed NULL to the native decoder (SIGSEGV)."""
+    pcm = _tone(seconds=0.2)
+    path = str(tmp_path / "c.ogg")
+    ogg.write_ogg(path, pcm, 48000)
+    s = ogg.OggStream(path)
+    s.close()
+    with pytest.raises(ValueError, match="closed"):
+        s.read(100)
+    with pytest.raises(ValueError, match="closed"):
+        s.seek_to_sample(0)
+    s.close()  # idempotent

@@ -116,3 +116,31 @@ def test_truncated_reader_invalidates_padded_tail():
     # Slab 1: chunks 4-5 declared but past EOF entirely.
     np.testing.assert_array_equal(cv1[0], [False, False, False, False])
     assert not slab1.any()
+
+
+def test_dtype_and_channel_mismatch_raise():
+    """raw16 slabs must reject float readers (indexed assignment would cast
+    float audio in [-1, 1) to all-zero int16 silently) and mono readers (a
+    [1, T] result would broadcast into every slab channel row)."""
+    f32 = np.random.default_rng(1).standard_normal((2, 2 * CHUNK)).astype(np.float32)
+
+    pf = SlabPrefetcher(
+        [_mk_reader(f32)], [2], n_slabs=1, slab_chunks=2, chunk_size=CHUNK,
+        n_channels=2, b_pad=1, workers=1, dtype=np.int16,
+    )
+    try:
+        with pytest.raises(TypeError, match="int16 slab"):
+            pf.get()
+    finally:
+        pf.close()
+
+    mono = f32[:1]
+    pf2 = SlabPrefetcher(
+        [_mk_reader(mono)], [2], n_slabs=1, slab_chunks=2, chunk_size=CHUNK,
+        n_channels=2, b_pad=1, workers=1,
+    )
+    try:
+        with pytest.raises(ValueError, match="channels"):
+            pf2.get()
+    finally:
+        pf2.close()

@@ -170,3 +170,28 @@ class TestSimulatorPreload:
             assert simulator.main(["-i", str(p)]) == 0
             reports.append(capsys.readouterr().out)
         assert reports[0] == reports[1]
+
+
+def test_resume_matches_uninterrupted_run(tmp_path):
+    """Batch draws are seeded per STEP: an interrupted+resumed run must
+    produce bit-identical weights to an uninterrupted one (a process-lifetime
+    RNG would re-draw the step-0 sequence after resume)."""
+    from formula_vad_tpu.apps import train
+    from formula_vad_tpu.models import nsnet2
+
+    base = ["--synthetic", "4", "--batch", "2", "--frames", "8"]
+    w_straight = str(tmp_path / "straight.npz")
+    assert train.main(base + ["--steps", "4", "--out", w_straight]) == 0
+
+    ck = str(tmp_path / "ck")
+    w_resumed = str(tmp_path / "resumed.npz")
+    assert train.main(base + ["--steps", "2", "--out", w_resumed,
+                              "--ckpt-dir", ck, "--ckpt-every", "2"]) == 0
+    assert train.main(base + ["--steps", "4", "--out", w_resumed,
+                              "--ckpt-dir", ck, "--ckpt-every", "2"]) == 0
+
+    a = nsnet2.load_npz(w_straight)
+    b = nsnet2.load_npz(w_resumed)
+    import jax
+    for la, lb in zip(jax.tree_util.tree_leaves(a), jax.tree_util.tree_leaves(b)):
+        assert np.array_equal(np.asarray(la), np.asarray(lb))
