@@ -48,8 +48,9 @@ def main() -> int:
         k = audio.shape[1] // st.chunk_size
         streams.append(jnp.asarray(audio[:, : k * st.chunk_size]))
 
-    def segs_at(level):
+    def segs_at(level, quant="off"):
         precision.set_matmul_precision(level)
+        precision.set_quant(quant)
         out = []
         for a in streams:
             # new jit per level: precision is baked in at trace time
@@ -63,8 +64,11 @@ def main() -> int:
     n_base = sum(len(s) for s in base)
     print(f"highest: {n_base} segments over {N_SEEDS} x {SECONDS:.0f}s streams (baseline)")
 
-    for level in ("high", "default"):
-        got = segs_at(level)
+    # The int8 serving tier (FVAD_QUANT=int8, models/nsnet2_q8.py) rides the
+    # same methodology: default matmuls + an int8-quantized denoiser model.
+    for level, quant in (("high", "off"), ("default", "off"), ("default", "int8")):
+        got = segs_at(level, quant)
+        level = level if quant == "off" else f"{level}+{quant}"
         n_diff_count = sum(len(a) != len(b) for a, b in zip(base, got))
         max_shift = 0
         n_shifted = 0
@@ -83,6 +87,7 @@ def main() -> int:
             f"{max_shift} samples ({max_shift / st.fft_size:.1f} windows)"
         )
     precision.set_matmul_precision("highest")
+    precision.set_quant("off")
     return 0
 
 

@@ -327,6 +327,21 @@ def apply_streaming(
         return state, jnp.zeros(features.shape[:-1] + (N_BINS,), features.dtype)
     from ..ops import precision as _prec
 
+    if (
+        _prec.quant_int8()
+        and rider is None
+        and not defer_head
+        and bool(params.gru1.linear_before_reset and params.gru2.linear_before_reset)
+        and os.environ.get("FVAD_GRU_WAVEFRONT", "off") != "on"
+    ):
+        # Int8 serving tier (precision.set_quant): every model matmul as an
+        # int8 MXU contraction — models/nsnet2_q8.py. The rider/defer/
+        # wavefront opt-ins and lbr=0 weights keep the float paths (their
+        # bitwise A/B gates pin float programs).
+        from . import nsnet2_q8
+
+        return nsnet2_q8.apply_streaming_q8(params, state, features, out_frames)
+
     io = _prec.io_dtype()
     state_dtype = state[0].dtype
     if io is not None:

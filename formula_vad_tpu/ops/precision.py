@@ -35,6 +35,7 @@ _LEVELS = {
     "default": jax.lax.Precision.DEFAULT,
 }
 _IO_DTYPES = {"f32": None, "bf16": jnp.bfloat16}
+_QUANT_MODES = ("off", "int8")
 
 _current = os.environ.get("FVAD_PRECISION", "highest").lower()
 if _current not in _LEVELS:
@@ -42,6 +43,9 @@ if _current not in _LEVELS:
 _io = os.environ.get("FVAD_IO_DTYPE", "f32").lower()
 if _io not in _IO_DTYPES:
     raise ValueError(f"FVAD_IO_DTYPE must be one of {sorted(_IO_DTYPES)}, got {_io!r}")
+_quant = os.environ.get("FVAD_QUANT", "off").lower()
+if _quant not in _QUANT_MODES:
+    raise ValueError(f"FVAD_QUANT must be one of {_QUANT_MODES}, got {_quant!r}")
 
 
 def set_matmul_precision(level: str) -> None:
@@ -71,3 +75,25 @@ def io_cast(x):
     """Cast an activation to the storage dtype (identity when f32)."""
     dt = _IO_DTYPES[_io]
     return x if dt is None or x.dtype == dt else x.astype(dt)
+
+
+def set_quant(mode: str) -> None:
+    """Select the denoiser-model quantization tier ('off' | 'int8').
+
+    'int8' runs every NSNet2 matmul as an int8 x int8 -> int32 MXU
+    contraction (2x the bf16 issue rate on v5e) with symmetric per-output-
+    column weight scales; in-scan GRU activations use a STATIC 127 scale
+    (|h| <= 1 by gate algebra), so the recurrence adds no per-step max
+    reductions. A throughput-serving tier, NOT a parity mode: gains carry
+    ~2 decimal digits, so decisions can shift (measured like the bf16 tier,
+    benchmarks/precision_sweep.py). See models/nsnet2_q8.py.
+    """
+    global _quant
+    if mode not in _QUANT_MODES:
+        raise ValueError(f"quant mode must be one of {_QUANT_MODES}, got {mode!r}")
+    _quant = mode
+
+
+def quant_int8() -> bool:
+    """Whether the int8 denoiser-model tier is selected."""
+    return _quant == "int8"

@@ -1,0 +1,144 @@
+"""Int8 denoiser-model tier (FVAD_QUANT=int8, models/nsnet2_q8.py).
+
+A throughput-serving tier, not a parity mode: these tests pin (a) the
+quantization error at the gain-mask level is small and deterministic,
+(b) the routing guards (rider / defer_head / lbr=0 keep the float paths),
+(c) dtype contracts under the io policy, and (d) the bounded-state
+invariant the static in-scan scale relies on (|h| <= 1).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from formula_vad_tpu.models import nsnet2, registry
+from formula_vad_tpu.ops import precision
+
+
+@pytest.fixture(autouse=True)
+def _restore_precision():
+    yield
+    precision.set_quant("off")
+    precision.set_matmul_precision("highest")
+    precision.set_io_dtype("f32")
+
+
+@pytest.fixture(scope="module")
+def demo_params():
+    return registry.load_denoiser("demo")
+
+
+@pytest.fixture(scope="module")
+def feats():
+    # Log-power-spectrum-shaped features: mostly in [-12, 2] like real audio.
+    rng = np.random.RandomState(7)
+    return jnp.asarray((rng.rand(2, 54, 161) * 10.0 - 9.0).astype(np.float32))
+
+
+def test_q8_gains_close_to_f32(demo_params, feats):
+    ref = np.asarray(nsnet2.apply(demo_params, feats, out_frames=50), np.float64)
+    precision.set_quant("int8")
+    q8 = np.asarray(nsnet2.apply(demo_params, feats, out_frames=50), np.float64)
+    err = np.abs(q8 - ref)
+    # Gains live in (0, 1); int8 carries ~2 decimal digits end to end.
+    assert err.mean() < 2e-2, err.mean()
+    assert err.max() < 2e-1, err.max()
+    # And the path genuinely differs from the float one (guards against the
+    # routing silently falling through — a vacuous pass).
+    assert err.max() > 0.0
+
+
+def test_q8_apply_matches_streaming_zero_state(demo_params, feats):
+    precision.set_quant("int8")
+    g1 = np.asarray(nsnet2.apply(demo_params, feats))
+    st0 = nsnet2.zero_state((2,))
+    _, g2 = nsnet2.apply_streaming(demo_params, st0, feats)
+    np.testing.assert_array_equal(g1, np.asarray(g2))
+
+
+def test_q8_state_bounded_and_dtype_preserved(demo_params):
+    # Large-magnitude features must not overflow the static in-scan scale:
+    # |h| <= 1 is a gate-algebra invariant, independent of input range.
+    wild = jnp.asarray(np.random.RandomState(0).randn(3, 30, 161).astype(np.float32) * 50)
+    precision.set_quant("int8")
+    (h1, h2), gains = nsnet2.apply_streaming(
+        demo_params, nsnet2.zero_state((3,)), wild
+    )
+    assert h1.dtype == jnp.float32 and h2.dtype == jnp.float32
+    assert float(jnp.abs(h1).max()) <= 1.0 + 1e-6
+    assert float(jnp.abs(h2).max()) <= 1.0 + 1e-6
+    assert bool(jnp.all(jnp.isfinite(gains)))
+    assert bool(jnp.all((gains >= 0) & (gains <= 1)))
+
+
+def test_q8_respects_io_dtype(demo_params, feats):
+    precision.set_quant("int8")
+    precision.set_matmul_precision("default")
+    precision.set_io_dtype("bf16")
+    st0 = nsnet2.zero_state((2,))
+    (h1, h2), gains = nsnet2.apply_streaming(demo_params, st0, feats)
+    assert gains.dtype == jnp.bfloat16  # big activations stored bf16
+    assert h1.dtype == jnp.float32  # carry dtype preserved for the caller
+
+
+def test_q8_rider_keeps_float_path(demo_params, feats):
+    # The rider opt-in pins the float program (its bitwise A/B gates compare
+    # float chains); quant on must not change its output at all.
+    xs = jnp.arange(54, dtype=jnp.float32)
+    rider = (lambda x: x * 2.0, xs)
+    ref, ref_rider = nsnet2.apply(demo_params, feats, rider=rider)
+    precision.set_quant("int8")
+    got, got_rider = nsnet2.apply(demo_params, feats, rider=rider)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+    np.testing.assert_array_equal(np.asarray(ref_rider), np.asarray(got_rider))
+
+
+def test_q8_lbr0_keeps_float_path(feats):
+    p = nsnet2.init_params(jax.random.PRNGKey(3))
+    lbr0 = lambda g: nsnet2.GRUParams(g.wi, g.wh, g.bi, g.bh, linear_before_reset=0)
+    p = nsnet2.NSNet2Params(
+        p.fc_in_w, p.fc_in_b, lbr0(p.gru1), lbr0(p.gru2),
+        p.ff1_w, p.ff1_b, p.ff2_w, p.ff2_b, p.out_w, p.out_b,
+    )
+    ref = np.asarray(nsnet2.apply(p, feats))
+    precision.set_quant("int8")
+    got = np.asarray(nsnet2.apply(p, feats))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_q8_chunk_step_close_to_float(demo_params):
+    # Full-step scope at the production serving precision: window inputs
+    # (the FSM decision feed) stay within a few percent of the float tier.
+    from formula_vad_tpu.config import VADConfig
+    from formula_vad_tpu.pipeline import vad
+
+    st = vad.statics_from_config(VADConfig())
+    rng = np.random.RandomState(11)
+    chunks = jnp.asarray(0.05 * rng.randn(3, 2, st.chunk_size).astype(np.float32))
+    precision.set_matmul_precision("default")
+
+    def run():
+        c = vad.init_carry(st)
+        step = jax.jit(
+            lambda c, a: vad.chunk_step(demo_params, st, c, a, run_fsm=False)
+        )
+        mvs = []
+        for i in range(3):
+            c, out = step(c, chunks[i])
+            mvs.append(np.asarray(out.min_vol, np.float64))
+        return np.concatenate(mvs)
+
+    ref = run()
+    precision.set_quant("int8")
+    q8 = run()
+    assert np.abs(q8 - ref).max() <= 0.05 * max(np.abs(ref).max(), 1e-9)
+    assert np.abs(q8 - ref).max() > 0.0  # the quant path genuinely ran
+
+
+def test_set_quant_validates():
+    with pytest.raises(ValueError):
+        precision.set_quant("int4")
+    assert not precision.quant_int8()
+    precision.set_quant("int8")
+    assert precision.quant_int8()
