@@ -74,6 +74,14 @@ MICRO = int(os.environ.get("SCALE_MICROBATCH", "1"))
 INPUT_SETS = int(os.environ.get("SCALE_INPUT_SETS", "2"))
 if INPUT_SETS not in (1, 2):
     raise ValueError(f"SCALE_INPUT_SETS must be 1 or 2, got {INPUT_SETS}")
+# SCALE_SUSTAIN=n: after the slope measurement, run n additional ticks each
+# timed INDIVIDUALLY (every tick ends in a real device sync) and report the
+# latency distribution (p50/p95/p99/max + in-budget fraction). The slope
+# method measures the steady-state mean; a production serving claim also
+# needs the tail. Per-tick sync costs the relay's fixed ~33 ms round trip
+# here (verify SKILL.md), so the distribution is CONSERVATIVE — a real
+# host's tail sits below it.
+SUSTAIN = int(os.environ.get("SCALE_SUSTAIN", "0"))
 
 
 def _sync(x):
@@ -165,6 +173,29 @@ def measure(b: int, params, st, pcm16: bool | None = None) -> dict:
         short = min(ITERS - 1, max(2, ITERS // 4))  # keep ITERS-short > 0
         tick = (run(ITERS) - run(short)) / (ITERS - short)
 
+    sustain = {}
+    if SUSTAIN > 0:
+        lat = np.empty(SUSTAIN)
+        c = carries
+        fill["v"] = fill0
+        for i in range(SUSTAIN):
+            t0 = time.perf_counter()
+            c, outs_i = step(c, chunks[i % INPUT_SETS], valid)
+            # One sync per tick: device programs execute in enqueue order,
+            # so the LAST shard's output completing implies the whole tick
+            # did — m syncs would add m fixed ~33 ms relay round trips.
+            _sync(outs_i[-1])
+            lat[i] = time.perf_counter() - t0
+        lat_ms = np.sort(lat) * 1e3
+        sustain = {
+            "n": SUSTAIN,
+            "p50_ms": float(np.percentile(lat_ms, 50)),
+            "p95_ms": float(np.percentile(lat_ms, 95)),
+            "p99_ms": float(np.percentile(lat_ms, 99)),
+            "max_ms": float(lat_ms[-1]),
+            "in_budget_frac": float((lat < 0.5).mean()),
+        }
+
     decode_ms = 0.0
     if host_fsm:
         # The per-tick host decode sits on the serving thread between device
@@ -187,6 +218,17 @@ def measure(b: int, params, st, pcm16: bool | None = None) -> dict:
         decode_ms = (time.perf_counter() - t0) / n_dec * 1e3
         tick = tick + decode_ms / 1e3
 
+    if sustain:
+        # The sustained ticks exclude the host decode; fold it in like the
+        # slope path does (additive, conservative).
+        print(
+            f"   sustain n={sustain['n']} (+{decode_ms:.1f} ms decode each): "
+            f"p50 {sustain['p50_ms'] + decode_ms:.1f}  "
+            f"p95 {sustain['p95_ms'] + decode_ms:.1f}  "
+            f"p99 {sustain['p99_ms'] + decode_ms:.1f}  "
+            f"max {sustain['max_ms'] + decode_ms:.1f} ms  "
+            f"in-budget {sustain['in_budget_frac'] * 100:.1f}% (pre-decode)"
+        )
     return {
         "b": b,
         "ms_per_tick": tick * 1e3,
@@ -195,6 +237,7 @@ def measure(b: int, params, st, pcm16: bool | None = None) -> dict:
         "input_mb": input_bytes / 2**20,
         "audio_sec_per_sec": b * (st.chunk_size / st.sample_rate) / tick,
         "fits_budget": tick < 0.5,
+        **({"sustain": sustain} if sustain else {}),
     }
 
 
