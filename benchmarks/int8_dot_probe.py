@@ -54,14 +54,18 @@ def main() -> int:
     print(f"rows={ROWS} iters={ITERS} platform={jax.devices()[0].platform}")
     rng = np.random.RandomState(0)
     for n_out in (400, 1200):
-        a_f = jnp.asarray(rng.randn(ROWS, 400).astype(np.float32))
-        b_f = jnp.asarray(rng.randn(400, n_out).astype(np.float32))
+        # Operands arrive PRE-CAST in their compute dtype (like the int8
+        # ones) so the measured program is the bare contraction — casting
+        # f32->bf16 inside the jit would bill ~20 MB of extra HBM reads to
+        # the bf16 baseline only.
+        a_f = jnp.asarray(rng.randn(ROWS, 400).astype(np.float32)).astype(jnp.bfloat16)
+        b_f = jnp.asarray(rng.randn(400, n_out).astype(np.float32)).astype(jnp.bfloat16)
         a8 = jnp.asarray(rng.randint(-127, 128, (ROWS, 400), np.int8))
         b8 = jnp.asarray(rng.randint(-127, 128, (400, n_out), np.int8))
         s = jnp.asarray(rng.rand(1, n_out).astype(np.float32))
 
         def bf16_dot(a, b):
-            return _mk_dot(jnp.float32)(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+            return _mk_dot(jnp.float32)(a, b)
 
         def int8_dot(a, b):
             return _mk_dot(jnp.int32)(a, b)

@@ -129,9 +129,13 @@ def main() -> int:
     )
     if mv_dev == 0.0:
         # min_vol derives from the DENOISED audio: int8 gains MUST move it.
-        print("WARNING: zero min_vol deviation — the int8 trace did not "
-              "apply; the timing below compares float against itself "
-              "(vacuous A/B). Fix before trusting the verdict.")
+        # Exit non-zero so an unattended queue run records the failure in
+        # its ledger instead of logging a float-vs-itself timing as a
+        # verdict (the trace-cache failure mode this harness was bitten by).
+        print("ERROR: zero min_vol deviation — the int8 trace did not "
+              "apply; a timing run would compare float against itself "
+              "(vacuous A/B). Aborting without timing.")
+        return 4
 
     def run_fn(name):
         def run(n):

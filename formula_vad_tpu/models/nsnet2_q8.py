@@ -91,12 +91,15 @@ def _qa_static(h):
 
 def _qgru(g: nsnet2.GRUParams):
     """Quantize one GRU layer per gate: (wi3, wh3, bi3, bh3) where each w3
-    entry is (q [in, 400], scale-with-1/127-folded [1, 400])."""
-    wi3 = tuple(_qw_static(w) for w in jnp.split(g.wi, 3, axis=-1))
-    wh3 = tuple(_qw_static(w) for w in jnp.split(g.wh, 3, axis=-1))
-    bi3 = tuple(b.astype(_F32) for b in jnp.split(g.bi, 3))
-    bh3 = tuple(b.astype(_F32) for b in jnp.split(g.bh, 3))
-    return wi3, wh3, bi3, bh3
+    entry is (q [in, 400], scale-with-1/127-folded [1, 400]). The z|r|n
+    gate layout has ONE definition — nsnet2._split_gru3."""
+    wi3, wh3, bi3, bh3 = nsnet2._split_gru3(g)
+    return (
+        tuple(_qw_static(w) for w in wi3),
+        tuple(_qw_static(w) for w in wh3),
+        tuple(b.astype(_F32) for b in bi3),
+        tuple(b.astype(_F32) for b in bh3),
+    )
 
 
 def _proj_static(qh, w3, b3):
