@@ -248,9 +248,14 @@ class OnlineBatchServer:
         when microbatch=1), picking the shared-fill fast path when every
         valid stream's window-fill phase agrees (host-tracked; the shared
         start is fleet-global, so the choice is made once per tick).
-        Returns the tick output as HOST arrays — each shard's async D2H is
-        started at dispatch, so shard k's fetch overlaps shard k+1's
-        compute (and the host-FSM decode consumes host buffers anyway)."""
+        Returns the tick output as HOST arrays with the host-FSM windows
+        already decoded and spliced in — each shard's async D2H is started
+        at dispatch, so shard k's fetch overlaps shard k+1's compute, and
+        in host-FSM mode shard k's FSM decode runs on the host WHILE the
+        device executes shards k+1.. (``device_get(outs[k])`` blocks on
+        shard k only; decode order per stream is unchanged, so outputs are
+        identical to a post-hoc batched decode — at microbatch=m all but
+        the last shard's decode hides behind device compute)."""
         live = self._fills[valid_np]
         shared = self._use_shared_fill and live.size and (live == live[0]).all()
         start = (
@@ -272,12 +277,43 @@ class OnlineBatchServer:
         self._fills[valid_np] = (
             self._fills[valid_np] + self.chunk_size
         ) % self.st.fft_size
+        host = [
+            self._decode_shard(jax.device_get(o), s) for s, o in enumerate(outs)
+        ]
         if self.microbatch == 1:
-            return jax.device_get(outs[0])
-        host = [jax.device_get(o) for o in outs]
+            return host[0]
         return jax.tree_util.tree_map(
             lambda *xs: np.concatenate(xs, axis=0), *host
         )
+
+    def _decode_shard(self, out, s: int):
+        """Host-FSM mode: decode shard ``s``'s window inputs and splice the
+        WindowOutput into its (device-FSM-free) ChunkOutput. The shard's
+        rows of the host carry are passed as numpy VIEWS, so the native
+        decoder's in-place update lands directly in the full-fleet carry
+        (checkpoints and reset_stream keep seeing one [B, ...] array)."""
+        if not self.use_host_fsm:
+            return out
+        from ..pipeline import fsm_host
+
+        rows = slice(s * self._shard, (s + 1) * self._shard)
+        carry_view = {k: v[rows] for k, v in self._host_fsm_carry.items()}
+        win_out, new_carry = fsm_host.scan_windows_host(
+            self.st.fsm_shape, self.st.fsm_params,
+            np.asarray(out.min_vol), np.asarray(out.ratios),
+            np.asarray(out.window_valid),
+            carry=carry_view,
+            win_base=np.asarray(out.win_indices)[:, 0],
+            return_carry=True,
+        )
+        # The decoder updates the RING buffers in place (through the views)
+        # but returns the scalar registers as FRESH arrays bound into the
+        # passed dict — which here is the temporary view dict. Write every
+        # entry back into the fleet carry's rows (ring entries are self-
+        # assignments of the same memory; scalars are the real update).
+        for k, v in new_carry.items():
+            self._host_fsm_carry[k][rows] = v
+        return out._replace(windows=win_out)
 
     @staticmethod
     def _start_fetch(out):
@@ -296,22 +332,6 @@ class OnlineBatchServer:
             except AttributeError:
                 pass
         return out
-
-    def _finish_outputs(self, out):
-        """Host-FSM mode: decode the fetched window inputs and splice the
-        WindowOutput into the (device-FSM-free) ChunkOutput."""
-        if not self.use_host_fsm:
-            return out
-        from ..pipeline import fsm_host
-
-        mv = np.asarray(out.min_vol)
-        win_out = fsm_host.scan_windows_host(
-            self.st.fsm_shape, self.st.fsm_params,
-            mv, np.asarray(out.ratios), np.asarray(out.window_valid),
-            carry=self._host_fsm_carry,
-            win_base=np.asarray(out.win_indices)[:, 0],
-        )
-        return out._replace(windows=win_out)
 
     def push(
         self, chunks: np.ndarray, valid: Optional[np.ndarray] = None
@@ -378,7 +398,7 @@ class OnlineBatchServer:
             for i in np.nonzero(ring_routed)[0]:
                 # residue > 0 plus a full chunk always yields >= 1 pending
                 dev_chunks[i] = self.pipelines[i].peek_pending_chunk()
-        out = self._finish_outputs(self._run_step(np.asarray(dev_chunks), valid))
+        out = self._run_step(np.asarray(dev_chunks), valid)
         for i in range(self.n_streams):
             if not valid[i]:
                 continue
@@ -408,7 +428,7 @@ class OnlineBatchServer:
                 for p, v in zip(self.pipelines, valid)
             ]
         )
-        out = self._finish_outputs(self._run_step(chunks, valid))
+        out = self._run_step(chunks, valid)
         for i, p in enumerate(self.pipelines):
             if valid[i]:
                 p.complete_chunk(jax.tree_util.tree_map(lambda x: np.asarray(x)[i], out))
