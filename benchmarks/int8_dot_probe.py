@@ -73,11 +73,51 @@ def main() -> int:
         def int8_deq(a, b):
             return _mk_dot(jnp.int32)(a, b).astype(jnp.float32) * s
 
+        # Epilogue-fusion variants: the first probe run showed the bare
+        # int8 dot at 1.72x bf16 for N=1200 but the int32->f32*s dequant
+        # pass erasing ALL of it — these ask whether XLA can keep the
+        # conversion inside the dot instead of a second HBM pass.
+        def int8_f32out(a, b):
+            return _mk_dot(jnp.float32)(a, b) * s
+
+        def int8_bf16out(a, b):
+            return _mk_dot(jnp.bfloat16)(a, b) * s.astype(jnp.bfloat16)
+
+        def int8_deq_bf16(a, b):
+            # Dequant pass, but storing bf16 (half the epilogue writes).
+            return (
+                _mk_dot(jnp.int32)(a, b).astype(jnp.bfloat16)
+                * s.astype(jnp.bfloat16)
+            )
+
         cases = [
             ("bf16", jax.jit(bf16_dot), (a_f, b_f)),
             ("int8", jax.jit(int8_dot), (a8, b8)),
             ("int8+deq", jax.jit(int8_deq), (a8, b8)),
+            ("int8>f32*s", jax.jit(int8_f32out), (a8, b8)),
+            ("int8>bf16*s", jax.jit(int8_bf16out), (a8, b8)),
+            ("int8+deq16", jax.jit(int8_deq_bf16), (a8, b8)),
         ]
+        if ROWS % 256 == 0:
+            # The Pallas kernel: int32 accumulator stays in VMEM, scaled
+            # float written directly (ops/matmul_q8.py). Interpret mode on
+            # CPU (rehearsal only — Mosaic needs the TPU backend).
+            from formula_vad_tpu.ops.matmul_q8 import matmul_q8
+
+            interp = jax.devices()[0].platform == "cpu"
+            cases.append(
+                ("pallas_q8",
+                 lambda a, b: matmul_q8(a, b, s, interpret=interp), (a8, b8))
+            )
+            cases.append(
+                (
+                    "pallas_q8>16",
+                    lambda a, b: matmul_q8(
+                        a, b, s, out_dtype=jnp.bfloat16, interpret=interp
+                    ),
+                    (a8, b8),
+                )
+            )
         flops = 2.0 * ROWS * 400 * n_out
         for name, fn, args in cases:
             out = fn(*args)

@@ -136,6 +136,31 @@ def test_q8_chunk_step_close_to_float(demo_params):
     assert np.abs(q8 - ref).max() > 0.0  # the quant path genuinely ran
 
 
+def test_matmul_q8_kernel_exact():
+    # The fused-dequant Pallas kernel (interpret mode on CPU) against an
+    # exact int64 reference: int8 x int8 -> int32 is exact, the epilogue
+    # is one f32 multiply per output.
+    import jax.numpy as jnp
+
+    from formula_vad_tpu.ops.matmul_q8 import matmul_q8
+
+    rng = np.random.RandomState(3)
+    a = jnp.asarray(rng.randint(-127, 128, (512, 400), np.int8))
+    b = jnp.asarray(rng.randint(-127, 128, (400, 1200), np.int8))
+    s = jnp.asarray(rng.rand(1, 1200).astype(np.float32))
+    ref = (np.asarray(a, np.int64) @ np.asarray(b, np.int64)).astype(
+        np.float32
+    ) * np.asarray(s)
+    got = matmul_q8(a, b, s, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), ref)
+    got16 = matmul_q8(a, b, s, out_dtype=jnp.bfloat16, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(got16), np.asarray(ref.astype(jnp.bfloat16))
+    )
+    with pytest.raises(ValueError):
+        matmul_q8(a[:100], b, s, interpret=True)  # rows not a TILE multiple
+
+
 def test_set_quant_validates():
     with pytest.raises(ValueError):
         precision.set_quant("int4")
