@@ -18,6 +18,7 @@ test path runs this kernel in interpreter mode).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,16 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_R = 256
+
+# FVAD_Q8_KERNEL: auto (pallas on TPU when the row count merits it),
+# pallas (force), xla (force the dot_general path). The two paths are
+# BITWISE identical — int8 x int8 accumulates exactly in int32 and the
+# epilogue is the same float multiply — so the knob is purely about speed.
+_KERNEL_ENV = os.environ.get("FVAD_Q8_KERNEL", "auto").lower()
+if _KERNEL_ENV not in ("auto", "pallas", "xla"):
+    raise ValueError(
+        f"FVAD_Q8_KERNEL must be auto|pallas|xla, got {_KERNEL_ENV!r}"
+    )
 
 
 def _kernel(a_ref, b_ref, s_ref, out_ref):
@@ -36,12 +47,29 @@ def _kernel(a_ref, b_ref, s_ref, out_ref):
     out_ref[:] = (acc.astype(jnp.float32) * s_ref[:]).astype(out_ref.dtype)
 
 
+def _kernel_rs(a_ref, b_ref, s_ref, r_ref, out_ref):
+    # Row-scaled variant: dynamic per-row activation scales join the
+    # per-column weight scales in the same epilogue (still one HBM write).
+    acc = jax.lax.dot_general(
+        a_ref[:], b_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = (acc.astype(jnp.float32) * s_ref[:] * r_ref[:]).astype(
+        out_ref.dtype
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
-def matmul_q8(a8, b8, scale, out_dtype=jnp.float32, interpret: bool = False):
+def matmul_q8(
+    a8, b8, scale, row_scale=None, out_dtype=jnp.float32, interpret: bool = False
+):
     """(a8 [R, K] int8) @ (b8 [K, N] int8) -> [R, N] ``out_dtype``, scaled.
 
     scale: [1, N] float32 — the combined dequant factor (s_a * s_b per
     output column; fold any static activation scale in before calling).
+    row_scale: optional [R, 1] float32 — dynamic per-row activation
+    scales, applied in the same epilogue.
     R must be a multiple of TILE_R=256 — pad rows with zeros (int8 zero
     rows contribute exact zeros) and slice the result, or batch-shape the
     caller so R is aligned (the serving tick's row counts are multiples
@@ -53,17 +81,137 @@ def matmul_q8(a8, b8, scale, out_dtype=jnp.float32, interpret: bool = False):
     assert k == k2 and scale.shape == (1, n), (a8.shape, b8.shape, scale.shape)
     if r % TILE_R:
         raise ValueError(f"rows {r} must be a multiple of {TILE_R} (pad with zeros)")
+    specs = [
+        pl.BlockSpec((TILE_R, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = (a8, b8, scale)
+    kernel = _kernel
+    if row_scale is not None:
+        assert row_scale.shape == (r, 1), row_scale.shape
+        specs.append(
+            pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        )
+        args = (a8, b8, scale, row_scale)
+        kernel = _kernel_rs
     return pl.pallas_call(
-        _kernel,
+        kernel,
         grid=(r // TILE_R,),
-        in_specs=[
-            pl.BlockSpec((TILE_R, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec(
             (TILE_R, n), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((r, n), out_dtype),
         interpret=interpret,
-    )(a8, b8, scale)
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Flexible entry point: arbitrary leading dims, vmap-aware row collapsing
+# ---------------------------------------------------------------------------
+#
+# The serving tick runs the quantized model INSIDE vmap(chunk_step): each
+# per-stream call sees [C=2, 400] activations, and only vmap's batching
+# makes the row count MXU-worthy (B*C rows). A fixed-tile Pallas kernel
+# can't be batched that way automatically, so dot_q8 is a custom_vmap
+# primitive whose batching rule COLLAPSES the mapped axis into rows — the
+# op is row-parallel, so this is exact — before choosing a backend. The
+# XLA fallback (small/unaligned row counts, non-TPU platforms) computes
+# the identical int32 accumulation + float epilogue, so backend choice
+# never changes results.
+
+
+def _dot_q8_impl(a8, b8, scale, row, out_dtype, interpret):
+    r, k = a8.shape
+    plat = jax.devices()[0].platform
+    use_pallas = _KERNEL_ENV == "pallas" or (
+        _KERNEL_ENV == "auto"
+        and (plat == "tpu" or interpret)
+        and r >= TILE_R  # padding tiny row counts would waste the MXU
+    )
+    if use_pallas and plat == "cpu" and not interpret:
+        use_pallas = False  # Mosaic needs the TPU backend
+    if use_pallas:
+        pad = (-r) % TILE_R
+        ap = jnp.pad(a8, ((0, pad), (0, 0))) if pad else a8  # int8 zeros: exact
+        rp = None
+        if row is not None:
+            rp = jnp.pad(row, ((0, pad), (0, 0))) if pad else row
+        out = matmul_q8(
+            ap, b8, scale, row_scale=rp, out_dtype=out_dtype, interpret=interpret
+        )
+        return out[:r] if pad else out
+    acc = jax.lax.dot_general(
+        a8, b8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * scale
+    if row is not None:
+        out = out * row
+    return out.astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _dot_q8_for(out_dtype, interpret, has_row):
+    if has_row:
+
+        @jax.custom_batching.custom_vmap
+        def fn(a8, b8, scale, row):
+            return _dot_q8_impl(a8, b8, scale, row, out_dtype, interpret)
+
+        @fn.def_vmap
+        def _rule(axis_size, in_batched, a8, b8, scale, row):  # noqa: ANN001
+            a_b, b_b, s_b, r_b = in_batched
+            if b_b or s_b or not a_b or not r_b:
+                raise NotImplementedError(
+                    "dot_q8 batching expects activations (+row scales) "
+                    "batched, weights shared"
+                )
+            bsz, r, k = a8.shape
+            out = fn(a8.reshape(bsz * r, k), b8, scale, row.reshape(bsz * r, 1))
+            return out.reshape(bsz, r, out.shape[-1]), True
+
+        return fn
+
+    @jax.custom_batching.custom_vmap
+    def fn(a8, b8, scale):
+        return _dot_q8_impl(a8, b8, scale, None, out_dtype, interpret)
+
+    @fn.def_vmap
+    def _rule(axis_size, in_batched, a8, b8, scale):  # noqa: ANN001
+        a_b, b_b, s_b = in_batched
+        if b_b or s_b or not a_b:
+            # Weights/scales are shared across streams in every caller;
+            # keep the rule simple and exact.
+            raise NotImplementedError(
+                "dot_q8 batching expects activations batched, weights shared"
+            )
+        bsz, r, k = a8.shape
+        out = fn(a8.reshape(bsz * r, k), b8, scale)
+        return out.reshape(bsz, r, out.shape[-1]), True
+
+    return fn
+
+
+def dot_q8(
+    a8, b8, scale, row_scale=None, out_dtype=jnp.float32, interpret: bool = False
+):
+    """(a8 [..., K] int8) @ (b8 [K, N] int8) * scale [* row_scale] -> [..., N].
+
+    Row-parallel quantized matmul with exact int32 accumulation.
+    row_scale: optional [..., 1] dynamic per-row activation scales. Under
+    ``vmap`` the mapped axes COLLAPSE into rows (custom_vmap rule), so the
+    per-stream [C, K] calls inside the vmapped serving step reach the
+    Pallas kernel as one [B*C, K] contraction. Backend (Pallas fused-
+    dequant kernel vs XLA dot + epilogue) is chosen per FVAD_Q8_KERNEL and
+    row count; both compute bitwise-identical results.
+    """
+    lead = a8.shape[:-1]
+    fn = _dot_q8_for(jnp.dtype(out_dtype).name, interpret, row_scale is not None)
+    flat = a8.reshape((-1, a8.shape[-1])) if len(lead) != 1 else a8
+    if row_scale is None:
+        out = fn(flat, b8, scale)
+    else:
+        rflat = row_scale.reshape((-1, 1)) if len(lead) != 1 else row_scale
+        out = fn(flat, b8, scale, rflat)
+    return out.reshape(lead + (b8.shape[1],))
