@@ -125,10 +125,19 @@ def matmul_q8(
 def _dot_q8_impl(a8, b8, scale, row, out_dtype, interpret):
     r, k = a8.shape
     plat = jax.devices()[0].platform
+    # Backend selection, from the measured mechanism at the dense serving
+    # row count (benchmarks/int8_dot_probe.py, 24064 rows, one process):
+    # bf16 1256 us; bare int8 519; XLA preferred_element_type=f32 + scale
+    # 553 (XLA fuses the epilogue when asked for FLOAT output directly);
+    # int32-out + convert 1041 (the unfused second pass); Pallas kernel
+    # 698 f32-out / 426 bf16-out. So auto routes bf16 outputs to the
+    # Pallas kernel (f32 writes are 2x the bytes — XLA's fused f32 form
+    # wins there) and float32 outputs to the XLA f32-preferred dot.
     use_pallas = _KERNEL_ENV == "pallas" or (
         _KERNEL_ENV == "auto"
         and (plat == "tpu" or interpret)
         and r >= TILE_R  # padding tiny row counts would waste the MXU
+        and jnp.dtype(out_dtype) == jnp.bfloat16
     )
     if use_pallas and plat == "cpu" and not interpret:
         use_pallas = False  # Mosaic needs the TPU backend
@@ -142,10 +151,19 @@ def _dot_q8_impl(a8, b8, scale, row, out_dtype, interpret):
             ap, b8, scale, row_scale=rp, out_dtype=out_dtype, interpret=interpret
         )
         return out[:r] if pad else out
-    acc = jax.lax.dot_general(
-        a8, b8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-    )
-    out = acc.astype(jnp.float32) * scale
+    # f32 accumulation of int8 products is EXACT while |sum| < 2^24
+    # (worst case k * 127^2) — for K <= 1040 the f32-preferred dot is
+    # bitwise the int32 accumulation converted, and XLA keeps its dequant
+    # fused. Larger K falls back to the exact int32 form.
+    if k * 127 * 127 < 2**24:
+        acc = jax.lax.dot_general(
+            a8, b8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+    else:
+        acc = jax.lax.dot_general(
+            a8, b8, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    out = acc * scale
     if row is not None:
         out = out * row
     return out.astype(out_dtype)
