@@ -1,47 +1,41 @@
-"""Int8-quantized NSNet2: every model matmul as an int8 MXU contraction.
+"""Int8-quantized NSNet2 — a MEASURED-LOSING opt-in tier, kept for parity
+with hardware/stacks where int8 pays (it does not on this one).
 
-A throughput tier for dense online serving (``FVAD_QUANT=int8`` /
-``precision.set_quant("int8")``). The serving tick at B >= ~10k streams is
-MXU-throughput bound at ~25% of the bf16 peak (ROOFLINE.md "online tick"),
-and the measured int8 mechanism on v5e (benchmarks/int8_dot_probe.py) is:
-
-* the FUSED [R, 400] @ [400, 1200] contraction runs 1.72x faster than
-  bf16 in int8 (15.05 vs 8.73 TFLOP/s) — the int8 MXU rate is real;
-* the per-gate [400, 400] shape is SLOWER in int8 than bf16 (layout);
-* XLA lowers the int32 -> f32 * scale dequant as a second HBM pass that
-  erases the entire win.
-
-So this model uses the fused projections everywhere and routes every
-matmul through ``ops.matmul_q8.dot_q8`` — a Pallas kernel that keeps the
-int32 accumulator in VMEM and applies the per-column (and optional
-per-row) scales in the epilogue, with a bitwise-identical XLA fallback
-(int8 x int8 accumulation is exact in int32, so backend choice can never
-change results).
-
-This is NOT a parity mode: int8 carries ~2 decimal digits, so the gain
-mask deviates ~1e-2 and VAD decisions can shift near thresholds (measured
-with the same corpus methodology as the bf16 tier —
-``benchmarks/precision_sweep.py``; the decision chain itself — band sums,
-RMS volumes, FSM — stays f32 regardless, pipeline/vad.py).
+Final round-3 verdict (ROOFLINE.md "Dead end: int8" has the full table):
+every int8 formulation loses the full serving tick to bf16 on this
+v5e/XLA stack — this per-gate form x0.79 at B=13,824 (220.1 vs 174.5 ms
+float), the fused/routed forms x0.33 (530.6 ms), Pallas-everywhere
+x0.43 at B=4,096 — even though STANDALONE the fused int8 contraction
+measures 2.4-2.95x faster than bf16 at dense row counts
+(benchmarks/int8_dot_probe.py; ops/matmul_q8.py holds the fused-dequant
+Pallas kernel that wins bare-op). In-scan, int8 dots run ~7-8 TFLOP/s
+regardless of formulation: bare-op rates do not survive the scan
+context. This file therefore ships the LEAST-BAD measured form — the v1
+per-gate int32-accumulate layout — not the bare-op-optimal one.
 
 Scheme (symmetric, zero-point-free — TPU MXU has no asymmetric path):
 
 * Weights: per-output-column int8, ``s_w = max|col| / 127``, quantized at
-  trace time (hoisted by XLA out of the serving step's scan; recomputing
-  per call costs a few M VPU ops against a multi-TFLOP tick).
+  trace time (hoisted by XLA out of the serving step's scan).
 * Out-of-scan activations (features, the GRU-1 input projection's input,
   the FF head's ReLU outputs): dynamic per-frame scales — one max-abs
-  over the last axis, outside the recurrence, applied as the kernel's
-  row_scale.
+  over the last axis, outside the recurrence.
 * In-scan activations (h1, h2, and h1 as GRU-2's input): STATIC scale 127.
   The GRU hidden state is bounded by gate algebra — ``h' = (1-z)n + zh``
   with ``n = tanh(.) in [-1, 1]`` and ``h0 = 0`` gives ``|h| <= 1`` for
   every reachable state — so the recurrence needs NO per-step max
-  reductions, only a round+clip+cast of 400 lanes per row. (``clip``
-  guards the one representable boundary case: tanh saturating to 1.0.)
-  The 1/127 factor is folded into the weight scales.
+  reductions, only a round+clip+cast of 400 lanes per row (``clip``
+  guards tanh saturating to exactly 1.0). The 1/127 factor is folded
+  into the weight scales.
 * Accumulation in int32 (exact: worst case 400 * 127 * 127 << 2^31),
-  dequantized to f32 for the gate math.
+  dequantized to f32 for the gate math — so quantized results are
+  bit-identical across backends and batch shapes.
+
+NOT a parity mode: int8 carries ~2 decimal digits, so the gain mask
+deviates ~1e-2 and VAD decisions can shift near thresholds (measured
+like the bf16 tier — benchmarks/precision_sweep.py int8 row: 0 segment
+deviations on the synthetic corpus; the decision chain itself — band
+sums, RMS volumes, FSM — stays f32 regardless, pipeline/vad.py).
 
 Reference semantics being approximated: NSNet2.zig:53-112 (the f32 ONNX
 Runtime run); gate order and linear_before_reset=1 as in nsnet2.py.
@@ -54,10 +48,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import precision as _prec
-from ..ops.matmul_q8 import dot_q8
 from . import nsnet2
 
 _F32 = jnp.float32
+
+
+def _dot8(qa, qb):
+    """[..., K] int8 @ [K, N] int8 -> [..., N] int32 (MXU int8 path)."""
+    return jax.lax.dot_general(
+        qa, qb, (((qa.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
 
 
 def _qw(w):
@@ -92,6 +93,26 @@ def _qa_static(h):
     )
 
 
+def _qgru(g: nsnet2.GRUParams):
+    """Quantize one GRU layer per gate: (wi3, wh3, bi3, bh3) where each w3
+    entry is (q [in, 400], scale-with-1/127-folded [1, 400]). The z|r|n
+    gate layout has ONE definition — nsnet2._split_gru3."""
+    wi3, wh3, bi3, bh3 = nsnet2._split_gru3(g)
+    return (
+        tuple(_qw_static(w) for w in wi3),
+        tuple(_qw_static(w) for w in wh3),
+        tuple(b.astype(_F32) for b in bi3),
+        tuple(b.astype(_F32) for b in bh3),
+    )
+
+
+def _proj_static(qh, w3, b3):
+    """Per-gate projections of a statically-quantized activation."""
+    return tuple(
+        _dot8(qh, q).astype(_F32) * s + b for (q, s), b in zip(w3, b3)
+    )
+
+
 def apply_streaming_q8(
     params: nsnet2.NSNet2Params, state, features, out_frames=None
 ):
@@ -109,34 +130,37 @@ def apply_streaming_q8(
 
     qfc, sfc = _qw(params.fc_in_w)
     fcb = params.fc_in_b.astype(_F32)
-    qwi1, swi1 = _qw(g1.wi)
-    qwh1, swh1 = _qw_static(g1.wh)
-    qwi2, swi2 = _qw_static(g2.wi)
-    qwh2, swh2 = _qw_static(g2.wh)
-    bi1 = g1.bi.astype(_F32)
-    bh1 = g1.bh.astype(_F32)
-    bi2 = g2.bi.astype(_F32)
-    bh2 = g2.bh.astype(_F32)
+    wi1, wh1, bi1, bh1 = _qgru(g1)
+    wi2, wh2, bi2, bh2 = _qgru(g2)
 
     # Front matmuls over the whole sequence (outside the recurrence).
     qx, sx = _qa_dyn(features)
-    x = dot_q8(qx, qfc, sfc, row_scale=sx) + fcb  # [..., T, 400] f32
+    x = _dot8(qx, qfc).astype(_F32) * sx * sfc + fcb  # [..., T, 400]
     qx1, sx1 = _qa_dyn(x)
-    gi1 = (dot_q8(qx1, qwi1, swi1, row_scale=sx1) + bi1).astype(act)
-    gi1_t = jnp.moveaxis(gi1, -2, 0)  # [T, ..., 1200]
+    gi1 = tuple(
+        jnp.moveaxis(
+            (_dot8(qx1, q).astype(_F32) * (sx1 * np.float32(127.0)) * s + b)
+            .astype(act),
+            -2, 0,
+        )
+        for (q, s), b in zip(wi1, bi1)
+    )  # 3 x [T, ..., 400] (wi1 scales carry the folded 1/127; undo it — the
+    #    input here is dynamically scaled, not the static in-scan form)
 
     state = tuple(h.astype(_F32) for h in state)
 
     def step(carry, gi1_i):
         h1, h2 = carry  # f32; gate math stays f32 (VPU-native)
-        gh1 = dot_q8(_qa_static(h1), qwh1, swh1) + bh1
-        h1 = nsnet2._gates_lbr(gi1_i.astype(_F32), gh1, h1)
-        gi2 = dot_q8(_qa_static(h1), qwi2, swi2) + bi2
-        gh2 = dot_q8(_qa_static(h2), qwh2, swh2) + bh2
-        h2 = nsnet2._gates_lbr(gi2, gh2, h2)
+        gh1 = _proj_static(_qa_static(h1), wh1, bh1)
+        h1 = nsnet2._gates_split3(
+            tuple(g.astype(_F32) for g in gi1_i), gh1, h1
+        )
+        gi2 = _proj_static(_qa_static(h1), wi2, bi2)
+        gh2 = _proj_static(_qa_static(h2), wh2, bh2)
+        h2 = nsnet2._gates_split3(gi2, gh2, h2)
         return (h1, h2), h2.astype(act)
 
-    (h1, h2), ys = jax.lax.scan(step, state, gi1_t, unroll=nsnet2._GRU_UNROLL)
+    (h1, h2), ys = jax.lax.scan(step, state, gi1, unroll=nsnet2._GRU_UNROLL)
     if out_frames is not None and out_frames < t:
         ys = ys[t - out_frames:]
     y = jnp.moveaxis(ys, 0, -2)  # [..., T_out, 400]
@@ -145,16 +169,17 @@ def apply_streaming_q8(
     # unbounded -> dynamic per-frame scales.
     qw1, sw1 = _qw_static(params.ff1_w)
     a = jax.nn.relu(
-        dot_q8(_qa_static(y), qw1, sw1) + params.ff1_b.astype(_F32)
+        _dot8(_qa_static(y), qw1).astype(_F32) * sw1
+        + params.ff1_b.astype(_F32)
     )
     qw2, sw2 = _qw(params.ff2_w)
     qa2, sa2 = _qa_dyn(a)
     a = jax.nn.relu(
-        dot_q8(qa2, qw2, sw2, row_scale=sa2) + params.ff2_b.astype(_F32)
+        _dot8(qa2, qw2).astype(_F32) * sa2 * sw2 + params.ff2_b.astype(_F32)
     )
     qw3, sw3 = _qw(params.out_w)
     qa3, sa3 = _qa_dyn(a)
     gains = jax.nn.sigmoid(
-        dot_q8(qa3, qw3, sw3, row_scale=sa3) + params.out_b.astype(_F32)
+        _dot8(qa3, qw3).astype(_F32) * sa3 * sw3 + params.out_b.astype(_F32)
     )
     return (h1.astype(state_dtype), h2.astype(state_dtype)), gains.astype(act)

@@ -10,9 +10,14 @@ keeps the int32 accumulator in VMEM and writes the scaled float result
 directly: one HBM read of the int8 operands, one HBM write of the float
 output, nothing else.
 
-Used by the int8 serving tier's scan step (models/nsnet2_q8.py) when
-Pallas is available; the XLA dot path remains the fallback (and the CPU
-test path runs this kernel in interpreter mode).
+STATUS: measurement infrastructure, not a live model path. The kernel
+WINS standalone (426 us bf16-out vs 1256 us bf16 at 24,064 rows) but no
+int8 formulation survives the scan context (full-tick A/Bs: x0.33-0.91
+vs float — ROOFLINE.md "Dead end: int8"), so the shipping int8 tier
+(models/nsnet2_q8.py) uses its per-gate XLA form and never calls this in
+auto mode. ``dot_q8`` remains for probes (benchmarks/int8_dot_probe.py)
+and for forcing the kernel via FVAD_Q8_KERNEL=pallas; all backends are
+bitwise-identical, so the knob can never change results.
 """
 
 from __future__ import annotations
@@ -78,7 +83,11 @@ def matmul_q8(
     """
     r, k = a8.shape
     k2, n = b8.shape
-    assert k == k2 and scale.shape == (1, n), (a8.shape, b8.shape, scale.shape)
+    if k != k2 or scale.shape != (1, n):
+        raise ValueError(
+            f"shape mismatch: a {a8.shape} @ b {b8.shape}, scale {scale.shape} "
+            f"(want a [R, K] @ b [K, N] with scale [1, N])"
+        )
     if r % TILE_R:
         raise ValueError(f"rows {r} must be a multiple of {TILE_R} (pad with zeros)")
     specs = [
@@ -89,7 +98,8 @@ def matmul_q8(
     args = (a8, b8, scale)
     kernel = _kernel
     if row_scale is not None:
-        assert row_scale.shape == (r, 1), row_scale.shape
+        if row_scale.shape != (r, 1):
+            raise ValueError(f"row_scale shape {row_scale.shape} != ({r}, 1)")
         specs.append(
             pl.BlockSpec((TILE_R, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
         )
@@ -140,7 +150,13 @@ def _dot_q8_impl(a8, b8, scale, row, out_dtype, interpret):
         and jnp.dtype(out_dtype) == jnp.bfloat16
     )
     if use_pallas and plat == "cpu" and not interpret:
-        use_pallas = False  # Mosaic needs the TPU backend
+        if _KERNEL_ENV == "pallas":
+            raise ValueError(
+                "FVAD_Q8_KERNEL=pallas forced, but the CPU backend has no "
+                "Mosaic — pass interpret=True (tests) or run on TPU; "
+                "silently taking the XLA path would fake a kernel validation"
+            )
+        use_pallas = False  # auto: Mosaic needs the TPU backend
     if use_pallas:
         pad = (-r) % TILE_R
         ap = jnp.pad(a8, ((0, pad), (0, 0))) if pad else a8  # int8 zeros: exact

@@ -136,6 +136,57 @@ def test_q8_chunk_step_close_to_float(demo_params):
     assert np.abs(q8 - ref).max() > 0.0  # the quant path genuinely ran
 
 
+def test_q8_under_vmap_matches_per_stream(demo_params, feats):
+    # The serving tick runs the q8 path INSIDE vmap(chunk_step); quantized
+    # math is exact integer + deterministic float epilogue, so the vmapped
+    # batch must equal per-stream calls bitwise (also covers dot_q8's
+    # custom_vmap row-collapse rule when FVAD_Q8_KERNEL engages it).
+    precision.set_quant("int8")
+    batch = jnp.stack([feats, feats * 0.5 + 1.0])  # [2, 2, 54, 161]
+    got = jax.jit(jax.vmap(lambda f: nsnet2.apply(demo_params, f)))(batch)
+    for i in range(2):
+        solo = nsnet2.apply(demo_params, batch[i])
+        # Not bitwise: XLA may compute the PRE-quant float chain ~1 ulp
+        # differently under batching (PARITY deviation-13 class), and a
+        # 1-ulp nudge at a rounding boundary flips an int8 BUCKET — the
+        # output then moves by a quantization quantum (measured max 0.014
+        # on these inputs). Pin the quant-noise scale: an axis/batching
+        # bug would produce O(0.5) garbage, orders above this bound.
+        d = np.abs(np.asarray(got[i], np.float64) - np.asarray(solo, np.float64))
+        assert d.max() < 0.05, d.max()
+        assert d.mean() < 5e-3, d.mean()
+
+
+def test_dot_q8_vmap_collapse_exact():
+    # dot_q8's custom_vmap rule collapses mapped axes into kernel rows;
+    # pin it (with row scales) against the unbatched call and an int64
+    # reference, through jit+vmap+scan like the serving step.
+    from formula_vad_tpu.ops.matmul_q8 import dot_q8
+
+    rng = np.random.RandomState(5)
+    b8 = jnp.asarray(rng.randint(-127, 128, (400, 1200), np.int8))
+    s = jnp.asarray(rng.rand(1, 1200).astype(np.float32))
+    a = jnp.asarray(rng.randint(-127, 128, (6, 2, 400), np.int8))
+    row = jnp.asarray(rng.rand(6, 2, 1).astype(np.float32))
+    got = jax.jit(jax.vmap(lambda x, r: dot_q8(x, b8, s, row_scale=r)))(a, row)
+    ref = (
+        np.asarray(a, np.int64).reshape(12, 400) @ np.asarray(b8, np.int64)
+    ).astype(np.float32) * np.asarray(s) * np.asarray(row).reshape(12, 1)
+    np.testing.assert_array_equal(np.asarray(got).reshape(12, 1200), ref)
+
+    def body(c, x):
+        return c, dot_q8(x, b8, s)
+
+    xs = jnp.asarray(rng.randint(-127, 128, (3, 4, 2, 400), np.int8))
+    _, ys = jax.jit(jax.vmap(lambda x: jax.lax.scan(body, 0.0, x)))(xs)
+    ref2 = (
+        np.asarray(xs, np.int64).reshape(-1, 400) @ np.asarray(b8, np.int64)
+    ).astype(np.float32) * np.asarray(s)
+    np.testing.assert_array_equal(
+        np.asarray(ys).reshape(-1, 1200), ref2
+    )
+
+
 def test_matmul_q8_kernel_exact():
     # The fused-dequant Pallas kernel (interpret mode on CPU) against an
     # exact int64 reference: int8 x int8 -> int32 is exact, the epilogue
