@@ -56,7 +56,12 @@ def make_den_wavefront():
                 os.environ["FVAD_GRU_WAVEFRONT"] = old
     return call
 
-f_den_wf = make_den_wavefront()
+# TB_WAVEFRONT=0 skips the wavefront variant: its second full program's
+# workspace is what pushed the dense-B bisect (TB_B=13824) over HBM, and
+# the wavefront verdict is already settled at serving shapes (a measured
+# dead end — ROOFLINE.md); the dense bisect only needs the stage split.
+WAVEFRONT = os.environ.get("TB_WAVEFRONT", "1") != "0"
+f_den_wf = make_den_wavefront() if WAVEFRONT else None
 
 def acc_band(carry, denoised):
     new_buf, new_fill, frames, n_windows, win_indices, valid = vad._accumulate_windows(
@@ -94,7 +99,8 @@ def timed(f, args_list, n):
     return time.perf_counter() - t0
 
 den_out = f_den(den_c, chunks[0]); sync(den_out); print("den compiled", flush=True)
-sync(f_den_wf(den_c, chunks[0])); print("den_wf compiled", flush=True)
+if WAVEFRONT:
+    sync(f_den_wf(den_c, chunks[0])); print("den_wf compiled", flush=True)
 d48 = [den_out[1], f_den(den_c, chunks[1])[1]]
 sync(f_acc(buf0, fills, d48[0])); print("acc compiled", flush=True)
 sync(f_acc0(buf0, d48[0])); print("acc0 compiled", flush=True)
@@ -102,7 +108,10 @@ sync(f_vol(chunks[0])); print("vol compiled", flush=True)
 
 for rep in range(3):
     t_d = (timed(f_den, [(den_c, chunks[0]), (den_c, chunks[1])], 8) - timed(f_den, [(den_c, chunks[0]), (den_c, chunks[1])], 2)) / 6 * 1e3
-    t_dw = (timed(f_den_wf, [(den_c, chunks[0]), (den_c, chunks[1])], 8) - timed(f_den_wf, [(den_c, chunks[0]), (den_c, chunks[1])], 2)) / 6 * 1e3
+    t_dw = (
+        (timed(f_den_wf, [(den_c, chunks[0]), (den_c, chunks[1])], 8)
+         - timed(f_den_wf, [(den_c, chunks[0]), (den_c, chunks[1])], 2)) / 6 * 1e3
+    ) if WAVEFRONT else float("nan")
     t_a = (timed(f_acc, [(buf0, fills, d48[0]), (buf0, fills, d48[1])], 8) - timed(f_acc, [(buf0, fills, d48[0]), (buf0, fills, d48[1])], 2)) / 6 * 1e3
     t_a0 = (timed(f_acc0, [(buf0, d48[0]), (buf0, d48[1])], 8) - timed(f_acc0, [(buf0, d48[0]), (buf0, d48[1])], 2)) / 6 * 1e3
     t_v = (timed(f_vol, [(chunks[0],), (chunks[1],)], 8) - timed(f_vol, [(chunks[0],), (chunks[1],)], 2)) / 6 * 1e3
