@@ -1,0 +1,203 @@
+#!/usr/bin/env python3
+"""Reproduce the reference's published accuracy table and gate on parity.
+
+The reference publishes per-recording TPR/PPV/FNR/FDR for 21 labeled F1
+radio recordings (/root/reference/README.md:26-62, mirrored in BASELINE.md),
+produced with ``data/nsnet2-20ms-baseline.onnx`` — an LFS blob that is
+absent upstream (.MISSING_LARGE_BLOBS:1) — and audio/labels the repo does
+not distribute.  This harness is the one-command parity check for when a
+user HAS those assets:
+
+  python scripts/reproduce_baseline.py \
+      --plan  /path/to/miami_plan.json \
+      --onnx  /path/to/nsnet2-20ms-baseline.onnx \
+      [--tol 0.1]
+
+It runs the exact simulator scoring path (extrude_start=5, extrude_end=10,
+fill_gaps=5, ignore FN < 0.7 s — simulator.zig:127-133), matches instances
+to the published table BY NAME, prints a side-by-side diff, and exits
+non-zero if any per-recording TPR/PPV/FNR/FDR deviates by more than
+``--tol`` percentage points (default 0.1, the SURVEY §6 parity budget).
+Published values are rounded to 0.1 pp, so an extra 0.05 pp quantization
+allowance is applied on top of --tol.
+
+``--emit-baseline OUT.md`` instead writes this run's stats in the same
+table format — used by tests/test_reproduce_baseline.py to verify the whole
+harness round-trips on the synthetic corpus without the real assets.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROW_RE = re.compile(r"^\|\s*(?P<name>[^|]+?)\s*\|"  # name
+                    r"\s*(?P<p>\d+(?:\.\d+)?)\s*\|"
+                    r"\s*(?P<tp>\d+(?:\.\d+)?)\s*\|"
+                    r"\s*(?P<fp>\d+(?:\.\d+)?)\s*\|"
+                    r"\s*(?P<fn>\d+(?:\.\d+)?)\s*\|"
+                    r"\s*(?P<tpr>\d+(?:\.\d+)?)%\s*\|"
+                    r"\s*(?P<ppv>\d+(?:\.\d+)?)%\s*\|"
+                    r"\s*(?P<fnr>\d+(?:\.\d+)?)%\s*\|"
+                    r"\s*(?P<fdr>\d+(?:\.\d+)?)%\s*\|\s*$")
+
+RATES = ("tpr", "ppv", "fnr", "fdr")
+SECONDS = ("p", "tp", "fp", "fn")
+
+
+def parse_baseline_table(path: str) -> dict[str, dict[str, float]]:
+    """Per-recording rows from a BASELINE.md-format file, keyed by name."""
+    rows: dict[str, dict[str, float]] = {}
+    in_section = False
+    with open(path) as f:
+        for line in f:
+            if line.startswith("## "):
+                in_section = line.lower().startswith("## per-recording")
+                continue
+            if not in_section:
+                continue
+            m = ROW_RE.match(line.strip())
+            if m:
+                rows[m.group("name")] = {k: float(m.group(k))
+                                         for k in SECONDS + RATES}
+    return rows
+
+
+def stats_row(name: str, s) -> dict[str, float]:
+    return {
+        "name": name,
+        "p": s.total_positives_sec,
+        "tp": s.true_positives_sec,
+        "fp": s.false_positives_sec,
+        "fn": s.false_negatives_sec,
+        "tpr": 100.0 * s.true_positive_rate,
+        "ppv": 100.0 * s.precision,
+        "fnr": 100.0 * s.false_negative_rate,
+        "fdr": 100.0 * s.false_discovery_rate,
+    }
+
+
+def emit_baseline_md(rows: list[dict[str, float]], path: str) -> None:
+    with open(path, "w") as f:
+        f.write("# Emitted baseline (reproduce_baseline.py --emit-baseline)\n\n")
+        f.write("## Per-recording\n\n")
+        f.write("| Name | P | TP | FP | FN | TPR | PPV | FNR | FDR |\n")
+        f.write("|---|---|---|---|---|---|---|---|---|\n")
+        for r in rows:
+            f.write(
+                f"| {r['name']} | {r['p']:.0f} | {r['tp']:.0f} | {r['fp']:.0f} "
+                f"| {r['fn']:.0f} | {r['tpr']:.1f}% | {r['ppv']:.1f}% "
+                f"| {r['fnr']:.1f}% | {r['fdr']:.1f}% |\n")
+
+
+def run_plan(plan_path: str, onnx: str | None):
+    """Run the simulator's compute+scoring path; returns per-instance stats."""
+    from formula_vad_tpu.apps import simulator as sim
+    from formula_vad_tpu.config import SIMULATOR_STAT_CONFIG, StatConfig
+    from formula_vad_tpu.eval import formats, init_and_run, statistics
+
+    instances, config, _base, _plan_text = sim.load_plan(plan_path)
+    if onnx:
+        config.vad_config.denoiser_model_path = onnx
+    for inst in instances:
+        with open(inst.ref_path) as f:
+            inst.reference_segments = formats.parse_audacity_segments(
+                f.read(), side="ref")
+    if config.batch_streams:
+        sim.run_batched(instances, config)
+    else:
+        sim.run_streaming(instances, config)
+    stat_config = StatConfig(
+        ignore_shorter_than_sec=(
+            config.vad_config.vad_machine_config.min_vad_duration_sec),
+        extrude_start=SIMULATOR_STAT_CONFIG.extrude_start,
+        extrude_end=SIMULATOR_STAT_CONFIG.extrude_end,
+        fill_gaps=SIMULATOR_STAT_CONFIG.fill_gaps,
+    )
+    out = []
+    for inst in instances:
+        vad_segs = sim.vad_segments_to_eval(inst.vad_segments or [], 48000)
+        ev = init_and_run(vad_segs, inst.reference_segments)
+        out.append(stats_row(inst.name, statistics.from_evaluator(ev, stat_config)))
+    return out
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--plan", required=True,
+                    help="Simulation plan JSON (instance names must match the "
+                         "baseline table's Name column)")
+    ap.add_argument("--onnx", default=None,
+                    help="Path to nsnet2-20ms-baseline.onnx (overrides the "
+                         "plan's denoiser_model_path)")
+    ap.add_argument("--baseline",
+                    default=os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), "BASELINE.md"),
+                    help="Baseline table to diff against (BASELINE.md format)")
+    ap.add_argument("--tol", type=float, default=0.1,
+                    help="Max |delta| per rate, percentage points (+0.05 pp "
+                         "for the table's rounding)")
+    ap.add_argument("--allow-missing", action="store_true",
+                    help="Skip (don't fail) instances absent from the table")
+    ap.add_argument("--emit-baseline", default=None, metavar="OUT.md",
+                    help="Write this run's stats as a baseline table instead "
+                         "of diffing")
+    args = ap.parse_args(argv)
+
+    ours = run_plan(args.plan, args.onnx)
+
+    if args.emit_baseline:
+        emit_baseline_md(ours, args.emit_baseline)
+        print(f"wrote {args.emit_baseline} ({len(ours)} rows)")
+        return 0
+
+    table = parse_baseline_table(args.baseline)
+    if not table:
+        print(f"ERROR: no per-recording rows parsed from {args.baseline}")
+        return 2
+
+    gate = args.tol + 0.05  # published values are rounded to 0.1 pp
+    failures = 0
+    matched = 0
+    hdr = (f"{'Name':<34} {'metric':<6} {'ours':>8} {'published':>9} "
+           f"{'delta':>7}  verdict")
+    print(hdr)
+    print("-" * len(hdr))
+    for r in ours:
+        ref = table.get(r["name"])
+        if ref is None:
+            msg = f"{r['name']:<34} -- not in baseline table --"
+            if args.allow_missing:
+                print(msg + " (skipped)")
+                continue
+            print(msg + " FAIL (use --allow-missing to skip)")
+            failures += 1
+            continue
+        matched += 1
+        for k in RATES:
+            d = r[k] - ref[k]
+            ok = abs(d) <= gate
+            failures += 0 if ok else 1
+            print(f"{r['name']:<34} {k.upper():<6} {r[k]:>7.1f}% {ref[k]:>8.1f}% "
+                  f"{d:>+6.2f}pp  {'ok' if ok else 'FAIL'}")
+        # Seconds are informational (the table rounds them to integers).
+        secs = "  ".join(f"{k.upper()}={r[k]:.1f}s(pub {ref[k]:.0f})"
+                         for k in SECONDS)
+        print(f"{'':<34} {secs}")
+
+    print(f"\n{matched} matched, {failures} failing checks "
+          f"(gate |delta| <= {gate:.2f} pp)")
+    if failures:
+        return 1
+    if matched == 0:
+        print("ERROR: no instance matched a baseline row")
+        return 2
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
