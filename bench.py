@@ -53,12 +53,23 @@ CHILD_TIMEOUT = float(os.environ.get("BENCH_CHILD_TIMEOUT", "1500"))
 
 
 def _relay_reachable(timeout: float = 5.0) -> bool:
+    # A bare TCP connect is not enough: one observed outage mode
+    # (2026-08-20, right after a device OOM) keeps accepting connections
+    # while the HTTP layer is wedged — require an actual response so that
+    # mode fails the probe instead of burning a child timeout.
     host, port = RELAY_ADDR.rsplit(":", 1)
     try:
-        socket.create_connection((host, int(port)), timeout=timeout).close()
-        return True
+        s = socket.create_connection((host, int(port)), timeout=timeout)
     except OSError:
         return False
+    try:
+        s.settimeout(timeout)
+        s.sendall(b"GET / HTTP/1.0\r\nHost: relay-probe\r\n\r\n")
+        return bool(s.recv(1))
+    except OSError:
+        return False
+    finally:
+        s.close()
 
 
 def _fail(reason: str, detail: str = "") -> None:
@@ -100,7 +111,9 @@ def _preflight() -> None:
         detail = probe.stderr.strip()[-300:]
     except subprocess.TimeoutExpired:
         detail = "jax.devices() hung >20s (relay-down signature)"
-    _fail("relay_down", f"tcp {RELAY_ADDR} refused; backend probe: {detail}")
+    _fail("relay_down",
+          f"relay {RELAY_ADDR} unresponsive (refused or HTTP-hung); "
+          f"backend probe: {detail}")
 
 
 def flops_per_audio_sec(st) -> float:

@@ -183,6 +183,67 @@ def test_preflight_relay_down_fails_fast(bench, monkeypatch):
     assert "relay-down signature" in got["detail"]
 
 
+def test_relay_probe_rejects_hung_http(bench):
+    """The 2026-08-20 outage mode: TCP accepts, HTTP never answers — the
+    probe must return False (and fast) instead of passing on connect."""
+    import socket as socket_mod
+    import threading
+
+    srv = socket_mod.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    conns = []
+
+    def accept_and_stall():
+        try:
+            conns.append(srv.accept()[0])  # accept, never respond
+        except OSError:
+            pass
+
+    t = threading.Thread(target=accept_and_stall, daemon=True)
+    t.start()
+    old = bench.RELAY_ADDR
+    bench.RELAY_ADDR = f"127.0.0.1:{port}"
+    try:
+        assert bench._relay_reachable(timeout=0.5) is False
+    finally:
+        bench.RELAY_ADDR = old
+        for c in conns:
+            c.close()
+        srv.close()
+
+
+def test_relay_probe_accepts_responding_http(bench):
+    """Any HTTP response (even 404) means the relay is up."""
+    import socket as socket_mod
+    import threading
+
+    srv = socket_mod.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def accept_and_404():
+        try:
+            c = srv.accept()[0]
+            c.recv(256)
+            c.sendall(b"HTTP/1.0 404 Not Found\r\ncontent-length: 0\r\n\r\n")
+            c.close()
+        except OSError:
+            pass
+
+    t = threading.Thread(target=accept_and_404, daemon=True)
+    t.start()
+    old = bench.RELAY_ADDR
+    bench.RELAY_ADDR = f"127.0.0.1:{port}"
+    try:
+        assert bench._relay_reachable(timeout=2.0) is True
+    finally:
+        bench.RELAY_ADDR = old
+        srv.close()
+
+
 def test_parent_salvages_timed_out_child(bench, monkeypatch, capsys):
     """A child killed mid-extras still contributes its early-emitted
     standard table: the parent parses the partial stdout attached to
