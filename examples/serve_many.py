@@ -95,6 +95,10 @@ def main(argv=None) -> int:
         )
     else:
         print(" (run >= 2 s of audio for tick statistics)")
+    # The server tracks the same thing itself (device step + decode, without
+    # this loop's input slicing): the multidaemon exposes it as the "stats"
+    # protocol action.
+    print(f"server.tick_stats(): {server.tick_stats()}")
     return 0
 
 

@@ -14,6 +14,9 @@ Protocol (the reference's, plus a required ``stream`` field):
   segment's length, preserving sample continuity — main.zig:283-301).
 * stdout: the reference's ``recording``/``error`` events, each carrying a
   ``stream`` field; recordings land under ``OUTDIR/<stream>/``.
+* ``{"action": "stats"}`` (fleet-level, no ``stream``) emits one ``stats``
+  event: tick latencies vs the 0.5 s budget
+  (``OnlineBatchServer.tick_stats``), dropped streams, commands processed.
 
 Streams feed at their own pace. Ingestion mirrors the solo pipeline's
 cadence exactly (AudioPipeline.zig:118-143): EVERY sample — trailing
@@ -275,6 +278,19 @@ class MultiDaemon:
             cmd = json.loads(line)
         except json.JSONDecodeError as e:
             self.report_error(f"Error parsing command JSON: {e}. Line: {line}", False)
+            return
+        if cmd.get("action") == "stats":
+            # Fleet-level observability (beyond the reference's protocol;
+            # solo daemon stays byte-exact): tick latencies vs the 0.5 s
+            # budget plus multiplexer counters. No "stream" field needed.
+            self._emit(
+                {
+                    "action": "stats",
+                    **self.server.tick_stats(),
+                    "dropped": sorted(self.dropped),
+                    "commands_processed": self.commands_processed,
+                }
+            )
             return
         stream = cmd.get("stream")
         if stream not in self.index:

@@ -19,6 +19,8 @@ silence-advance semantics are wanted; that matches the reference.)
 
 from __future__ import annotations
 
+import collections
+import time
 from typing import Optional, Sequence
 
 import jax
@@ -181,6 +183,9 @@ class OnlineBatchServer:
         # lockstep serving until valid-mask freezes desynchronize streams.
         self._fills = np.zeros(b, np.int64)
         self._use_shared_fill = use_shared_fill
+        # Tick-latency observability (runtime-only; not checkpointed).
+        self._tick_times: collections.deque = collections.deque(maxlen=512)
+        self._ticks_total = 0
         self._reset_fn = None  # lazily-jitted row reset (reset_stream)
         # One carry pytree per microbatch shard (len 1 when microbatch=1);
         # shards never move after init — only their leaves are replaced.
@@ -256,6 +261,7 @@ class OnlineBatchServer:
         shard k only; decode order per stream is unchanged, so outputs are
         identical to a post-hoc batched decode — at microbatch=m all but
         the last shard's decode hides behind device compute)."""
+        t0 = time.perf_counter()
         live = self._fills[valid_np]
         shared = self._use_shared_fill and live.size and (live == live[0]).all()
         start = (
@@ -281,10 +287,16 @@ class OnlineBatchServer:
             self._decode_shard(jax.device_get(o), s) for s, o in enumerate(outs)
         ]
         if self.microbatch == 1:
-            return host[0]
-        return jax.tree_util.tree_map(
-            lambda *xs: np.concatenate(xs, axis=0), *host
-        )
+            result = host[0]
+        else:
+            result = jax.tree_util.tree_map(
+                lambda *xs: np.concatenate(xs, axis=0), *host
+            )
+        # Everything device-side is materialized on host here, so this wall
+        # time is a true tick latency (dispatch + compute + D2H + FSM decode).
+        self._tick_times.append(time.perf_counter() - t0)
+        self._ticks_total += 1
+        return result
 
     def _decode_shard(self, out, s: int):
         """Host-FSM mode: decode shard ``s``'s window inputs and splice the
@@ -437,6 +449,32 @@ class OnlineBatchServer:
     @property
     def segments(self) -> list[list[dict]]:
         return [p.segments for p in self.pipelines]
+
+    def tick_stats(self) -> dict:
+        """Latency of recent ticks vs the real-time budget.
+
+        Wall time per tick (dispatch + device compute + D2H + host-FSM
+        decode — everything up to host-materialized outputs) over the last
+        <=512 ticks. Runtime-only: survives checkpoints as fresh counters,
+        so restored fleets report their own process's latencies.
+        """
+        budget_ms = 1e3 * self.chunk_size / self.config.sample_rate
+        stats = {
+            "ticks": self._ticks_total,
+            "window": len(self._tick_times),
+            "budget_ms": float(budget_ms),
+            "streams": self.n_streams,
+        }
+        if self._tick_times:
+            ts = np.asarray(self._tick_times, np.float64) * 1e3
+            stats.update(
+                last_ms=round(float(ts[-1]), 3),
+                p50_ms=round(float(np.percentile(ts, 50)), 3),
+                p95_ms=round(float(np.percentile(ts, 95)), 3),
+                max_ms=round(float(ts.max()), 3),
+                over_budget=int(np.sum(ts > budget_ms)),
+            )
+        return stats
 
     # ---- checkpoint / resume (serving failover) ---------------------------
 

@@ -225,3 +225,27 @@ def test_orphaned_staging_dirs_pruned(corpus_wavs, tmp_path):
     entries = sorted(os.listdir(state))
     assert not any(e.startswith(".stage-") for e in entries), entries
     assert "LATEST" in entries and any(e.startswith("gen-") for e in entries)
+
+
+def test_stats_action(corpus_wavs, tmp_path):
+    """{"action": "stats"} emits fleet tick-latency stats (no stream field
+    needed); counters reflect the ticks the pushed audio produced."""
+    out = io.StringIO()
+    md = MultiDaemon("M", str(tmp_path / "s"), ["x", "y"], "spectral_gate", stdout=out)
+
+    md.process_line(json.dumps({"action": "stats"}))
+    md.process_line(json.dumps(
+        {"action": "segment", "stream": "x", "file_path": corpus_wavs[0],
+         "playhead_timestamp_ms": 0}))
+    md.process_line(json.dumps({"action": "stats"}))
+
+    stats = [e for e in _events(out) if e["action"] == "stats"]
+    assert len(stats) == 2
+    first, second = stats
+    assert first["ticks"] == 0 and "last_ms" not in first
+    assert first["budget_ms"] == 500.0 and first["streams"] == 2
+    # 23.37 s of audio = 46 full chunks -> 46 ticks before the second stats.
+    assert second["ticks"] == 46 and second["window"] == 46
+    assert second["last_ms"] > 0
+    assert second["p50_ms"] <= second["p95_ms"] <= second["max_ms"]
+    assert second["dropped"] == [] and second["commands_processed"] == 2
