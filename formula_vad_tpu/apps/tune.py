@@ -14,12 +14,13 @@ prints a leaderboard.
         --grid channel_vol_ratio_threshold=0.3,0.5,0.7 \
         [--top 10] [--out best.json]
 
-Only the FSM's *dynamic* parameters are tunable in one pass (they vmap;
-``pipeline/fsm.py::FSMParams``): speech_threshold_factor,
-channel_vol_ratio_threshold, min_consecutive_sec_to_open,
-max_speech_gap_sec, min_vad_duration_sec.  Window-length and band
-parameters change static ring shapes — sweep those across separate
-invocations.
+Every VADMachineConfig parameter is tunable.  *Dynamic* params (the
+``pipeline/fsm.py::FSMParams`` fields — thresholds, open/gap/duration,
+initial noise floor) vmap, so any mix shares one pass.  *Static* params
+(rolling-window lengths, speech band) change ring shapes / the scored
+band: candidates are partitioned into groups of identical statics and
+each group runs one batched pass (the denoise front-end re-runs per
+group — grids over static params cost proportionally more).
 """
 
 from __future__ import annotations
@@ -34,13 +35,27 @@ from ..config import SIMULATOR_STAT_CONFIG, StatConfig
 from ..eval import formats, init_and_run, statistics
 from .simulator import load_plan, run_batched, vad_segments_to_eval
 
-TUNABLE = (
+# Dynamic params live in FSMParams (a vmap axis): any mix of values runs
+# as K machines in ONE batched pass.
+DYNAMIC = (
     "speech_threshold_factor",
     "channel_vol_ratio_threshold",
     "min_consecutive_sec_to_open",
     "max_speech_gap_sec",
     "min_vad_duration_sec",
+    "initial_long_term_avg",
 )
+# Static params change ring-buffer shapes or the scored band — candidates
+# are partitioned into groups of identical statics, one batched pass each
+# (the denoise front-end re-runs per group).
+STATIC = (
+    "speech_min_freq",
+    "speech_max_freq",
+    "long_term_speech_avg_sec",
+    "short_term_speech_avg_sec",
+    "channel_vol_ratio_avg_sec",
+)
+TUNABLE = DYNAMIC + STATIC
 
 
 def parse_grid(specs: list[str]) -> dict[str, list[float]]:
@@ -49,14 +64,27 @@ def parse_grid(specs: list[str]) -> dict[str, list[float]]:
         key, _, vals = spec.partition("=")
         if key not in TUNABLE:
             raise SystemExit(
-                f"--grid key {key!r} is not tunable in one pass (allowed: "
-                f"{', '.join(TUNABLE)}; window/band params change static "
-                "shapes — sweep them across separate invocations)"
+                f"--grid key {key!r} is not tunable (dynamic, one pass: "
+                f"{', '.join(DYNAMIC)}; static, one pass per value group: "
+                f"{', '.join(STATIC)})"
             )
         if not vals:
             raise SystemExit(f"--grid {spec!r}: expected key=v1,v2,...")
         grid[key] = [float(v) for v in vals.split(",")]
     return grid
+
+
+def group_key(cfg, fft_size: int, sample_rate: int = 48000):
+    """Candidates sharing this key can run as one vmapped machine stack."""
+    from ..ops import dft
+    from ..pipeline import fsm
+
+    shape, _ = fsm.statics_from_config(cfg, sample_rate, fft_size)
+    return (
+        shape,
+        dft.freq_to_bin(cfg.speech_min_freq, fft_size, sample_rate),
+        dft.freq_to_bin(cfg.speech_max_freq, fft_size, sample_rate),
+    )
 
 
 def grid_configs(base, grid: dict[str, list[float]]):
@@ -113,22 +141,42 @@ def main(argv=None) -> int:
             inst.reference_segments = formats.parse_audacity_segments(f.read(), side="ref")
         inst.out_dir = None  # tuner never writes clips
 
-    # One batched pass: primary = base config, K candidates as alt machines.
-    config = dataclasses.replace(
-        config,
-        vad_config=dataclasses.replace(
-            config.vad_config, alt_vad_machine_configs=tuple(candidates)
-        ),
-    )
-    run_batched(instances, config)
+    # Partition candidates by statics (ring shapes + scored band): each
+    # group runs as one batched pass with the group's first config as the
+    # primary machine and the whole group as vmapped alt machines. A
+    # dynamic-only grid is exactly one group. The base config rides its
+    # matching group (or its own) for the baseline row.
+    fft_size = config.vad_config.fft_size
+    groups: dict = {}
+    for cand in candidates:
+        groups.setdefault(group_key(cand, fft_size), []).append(cand)
+    base_key = group_key(base_mc, fft_size)
+    groups.setdefault(base_key, [])
+    base_idx = len(groups[base_key])
+    groups[base_key].append(base_mc)
 
     rows = []
-    for k, cand in enumerate(candidates):
-        agg = score(instances, [inst.alt_vad_segments[k] for inst in instances],
-                    cand.min_vad_duration_sec)
-        rows.append((agg, cand))
-    base_agg = score(instances, [inst.vad_segments for inst in instances],
-                     base_mc.min_vad_duration_sec)
+    base_agg = None
+    for g, (gkey, cands) in enumerate(groups.items()):
+        if len(groups) > 1:
+            print(f"[group {g + 1}/{len(groups)}: {len(cands)} configs]",
+                  file=sys.stderr)
+        gconfig = dataclasses.replace(
+            config,
+            vad_config=dataclasses.replace(
+                config.vad_config,
+                vad_machine_config=cands[0],
+                alt_vad_machine_configs=tuple(cands),
+            ),
+        )
+        run_batched(instances, gconfig)
+        for k, cand in enumerate(cands):
+            agg = score(instances, [inst.alt_vad_segments[k] for inst in instances],
+                        cand.min_vad_duration_sec)
+            if gkey == base_key and k == base_idx:
+                base_agg = agg
+            else:
+                rows.append((agg, cand))
 
     def sort_key(row):
         agg = row[0]

@@ -29,11 +29,44 @@ def hard_plan(tmp_path_factory):
     return os.path.join(str(out), "plan.json")
 
 
-def test_grid_rejects_static_shape_keys():
+def test_grid_key_validation():
     with pytest.raises(SystemExit, match="not tunable"):
-        tune.parse_grid(["long_term_speech_avg_sec=60,180"])
+        tune.parse_grid(["fft_size=512,1024"])
     with pytest.raises(SystemExit, match="expected key"):
         tune.parse_grid(["speech_threshold_factor"])
+    # Static-shape keys are accepted (they partition into groups).
+    assert tune.parse_grid(["short_term_speech_avg_sec=0.2,0.4"]) == {
+        "short_term_speech_avg_sec": [0.2, 0.4]
+    }
+
+
+@pytest.fixture(scope="module")
+def easy_plan(tmp_path_factory):
+    out = tmp_path_factory.mktemp("tune_easy")
+    mc.main(["--out", str(out), "--streams", "2", "--minutes", "0.25",
+             "--denoiser", "spectral_gate"])
+    return os.path.join(str(out), "plan.json")
+
+
+def test_static_key_groups(easy_plan, capsys):
+    """A static-shape key partitions candidates into per-statics groups;
+    the candidate equal to the base config still reproduces the base row."""
+    rc = tune.main([
+        "-i", easy_plan,
+        "--grid", "short_term_speech_avg_sec=0.2,0.4",
+        "--grid", "speech_threshold_factor=10,30",
+    ])
+    captured = capsys.readouterr()
+    assert rc == 0
+    assert "[group 1/2: " in captured.err and "[group 2/2: " in captured.err
+    lines = [ln for ln in captured.out.splitlines() if ln.strip()]
+    ranked = [ln for ln in lines if ln.split()[0].isdigit()]
+    base = [ln for ln in lines if ln.startswith("base")]
+    assert len(ranked) == 4 and len(base) == 1
+    # Candidate (short=0.2, factor=10) IS the base config.
+    cand_base = next(
+        ln for ln in ranked if ln.split()[1] == "0.2" and ln.split()[2] == "10")
+    assert cand_base.split()[3:] == base[0].split()[3:]
 
 
 def test_tune_leaderboard_and_out(hard_plan, tmp_path, capsys):
