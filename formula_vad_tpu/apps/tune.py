@@ -3,11 +3,11 @@
 The reference ships the mechanism for this — ``alt_vad_machine_configs``
 runs many state machines over one FFT stream (VADPipeline.zig:24,111-123,
 "used for training") — but no tool that drives it.  This CLI is that tool:
-it builds a grid over the FSM's dynamic thresholds, runs the whole grid as
-K vmapped machines behind a single denoise+FFT front-end (the expensive
-~98% of the step is paid ONCE — ``vad.stack_machine_params``), scores every
-candidate against the plan's labels with the reference's scoring math, and
-prints a leaderboard.
+it builds a grid over the machine config, runs the grid as K vmapped
+machines behind a shared denoise+FFT front-end (the expensive ~98% of the
+step is paid once per statics group — ``vad.stack_machine_params``), scores
+every candidate against the plan's labels with the reference's scoring
+math, and prints a leaderboard.
 
     python -m formula_vad_tpu.apps.tune -i plan.json \
         --grid speech_threshold_factor=6,8,10,14 \
@@ -171,8 +171,13 @@ def main(argv=None) -> int:
         )
         run_batched(instances, gconfig)
         for k, cand in enumerate(cands):
+            # All candidates score with the SAME ignore floor (the base
+            # config's, 0.7 s by default) so rows are comparable — the
+            # reference hardcodes this floor in its eval config too
+            # (simulator.zig:127-133), independent of the machine's own
+            # min_vad_duration_sec.
             agg = score(instances, [inst.alt_vad_segments[k] for inst in instances],
-                        cand.min_vad_duration_sec)
+                        base_mc.min_vad_duration_sec)
             if gkey == base_key and k == base_idx:
                 base_agg = agg
             else:
