@@ -11,7 +11,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== syntax (compileall) =="
-python -m compileall -q formula_vad_tpu tests benchmarks examples bench.py __graft_entry__.py
+python -m compileall -q formula_vad_tpu tests benchmarks examples scripts bench.py __graft_entry__.py
 
 echo "== lint (pycodestyle-lite via python -W error import smoke) =="
 # No flake8/ruff in this image; catch the high-value classes cheaply:
