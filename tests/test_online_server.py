@@ -530,3 +530,20 @@ def test_checkpoint_stays_host_side(params):
             jax.tree_util.tree_leaves(full), jax.tree_util.tree_leaves(dev)
         ):
             assert np.array_equal(a, np.asarray(b))
+
+
+def test_tick_stats_counters(params):
+    """tick_stats: empty before any tick; over_budget counts ticks past the
+    chunk's real-time budget (injected latencies — no device timing here)."""
+    server = OnlineBatchServer(_cfg(), n_streams=2, params=params)
+    s0 = server.tick_stats()
+    assert s0["ticks"] == 0 and s0["window"] == 0 and "last_ms" not in s0
+    assert s0["budget_ms"] == 1e3 * server.chunk_size / server.config.sample_rate
+
+    server._tick_times.extend([0.010, 0.020, 0.700])  # 10/20/700 ms
+    server._ticks_total = 3
+    s = server.tick_stats()
+    assert s["ticks"] == 3 and s["window"] == 3
+    assert s["last_ms"] == 700.0 and s["max_ms"] == 700.0
+    assert s["p50_ms"] == 20.0
+    assert s["over_budget"] == 1  # only the 700 ms tick breaches 500 ms
