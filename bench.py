@@ -259,7 +259,7 @@ def main() -> None:
     best = max(results, key=lambda r: r["value"])
     for mode in (
         "bf16", "bf16_io", "high", "bf16_deep", "highest_deep",
-        "bf16_io_flat", "bf16_flat", "highest_wide", "serve",
+        "bf16_io_flat", "bf16_flat", "highest_wide", "serve", "serve_dense",
     ):
         if mode in best.get("modes", {}):
             continue
@@ -352,7 +352,8 @@ def _slope(run, n_short: int, n_long: int) -> float:
     return avg
 
 
-def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int) -> dict:
+def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
+                          collect_denoised: bool = True) -> dict:
     """One online-serving tick at B lockstep streams (the OnlineBatchServer
     step): vmapped chunk_step over B carried states + the additive native
     host-FSM decode — the same tick definition as benchmarks/online_scale.py.
@@ -375,7 +376,7 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int) -> dict
         return jax.vmap(
             lambda c, a, v: vad.chunk_step(
                 params, st, c, a, chunk_valid=v, run_fsm=not host_fsm,
-                shared_start=start,
+                collect_denoised=collect_denoised, shared_start=start,
             )
         )(carries, chunks, valid)
 
@@ -433,6 +434,7 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int) -> dict
         "tick_ms": round(tick * 1e3, 2),
         "decode_ms": round(decode_ms, 2),
         "fsm": "host" if host_fsm else "pallas",
+        "events_only": not collect_denoised,
         "fits_500ms_budget": tick < 0.5,
         "streams_per_chip_est": int(b * 0.5 / tick),
     }
@@ -797,6 +799,28 @@ def measure() -> None:
                 )
             except Exception as e:
                 print(f"serve extra row failed: {e!r}", file=sys.stderr, flush=True)
+        if (os.environ.get("BENCH_SERVE_DENSE", "1") != "0"
+                and time.monotonic() < extra_deadline):
+            # serve_dense: the production densest-tier tick — events-only
+            # (denoised audio never leaves the device) + bf16 activation
+            # storage — at a 4.5x denser batch, so the driver capture
+            # carries the serving-capacity claim at its own tier. The HBM
+            # knife-edge points (36k streams via microbatch) still need
+            # standalone runs: benchmarks/online_scale.py.
+            precision.set_matmul_precision("default")
+            precision.set_io_dtype("bf16")
+            try:
+                db = int(os.environ.get("BENCH_SERVE_DENSE_STREAMS", "4608"))
+                row = _measure_serving_tick(
+                    db, params, st, n_short, n_long, collect_denoised=False
+                )
+                row["io_dtype"] = "bf16"
+                modes["serve_dense"] = row
+            except Exception as e:
+                print(f"serve_dense extra row failed: {e!r}",
+                      file=sys.stderr, flush=True)
+            finally:
+                precision.set_io_dtype("f32")
         if time.monotonic() < extra_deadline:
             # Wider batch at HEADLINE precision: a scaling-evidence row.
             # batch_scale.py (2026-08-19, ROOFLINE "Scaling note") measures

@@ -42,6 +42,7 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
         "BENCH_ITERS_LONG": "2",
         "BENCH_WIDE_STREAMS": "4",
         "BENCH_SERVE_STREAMS": "8",
+        "BENCH_SERVE_DENSE_STREAMS": "8",
         "FVAD_BENCH_CPU": "1",
         # Dead-end evidence rows (flat/deep) are off by default since the
         # 2026-08-19 pipeline_ab verdicts; keep exercising them here.
@@ -94,8 +95,13 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
     # Serving tick row (the driver-visible serving-scale record).
     assert modes["serve"]["streams"] == 8
     assert modes["serve"]["tick_ms"] > 0
+    assert modes["serve"]["events_only"] is False
     assert isinstance(modes["serve"]["fits_500ms_budget"], bool)
     assert modes["serve"]["streams_per_chip_est"] > 0
+    assert modes["serve_dense"]["streams"] == 8
+    assert modes["serve_dense"]["events_only"] is True
+    assert modes["serve_dense"]["io_dtype"] == "bf16"
+    assert modes["serve_dense"]["tick_ms"] > 0
 
 
 def test_measure_default_extras_gating(bench, monkeypatch, capsys):
@@ -108,6 +114,7 @@ def test_measure_default_extras_gating(bench, monkeypatch, capsys):
         "BENCH_ITERS_LONG": "2",
         "BENCH_WIDE_STREAMS": "4",
         "BENCH_SERVE_STREAMS": "8",
+        "BENCH_SERVE_DENSE_STREAMS": "8",
         "FVAD_BENCH_CPU": "1",
     }.items():
         monkeypatch.setenv(k, v)
@@ -123,7 +130,8 @@ def test_measure_default_extras_gating(bench, monkeypatch, capsys):
         precision.set_io_dtype("f32")
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     modes = got["modes"]
-    for name in ("highest", "bf16", "bf16_io", "high", "highest_wide", "serve"):
+    for name in ("highest", "bf16", "bf16_io", "high", "highest_wide",
+                 "serve", "serve_dense"):
         assert name in modes, f"missing live mode row {name}"
     for name in ("bf16_flat", "bf16_io_flat", "bf16_deep", "highest_deep"):
         assert name not in modes, f"dead-end row {name} ran without opt-in"
