@@ -12,7 +12,32 @@ from typing import Optional, Union
 
 import numpy as np
 
-from . import ogg, wav
+from . import flac, ogg, wav
+
+
+def sniff_container(path: str) -> str:
+    """Container kind by file magic — the libsndfile-style format sniff the
+    reference relies on (AudioFileStream.zig:22-83 via sf_open).
+
+    Returns "wav" | "ogg" | "flac", or raises ValueError naming the magic
+    and the supported set for anything else (the reference would accept
+    whatever libsndfile decodes — e.g. AIFF; here unsupported containers
+    fail loudly and actionably instead of with a WAV-parser error)."""
+    try:
+        with open(path, "rb") as f:
+            magic = f.read(4)
+    except OSError as e:
+        raise ValueError(f"cannot read {path}: {e}") from e
+    if magic == b"RIFF":
+        return "wav"
+    if magic == b"OggS":
+        return "ogg"
+    if magic == b"fLaC":
+        return "flac"
+    raise ValueError(
+        f"unsupported audio container (magic {magic!r}) in {path}: "
+        "supported containers are WAV (RIFF), Ogg Vorbis, and FLAC"
+    )
 
 
 @dataclasses.dataclass
@@ -35,10 +60,13 @@ class AudioBuffer:
 
     @classmethod
     def load_from_file(cls, path: str) -> "AudioBuffer":
-        """Load WAV or Ogg Vorbis (sniffed by container magic, like
+        """Load WAV, Ogg Vorbis or FLAC (sniffed by container magic, like
         libsndfile's format detection in the reference's loadFromFile)."""
-        if ogg.is_ogg_file(path):
+        kind = sniff_container(path)
+        if kind == "ogg":
             data, rate = ogg.read_ogg(path)
+        elif kind == "flac":
+            data, rate = flac.read_flac(path)
         else:
             data, rate = wav.read_wav(path)
         return cls(channel_pcm=data, sample_rate=rate)
@@ -60,8 +88,11 @@ class AudioSource:
 
     @classmethod
     def open_stream(cls, path: str) -> "AudioSource":
-        if ogg.is_ogg_file(path):
+        kind = sniff_container(path)
+        if kind == "ogg":
             return cls(ogg.OggStream(path))
+        if kind == "flac":
+            return cls(flac.FlacStream(path))
         return cls(wav.WavStream(path))
 
     @classmethod
