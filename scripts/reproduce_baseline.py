@@ -102,7 +102,17 @@ def run_plan(plan_path: str, onnx: str | None):
 
     instances, config, _base, _plan_text = sim.load_plan(plan_path)
     if onnx:
-        config.vad_config.denoiser_model_path = onnx
+        # The config dataclasses are frozen — swap the denoiser path via
+        # dataclasses.replace (a bare field assignment raises
+        # FrozenInstanceError; caught by the --onnx dry-run test).
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            vad_config=dataclasses.replace(
+                config.vad_config, denoiser_model_path=onnx
+            ),
+        )
     for inst in instances:
         with open(inst.ref_path) as f:
             inst.reference_segments = formats.parse_audacity_segments(

@@ -86,3 +86,53 @@ def test_unmatched_instance_fails_unless_allowed(corpus_plan, tmp_path, capsys):
     assert rb.main(["--plan", corpus_plan, "--baseline", stranger,
                     "--allow-missing"]) == 2
     capsys.readouterr()
+
+
+def test_full_real_assets_path_with_onnx(tmp_path_factory, tmp_path, capsys):
+    """Dry-run of the EXACT procedure a user with the real assets runs
+    (VERDICT round-3 next-#8): a fake 'Miami' corpus (synthetic audio +
+    labels) plus a trained-weights ONNX produced by ``export_nsnet2_onnx``
+    — the same exporter the train CLI uses — driven through
+    ``reproduce_baseline.py --plan ... --onnx ...``. Exercises the full
+    CLI path: ONNX load through the importer, instance-to-table name
+    matching, and the tolerance gate; then a perturbed RECORDING (not a
+    perturbed table) must flip the gate to FAIL."""
+    from formula_vad_tpu.io_ import wav as wav_mod
+    from formula_vad_tpu.models import onnx_import
+    from formula_vad_tpu.models.registry import load_denoiser
+
+    out = tmp_path_factory.mktemp("rb_onnx_corpus")
+    mc.main(["--out", str(out), "--streams", "2", "--minutes", "0.25",
+             "--denoiser", "demo"])
+    plan = os.path.join(str(out), "plan.json")
+
+    # The stand-in for data/nsnet2-20ms-baseline.onnx: the packaged demo
+    # weights exported to a genuine ONNX blob.
+    onnx_path = str(tmp_path / "nsnet2-20ms-baseline.onnx")
+    with open(onnx_path, "wb") as f:
+        f.write(onnx_import.export_nsnet2_onnx(load_denoiser("demo")))
+
+    emitted = str(tmp_path / "emitted.md")
+    assert rb.main(["--plan", plan, "--onnx", onnx_path,
+                    "--emit-baseline", emitted]) == 0
+    capsys.readouterr()
+    assert len(rb.parse_baseline_table(emitted)) == 2
+
+    # Same assets again: the gate must PASS against the emitted table.
+    assert rb.main(["--plan", plan, "--onnx", onnx_path,
+                    "--baseline", emitted]) == 0
+    text = capsys.readouterr().out
+    assert "FAIL" not in text and "2 matched" in text
+
+    # Perturb one RECORDING (silence it) and re-run: its TPR collapses and
+    # the per-recording tolerance gate must FAIL.
+    import json as _json
+
+    with open(plan) as f:
+        inst0 = _json.load(f)["instances"][0]
+    wav_path = os.path.join(str(out), inst0["audio_path"])
+    data, rate = wav_mod.read_wav(wav_path)
+    wav_mod.write_wav(wav_path, data * 0.0, rate)
+    assert rb.main(["--plan", plan, "--onnx", onnx_path,
+                    "--baseline", emitted]) == 1
+    assert "FAIL" in capsys.readouterr().out
