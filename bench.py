@@ -30,6 +30,16 @@ Measurement notes (axon relay — see .claude/skills/verify/SKILL.md):
   throttled up to ~19x for life); two runs agreeing within 30% are
   accepted, the max is the best unthrottled estimate.
 * Inputs rotate over distinct buffers so no caching layer short-circuits.
+* The precision tiers are measured as k>=3 INTERLEAVED round-robin reps
+  (compile every tier first, then rep r measures every tier once) and the
+  published realtime_factor is the per-tier MEDIAN with min/max spread —
+  a blocked once-per-tier loop cannot tell a real tier regression from a
+  throttled window (round-3 postmortem: driver bf16_io 22,977x vs local
+  44,315x, VERDICT r3 weak #1).
+* A fixed-work SENTINEL probe (bf16 matmul chain, same slope machinery)
+  runs before and after the tier reps; its ms/call is capture-environment
+  evidence — a throttled or drifting window self-labels via
+  sentinel.start_ms/end_ms without touching the tier numbers.
 """
 
 import json
@@ -282,25 +292,6 @@ def main() -> None:
     print(json.dumps(best))
 
 
-def _measure_mode(fn, audios, n_short, n_long) -> float:
-    import jax.numpy as jnp
-
-    ev, _ = fn(audios[0])
-    float(jnp.sum(ev))  # compile + true sync
-
-    def run(n: int) -> float:
-        t0 = time.perf_counter()
-        ev = None
-        for i in range(n):
-            ev, _ = fn(audios[i % len(audios)])
-        float(jnp.sum(ev))  # device-side reduce + 4-byte fetch: real sync
-        return time.perf_counter() - t0
-
-    dt_short = run(n_short)
-    dt_long = run(n_long)
-    return (dt_long - dt_short) / (n_long - n_short)
-
-
 def _run_host_calls(fe_call, st, n: int) -> float:
     """Shared host-FSM measurement loop: dispatch n front-end calls via
     ``fe_call(i) -> (mv, rt, va)`` device arrays (implementations thread
@@ -352,14 +343,89 @@ def _slope(run, n_short: int, n_long: int) -> float:
     return avg
 
 
+def _slope_sample(run, n_short: int, n_long: int) -> float:
+    """ONE slope sample (no warm-up, no retry): a single short+long pair.
+    The interleaved-rep loop takes k of these per tier and publishes the
+    median, so per-sample robustness comes from the rep dimension rather
+    than an inner retry; the avg fallback still guards against a relay
+    hiccup making the slope insane (negative / >3x the inclusive mean)."""
+    dt_short = run(n_short)
+    dt_long = run(n_long)
+    slope = (dt_long - dt_short) / (n_long - n_short)
+    avg = dt_long / n_long
+    if 0.3 * avg <= slope <= 3.0 * avg:
+        return slope
+    return avg
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else 0.5 * (s[n // 2 - 1] + s[n // 2])
+
+
+def _make_sentinel_run():
+    """Fixed-work relay/throughput sentinel: a bf16 matmul chain with a
+    4-byte device-side-reduce fetch, measured by the same slope machinery
+    as the tiers. Its per-call ms is constant on an unthrottled connection
+    (~2 ms on a v5e at the default 2048x2048x16 chain); a throttled
+    process or a mid-capture slowdown shows up as an inflated start_ms or
+    an end/start ratio away from 1 — the capture self-labels instead of a
+    tier silently absorbing the throttle (VERDICT r3 next-#1)."""
+    import jax
+    import jax.numpy as jnp
+
+    dim = int(os.environ.get("BENCH_SENTINEL_DIM", "2048"))
+    depth = int(os.environ.get("BENCH_SENTINEL_DEPTH", "16"))
+    w = jax.random.normal(jax.random.PRNGKey(7), (dim, dim), jnp.bfloat16)
+    w = w / jnp.sqrt(jnp.float32(dim)).astype(jnp.bfloat16)
+
+    @jax.jit
+    def chain(x):
+        y = x
+        for _ in range(depth):
+            # tanh keeps the chain non-linear so XLA cannot reassociate or
+            # fold the matmuls; the scale keeps values in tanh's live range.
+            y = jnp.tanh(jnp.matmul(y, w, precision=jax.lax.Precision.DEFAULT))
+        return jnp.max(jnp.abs(y.astype(jnp.float32)))
+
+    x = jax.random.normal(jax.random.PRNGKey(8), (dim, dim), jnp.bfloat16)
+
+    def run(n: int) -> float:
+        t0 = time.perf_counter()
+        r = None
+        for _ in range(n):
+            r = chain(x)
+        float(r)
+        return time.perf_counter() - t0
+
+    run(1)  # compile outside the timed samples
+    return run
+
+
+def _sentinel_ms(run) -> float:
+    return _slope_sample(run, 2, 8) * 1e3
+
+
 def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
-                          collect_denoised: bool = True) -> dict:
+                          collect_denoised: bool = True, microbatch: int = 1,
+                          pcm16: bool = False, input_sets: int = 2) -> dict:
     """One online-serving tick at B lockstep streams (the OnlineBatchServer
     step): vmapped chunk_step over B carried states + the additive native
     host-FSM decode — the same tick definition as benchmarks/online_scale.py.
     Inputs are device-resident (the per-tick ~192 KB/stream H2D is PCIe work
     on a production host and relay-bound here — parallel/online.py::push
-    notes). Measured at serving precision (bf16 matmuls)."""
+    notes). Measured at serving precision (bf16 matmuls).
+
+    ``microbatch=m`` splits the tick into m sequential B/m-row shard
+    dispatches (OnlineBatchServer(microbatch=m)): carries stay resident,
+    the step's TRANSIENT activations — the measured HBM binder past ~14k
+    streams — shrink by m. ``pcm16`` holds the resident inputs as raw
+    int16 and dequantizes on device (the server's production PCM16
+    ingestion path; exact i/32768 in f32). ``input_sets=1`` drops the
+    benchmark's input double-buffer (verified same-vs-distinct ratio 1.0)
+    — a BENCHMARK cost production doesn't pay, only relevant near the HBM
+    ceiling."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -367,12 +433,19 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
     from formula_vad_tpu.pipeline import fsm_host, vad
 
     host_fsm = fsm_host.available()
+    m = microbatch
+    if b % m:
+        raise ValueError(f"B={b} must be a multiple of microbatch={m}")
+    sh = b // m
 
     def batched_step(carries, chunks, valid, start):
         # shared_start: the lockstep shared-fill dispatch OnlineBatchServer
         # uses in production (one contiguous framing slice, no per-row
         # gather — benchmarks/tick_bisect.py measured the gather at ~3 ms
         # of the B=1024 tick).
+        if pcm16:
+            # The server's on-device dequant (parallel/online.py::dequant).
+            chunks = chunks.astype(jnp.float32) / np.float32(32768.0)
         return jax.vmap(
             lambda c, a, v: vad.chunk_step(
                 params, st, c, a, chunk_valid=v, run_fsm=not host_fsm,
@@ -383,18 +456,36 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
     jstep = jax.jit(batched_step)
     fill = {"v": 0}
 
-    def step(carries, chunks, valid):
-        out = jstep(carries, chunks, valid, jnp.int32(st.fft_size - fill["v"]))
+    def step(carries_m, chunks_m, valid):
+        # One tick = m sequential shard dispatches (the server's microbatch
+        # loop, parallel/online.py::_run_step).
+        start = jnp.int32(st.fft_size - fill["v"])
+        new_c, outs = [], []
+        for s in range(m):
+            c2, o = jstep(carries_m[s], chunks_m[s], valid, start)
+            new_c.append(c2)
+            outs.append(o)
         fill["v"] = (fill["v"] + st.chunk_size) % st.fft_size
-        return out
+        return new_c, outs
 
-    carries = jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(b))
-    gen = jax.jit(
-        lambda key: 0.02
-        * jax.random.normal(key, (b, st.n_channels, st.chunk_size), jnp.float32)
-    )
-    chunks = [gen(jax.random.PRNGKey(i)) for i in range(2)]
-    valid = jnp.ones((b,), bool)
+    carries = [
+        jax.vmap(lambda _: vad.init_carry(st))(jnp.arange(sh)) for _ in range(m)
+    ]
+
+    def gen(key):
+        x = 0.02 * jax.random.normal(
+            key, (sh, st.n_channels, st.chunk_size), jnp.float32
+        )
+        if pcm16:
+            return jnp.clip(jnp.round(x * 32768.0), -32768, 32767).astype(jnp.int16)
+        return x
+
+    jgen = jax.jit(gen)
+    chunks = [
+        [jgen(jax.random.PRNGKey(2 * i * m + s)) for s in range(m)]
+        for i in range(input_sets)
+    ]
+    valid = jnp.ones((sh,), bool)
 
     def _sync(out):
         # max-abs, not sum: XLA folds linear reductions through matmuls.
@@ -403,11 +494,14 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
     def run(n):
         c = carries
         fill["v"] = 0  # each run restarts from the initial carries
-        out = None
+        outs = None
         t0 = time.perf_counter()
         for i in range(n):
-            c, out = step(c, chunks[i % 2], valid)
-        _sync(out)
+            c, outs = step(c, chunks[i % input_sets], valid)
+        # Devices execute in enqueue order: the LAST shard's output
+        # completing implies the whole tick did (m syncs would add m fixed
+        # relay round trips).
+        _sync(outs[-1])
         return time.perf_counter() - t0
 
     tick = _slope(run, n_short, n_long)
@@ -415,11 +509,11 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
     decode_ms = 0.0
     if host_fsm:
         fill["v"] = 0  # consistent framing for the fresh initial carries
-        _, out0 = step(carries, chunks[0], valid)
-        mv = np.asarray(out0.min_vol)
-        rt = np.asarray(out0.ratios)
-        va = np.asarray(out0.window_valid)
-        wb = np.asarray(out0.win_indices)[:, 0]
+        _, outs0 = step(carries, chunks[0], valid)
+        mv = np.concatenate([np.asarray(o.min_vol) for o in outs0])
+        rt = np.concatenate([np.asarray(o.ratios) for o in outs0])
+        va = np.concatenate([np.asarray(o.window_valid) for o in outs0])
+        wb = np.concatenate([np.asarray(o.win_indices)[:, 0] for o in outs0])
         hc = fsm_host.init_host_carry(st.fsm_shape, st.fsm_params, b)
         t0 = time.perf_counter()
         n_dec = 10
@@ -435,6 +529,8 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
         "decode_ms": round(decode_ms, 2),
         "fsm": "host" if host_fsm else "pallas",
         "events_only": not collect_denoised,
+        "microbatch": m,
+        "pcm16": pcm16,
         "fits_500ms_budget": tick < 0.5,
         "streams_per_chip_est": int(b * 0.5 / tick),
     }
@@ -631,57 +727,129 @@ def measure() -> None:
     # (name, matmul precision, activation-storage dtype): bf16_io adds bf16
     # storage for the big intermediates on top of bf16 matmuls — the deepest
     # throughput tier (precision.set_io_dtype; tests/test_bf16_io.py pins
-    # decision parity on the synthetic corpus).
-    mode_list = (
+    # decision parity on the synthetic corpus); `high` is the bf16_3x
+    # middle rung (~f32 mantissa quality from 3 MXU passes), a first-class
+    # table row since round 4 so it shares the interleaved-rep discipline.
+    mode_list = [
         ("highest", "highest", "f32"),
         ("bf16", "default", "f32"),
         ("bf16_io", "default", "bf16"),
-    )
-    if os.environ.get("BENCH_MODES") == "highest":
-        mode_list = (("highest", "highest", "f32"),)
+        ("high", "high", "f32"),
+    ]
+    wanted = os.environ.get("BENCH_MODES", "")
+    if wanted:
+        names = {m.strip() for m in wanted.split(",") if m.strip()}
+        mode_list = [m for m in mode_list if m[0] in names]
+        if not mode_list:
+            _fail("bad_modes", f"BENCH_MODES={wanted!r} matches no tier")
+    n_reps = max(1, int(os.environ.get("BENCH_REPS", "3")))
+
+    sentinel = None
     modes = {}
-    for mode_name, level, io in mode_list:
-        precision.set_matmul_precision(level)
-        precision.set_io_dtype(io)
-        if use_pipeline:
+
+    def _mode_row(rtf_all) -> dict:
+        rtf = _median(rtf_all)
+        tflops = rtf * gflops_per_audio_sec / 1e3
+        return {
+            "realtime_factor": round(rtf, 1),
+            "rtf_min": round(min(rtf_all), 1),
+            "rtf_max": round(max(rtf_all), 1),
+            "reps": len(rtf_all),
+            "tflops_achieved": round(tflops, 2),
+            "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
+        }
+
+    if use_pipeline:
+        # Env-forced diagnostic path (measured-dead-end evidence runs): the
+        # pipelined fns thread cross-call state, so keep the original
+        # blocked per-tier measurement here.
+        for mode_name, level, io in mode_list:
+            precision.set_matmul_precision(level)
+            precision.set_io_dtype(io)
             per_call = _measure_mode_host_pipe(
                 {"deep": make_deep_fns, "flat": make_flat_fns}.get(
                     pipe_mode, make_pipe_fns
                 ),
                 st, audios, n_short, n_long,
             )
-        elif use_host_fsm:
-            per_call = _measure_mode_host(
-                jax.jit(make_fe_fn()), st, audios, n_short, n_long
+            modes[mode_name] = _mode_row([audio_sec / per_call])
+    else:
+        # Phase 1 — compile every tier first: one FRESH jitted fn per tier,
+        # traced while that tier's precision globals are set. JAX's trace
+        # cache is keyed on function identity, so each executable keeps its
+        # tier's program no matter what the globals say at later calls —
+        # which is exactly what lets the timed reps interleave.
+        runs = []
+        for mode_name, level, io in mode_list:
+            precision.set_matmul_precision(level)
+            precision.set_io_dtype(io)
+            if use_host_fsm:
+                fe = jax.jit(make_fe_fn())
+
+                def run(n: int, fe=fe) -> float:
+                    return _run_host_calls(
+                        lambda i: fe(audios[i % len(audios)]), st, n
+                    )
+            else:
+                fn = jax.jit(make_batch_fn())
+
+                def run(n: int, fn=fn) -> float:
+                    t0 = time.perf_counter()
+                    ev = None
+                    for i in range(n):
+                        ev, _ = fn(audios[i % len(audios)])
+                    float(jnp.sum(ev))  # device-side reduce: real sync
+                    return time.perf_counter() - t0
+
+            run(1)  # compile + decoder warm-up under this tier's globals
+            runs.append((mode_name, run))
+        precision.set_matmul_precision("highest")
+        precision.set_io_dtype("f32")
+
+        sent_run = None
+        # Default the sentinel ON only for full-table captures: a tier-
+        # subset run (BENCH_MODES set — chip_gate's sanity stage, parent
+        # retry attempts) stays lean.
+        if os.environ.get("BENCH_SENTINEL", "0" if wanted else "1") != "0":
+            try:
+                sent_run = _make_sentinel_run()
+                sentinel = {"start_ms": round(_sentinel_ms(sent_run), 3)}
+            except Exception as e:
+                print(f"sentinel probe failed: {e!r}", file=sys.stderr, flush=True)
+
+        # Phase 2 — k interleaved reps, round-robin over tiers (NOT blocked
+        # per tier): a throttled window or drift hits every tier's rep r
+        # alike instead of silently halving whichever tier ran last.
+        samples = {name: [] for name, _ in runs}
+        for _rep in range(n_reps):
+            for name, run in runs:
+                samples[name].append(_slope_sample(run, n_short, n_long))
+
+        if sent_run is not None:
+            sentinel["end_ms"] = round(_sentinel_ms(sent_run), 3)
+            sentinel["ratio"] = round(
+                sentinel["end_ms"] / max(sentinel["start_ms"], 1e-9), 3
             )
-        else:
-            per_call = _measure_mode(jax.jit(make_batch_fn()), audios, n_short, n_long)
-        rtf = audio_sec / per_call
-        tflops = rtf * gflops_per_audio_sec / 1e3
-        modes[mode_name] = {
-            "realtime_factor": round(rtf, 1),
-            "tflops_achieved": round(tflops, 2),
-            "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
-        }
+
+        for name, _run in runs:
+            modes[name] = _mode_row([audio_sec / pc for pc in samples[name]])
 
     def emit() -> None:
-        head = modes["highest"]
-        print(
-            json.dumps(
-                {
-                    "metric": "realtime_factor",
-                    "value": head["realtime_factor"],
-                    "unit": "audio_sec/sec/chip",
-                    "vs_baseline": round(head["realtime_factor"] / 5000.0, 3),
-                    "tflops_achieved": head["tflops_achieved"],
-                    "mfu": head["mfu"],
-                    "fsm": "host" if use_host_fsm else "pallas",
-                    "pipelined": pipe_mode if use_pipeline else False,
-                    "modes": modes,
-                }
-            ),
-            flush=True,
-        )
+        head = modes.get("highest") or next(iter(modes.values()))
+        out = {
+            "metric": "realtime_factor",
+            "value": head["realtime_factor"],
+            "unit": "audio_sec/sec/chip",
+            "vs_baseline": round(head["realtime_factor"] / 5000.0, 3),
+            "tflops_achieved": head["tflops_achieved"],
+            "mfu": head["mfu"],
+            "fsm": "host" if use_host_fsm else "pallas",
+            "pipelined": pipe_mode if use_pipeline else False,
+            "modes": modes,
+        }
+        if sentinel is not None:
+            out["sentinel"] = sentinel
+        print(json.dumps(out), flush=True)
 
     # Early emit: the standard table is on stdout BEFORE any extra row runs.
     # The parent takes the LAST parseable JSON line — and salvages this one
@@ -710,7 +878,7 @@ def measure() -> None:
     # they force the composite path themselves below.
     want_extras = (
         os.environ.get("BENCH_EXTRAS", "1") != "0"
-        and os.environ.get("BENCH_MODES") != "highest"
+        and not os.environ.get("BENCH_MODES")  # tier subset: table-only run
         and not use_pipeline  # explicit FVAD_BENCH_PIPELINE: already measured
         and use_host_fsm
     )
@@ -719,27 +887,8 @@ def measure() -> None:
     # dead-end sections) — they stay available behind BENCH_DEADEND_ROWS=1
     # for re-measurement but no longer spend the default capture window.
     want_deadend_rows = want_extras and os.environ.get("BENCH_DEADEND_ROWS") == "1"
-    if want_extras:
-        # high FIRST: the bf16_3x tier (~f32 mantissa quality from 3 MXU
-        # passes instead of highest's 6) — the middle rung of the precision
-        # ladder (ops/precision.py; decision deviation vs highest is
-        # characterized by benchmarks/precision_sweep.py).
-        if time.monotonic() < extra_deadline:
-            precision.set_matmul_precision("high")
-            precision.set_io_dtype("f32")
-            try:
-                per_call = _measure_mode_host(
-                    jax.jit(make_fe_fn()), st, audios, n_short, n_long
-                )
-                rtf = audio_sec / per_call
-                tflops = rtf * gflops_per_audio_sec / 1e3
-                modes["high"] = {
-                    "realtime_factor": round(rtf, 1),
-                    "tflops_achieved": round(tflops, 2),
-                    "mfu": round(tflops / V5E_BF16_PEAK_TFLOPS, 4),
-                }
-            except Exception as e:
-                print(f"high extra row failed: {e!r}", file=sys.stderr, flush=True)
+    # (`high` moved into the main interleaved tier table in round 4 — it
+    # shares the rep/median discipline instead of a single extras shot.)
     if want_deadend_rows:
         # flat rows: the materialize-path cross-slab overlap
         # (offline.window_inputs_flat) whose product carry is
@@ -803,24 +952,59 @@ def measure() -> None:
                 and time.monotonic() < extra_deadline):
             # serve_dense: the production densest-tier tick — events-only
             # (denoised audio never leaves the device) + bf16 activation
-            # storage — at a 4.5x denser batch, so the driver capture
-            # carries the serving-capacity claim at its own tier. The HBM
-            # knife-edge points (36k streams via microbatch) still need
-            # standalone runs: benchmarks/online_scale.py.
+            # storage + PCM16 ingestion (the server's int16 push path) —
+            # climbing a LADDER from near the measured 36k-stream ceiling
+            # down, so the driver capture carries a MEASURED tick at the
+            # knife edge instead of a linear extrapolation from B=4,608
+            # (VERDICT r3 next-#2). Graceful fallback: an OOM'd or
+            # deadline-skipped rung is recorded in the row, and the first
+            # rung that completes a tick is published.
             precision.set_matmul_precision("default")
             precision.set_io_dtype("bf16")
-            try:
-                db = int(os.environ.get("BENCH_SERVE_DENSE_STREAMS", "4608"))
-                row = _measure_serving_tick(
-                    db, params, st, n_short, n_long, collect_denoised=False
-                )
+            ladder_env = os.environ.get("BENCH_SERVE_DENSE_LADDER")
+            db = os.environ.get("BENCH_SERVE_DENSE_STREAMS")
+            if ladder_env:
+                ladder = []
+                for item in ladder_env.split(","):
+                    bstr, _, mstr = item.partition(":")
+                    ladder.append((int(bstr), int(mstr or "1")))
+            elif db:  # explicit single point (tests / chip_gate tuning)
+                ladder = [(int(db), 1)]
+            else:
+                ladder = [(27648, 3), (13824, 3), (4608, 1)]
+            attempts, row = [], None
+            for bb, mm in ladder:
+                if attempts and time.monotonic() >= extra_deadline:
+                    attempts.append(
+                        {"streams": bb, "microbatch": mm, "skipped": "deadline"}
+                    )
+                    continue
+                try:
+                    row = _measure_serving_tick(
+                        bb, params, st, n_short, n_long,
+                        collect_denoised=False, microbatch=mm,
+                        pcm16=True, input_sets=1,
+                    )
+                    break
+                except Exception as e:
+                    attempts.append(
+                        {"streams": bb, "microbatch": mm, "error": repr(e)[:160]}
+                    )
+                    print(f"serve_dense rung B={bb} m={mm} failed: {e!r}",
+                          file=sys.stderr, flush=True)
+            if row is not None:
                 row["io_dtype"] = "bf16"
+                if attempts:
+                    row["fallback_from"] = attempts
                 modes["serve_dense"] = row
-            except Exception as e:
-                print(f"serve_dense extra row failed: {e!r}",
-                      file=sys.stderr, flush=True)
-            finally:
-                precision.set_io_dtype("f32")
+            elif attempts:
+                # Every rung failed: record the boundary explicitly rather
+                # than dropping the row.
+                modes["serve_dense"] = {
+                    "streams": 0, "error": "all ladder rungs failed",
+                    "fallback_from": attempts,
+                }
+            precision.set_io_dtype("f32")
         if time.monotonic() < extra_deadline:
             # Wider batch at HEADLINE precision: a scaling-evidence row.
             # batch_scale.py (2026-08-19, ROOFLINE "Scaling note") measures

@@ -40,9 +40,12 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
         "BENCH_CHUNKS": "2",
         "BENCH_ITERS_SHORT": "1",
         "BENCH_ITERS_LONG": "2",
+        "BENCH_REPS": "2",
         "BENCH_WIDE_STREAMS": "4",
         "BENCH_SERVE_STREAMS": "8",
         "BENCH_SERVE_DENSE_STREAMS": "8",
+        "BENCH_SENTINEL_DIM": "64",
+        "BENCH_SENTINEL_DEPTH": "2",
         "FVAD_BENCH_CPU": "1",
         # Dead-end evidence rows (flat/deep) are off by default since the
         # 2026-08-19 pipeline_ab verdicts; keep exercising them here.
@@ -78,6 +81,18 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
         # tflops rounds to 2 decimals; at the tiny CPU shapes a slow row
         # can legitimately round to 0.0 — non-negative is the contract.
         assert modes[name]["tflops_achieved"] >= 0
+    # Round-4 variance contract: the interleaved standard tiers publish the
+    # median with min/max spread over BENCH_REPS samples.
+    for name in ("highest", "bf16", "bf16_io", "high"):
+        row = modes[name]
+        assert row["reps"] == 2
+        assert 0 < row["rtf_min"] <= row["realtime_factor"] <= row["rtf_max"]
+    # Sentinel probe: fixed-work capture-environment evidence.
+    sent = got["sentinel"]
+    assert sent["start_ms"] > 0 and sent["end_ms"] > 0
+    assert sent["ratio"] == pytest.approx(
+        sent["end_ms"] / sent["start_ms"], rel=0.01
+    )
     # Flat-overlap gates: at f32-highest the flat path is exactly equal on
     # CPU too (tests/test_flat_overlap.py), but these rows run at bf16
     # matmul precision, where XLA:CPU's bf16 lowering differs per program
@@ -102,6 +117,10 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
     assert modes["serve_dense"]["events_only"] is True
     assert modes["serve_dense"]["io_dtype"] == "bf16"
     assert modes["serve_dense"]["tick_ms"] > 0
+    # The dense tier runs the server's production ingestion form.
+    assert modes["serve_dense"]["pcm16"] is True
+    assert modes["serve_dense"]["microbatch"] == 1
+    assert modes["serve"]["pcm16"] is False
 
 
 def test_measure_default_extras_gating(bench, monkeypatch, capsys):
@@ -112,13 +131,20 @@ def test_measure_default_extras_gating(bench, monkeypatch, capsys):
         "BENCH_CHUNKS": "2",
         "BENCH_ITERS_SHORT": "1",
         "BENCH_ITERS_LONG": "2",
+        "BENCH_REPS": "1",
         "BENCH_WIDE_STREAMS": "4",
         "BENCH_SERVE_STREAMS": "8",
-        "BENCH_SERVE_DENSE_STREAMS": "8",
+        # Ladder exercise: the first rung (9 streams, microbatch 2) is
+        # invalid (9 % 2 != 0) and must fall back gracefully to the 8:1
+        # rung, recording the failed rung in the row.
+        "BENCH_SERVE_DENSE_LADDER": "9:2,8:1",
+        "BENCH_SENTINEL_DIM": "64",
+        "BENCH_SENTINEL_DEPTH": "2",
         "FVAD_BENCH_CPU": "1",
     }.items():
         monkeypatch.setenv(k, v)
-    for k in ("BENCH_MODES", "FVAD_BENCH_PIPELINE", "BENCH_DEADEND_ROWS"):
+    for k in ("BENCH_MODES", "FVAD_BENCH_PIPELINE", "BENCH_DEADEND_ROWS",
+              "BENCH_SERVE_DENSE_STREAMS"):
         monkeypatch.delenv(k, raising=False)
 
     from formula_vad_tpu.ops import precision
@@ -135,6 +161,11 @@ def test_measure_default_extras_gating(bench, monkeypatch, capsys):
         assert name in modes, f"missing live mode row {name}"
     for name in ("bf16_flat", "bf16_io_flat", "bf16_deep", "highest_deep"):
         assert name not in modes, f"dead-end row {name} ran without opt-in"
+    # Ladder fallback landed on the valid rung and recorded the failed one.
+    sd = modes["serve_dense"]
+    assert sd["streams"] == 8 and sd["microbatch"] == 1
+    assert sd["fallback_from"][0]["streams"] == 9
+    assert "error" in sd["fallback_from"][0]
 
 
 def test_measure_gate_sanity_contract(bench, monkeypatch, capsys):
@@ -165,6 +196,8 @@ def test_measure_gate_sanity_contract(bench, monkeypatch, capsys):
     got = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert got["value"] == got["modes"]["highest"]["realtime_factor"] > 0
     assert set(got["modes"]) == {"highest"}
+    # Tier-subset runs stay lean: no sentinel compile unless opted in.
+    assert "sentinel" not in got
 
 
 def test_preflight_relay_down_fails_fast(bench, monkeypatch):
