@@ -13,6 +13,9 @@ cd "$(dirname "$0")/.."
 echo "== syntax (compileall) =="
 python -m compileall -q formula_vad_tpu tests benchmarks examples scripts bench.py __graft_entry__.py
 
+echo "== evidence provenance (README perf claims vs driver artifacts) =="
+python scripts/provenance_gate.py
+
 echo "== lint (pycodestyle-lite via python -W error import smoke) =="
 # No flake8/ruff in this image; catch the high-value classes cheaply:
 # import errors anywhere in the package, and tab/space mix via compileall above.
