@@ -47,8 +47,10 @@ FF2 = 600
 from ..ops.precision import matmul_precision
 
 
-def _dense(x, w, b):
-    return jnp.matmul(x, w, precision=matmul_precision()) + b
+def _dense(x, w, b, stage=None):
+    # `stage` routes through the per-stage precision override map
+    # (ops/precision.py STAGES) — the parity-fast audit lever.
+    return jnp.matmul(x, w, precision=matmul_precision(stage)) + b
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,7 +74,7 @@ class GRUParams:
 
 def gru_cell(p: GRUParams, h, x):
     """One GRU step. x: [..., in], h: [..., hidden] -> h'."""
-    return gru_cell_pre(p, h, _dense(x, p.wi, p.bi))
+    return gru_cell_pre(p, h, _dense(x, p.wi, p.bi, stage="gru_i"))
 
 
 def gru_cell_pre(p: GRUParams, h, gi):
@@ -82,13 +84,13 @@ def gru_cell_pre(p: GRUParams, h, gi):
     into one MXU-shaped [.., T, in] @ [in, 3H] matmul (done by the caller).
     """
     if p.linear_before_reset:
-        return _gates_lbr(gi, _dense(h, p.wh, p.bh), h)
+        return _gates_lbr(gi, _dense(h, p.wh, p.bh, stage="gru_h"), h)
     z_i, r_i, n_i = jnp.split(gi, 3, axis=-1)
     wh_z, wh_r, wh_n = jnp.split(p.wh, 3, axis=-1)
     bh_z, bh_r, bh_n = jnp.split(p.bh, 3, axis=-1)
-    z = jax.nn.sigmoid(z_i + jnp.matmul(h, wh_z, precision=matmul_precision()) + bh_z)
-    r = jax.nn.sigmoid(r_i + jnp.matmul(h, wh_r, precision=matmul_precision()) + bh_r)
-    n = jnp.tanh(n_i + jnp.matmul(r * h, wh_n, precision=matmul_precision()) + bh_n)
+    z = jax.nn.sigmoid(z_i + jnp.matmul(h, wh_z, precision=matmul_precision("gru_h")) + bh_z)
+    r = jax.nn.sigmoid(r_i + jnp.matmul(h, wh_r, precision=matmul_precision("gru_h")) + bh_r)
+    n = jnp.tanh(n_i + jnp.matmul(r * h, wh_n, precision=matmul_precision("gru_h")) + bh_n)
     return (1.0 - z) * n + z * h
 
 
@@ -255,8 +257,8 @@ def _split_gru3(g: GRUParams):
     )
 
 
-def _proj3(h, w3, b3):
-    return tuple(_dense(h, w, b) for w, b in zip(w3, b3))
+def _proj3(h, w3, b3, stage=None):
+    return tuple(_dense(h, w, b, stage=stage) for w, b in zip(w3, b3))
 
 
 def _gates_split3(gi3, gh3, h):
@@ -354,7 +356,7 @@ def apply_streaming(
         params = jax.tree_util.tree_map(_prec.io_cast, params)
         state = jax.tree_util.tree_map(_prec.io_cast, state)
     g1, g2 = params.gru1, params.gru2
-    x = _dense(features, params.fc_in_w, params.fc_in_b)  # [..., T, 400]
+    x = _dense(features, params.fc_in_w, params.fc_in_b, stage="fc_in")  # [..., T, 400]
 
     wavefront = bool(g1.linear_before_reset and g2.linear_before_reset)
     if os.environ.get("FVAD_GRU_WAVEFRONT", "off") != "on":
@@ -376,15 +378,17 @@ def apply_streaming(
         # GRU1's input projections over the whole sequence: three big
         # matmuls, each gate's output natively aligned.
         gi1_t = tuple(
-            jnp.moveaxis(_dense(x, w, b), -2, 0)
+            jnp.moveaxis(_dense(x, w, b, stage="gru_i"), -2, 0)
             for w, b in zip(wi1_3, bi1_3)
         )  # 3 x [T, ..., 400]
 
         def step3(carry, gi1_i):
             h1, h2 = carry
-            h1 = _gates_split3(gi1_i, _proj3(h1, wh1_3, bh1_3), h1)
+            h1 = _gates_split3(gi1_i, _proj3(h1, wh1_3, bh1_3, stage="gru_h"), h1)
             h2 = _gates_split3(
-                _proj3(h1, wi2_3, bi2_3), _proj3(h2, wh2_3, bh2_3), h2
+                _proj3(h1, wi2_3, bi2_3, stage="gru_i"),
+                _proj3(h2, wh2_3, bh2_3, stage="gru_h"),
+                h2,
             )
             return (h1, h2), h2
 
@@ -398,7 +402,7 @@ def apply_streaming(
         return (h1, h2), gains
 
     # GRU1's input projection over the whole sequence: one big matmul.
-    gi1 = _dense(x, params.gru1.wi, params.gru1.bi)  # [..., T, 1200]
+    gi1 = _dense(x, params.gru1.wi, params.gru1.bi, stage="gru_i")  # [..., T, 1200]
     # scan over time: move T to the front.
     gi1_t = jnp.moveaxis(gi1, -2, 0)  # [T, ..., 1200]
 
@@ -410,7 +414,7 @@ def apply_streaming(
         rider_fn, rider_xs = rider if rider is not None else (None, None)
         h1, h2 = state
         # Prologue: layer-1 step 0 (layer 2 has nothing to do yet).
-        h1 = _gates_lbr(gi1_t[0], _dense(h1, g1.wh, g1.bh), h1)
+        h1 = _gates_lbr(gi1_t[0], _dense(h1, g1.wh, g1.bh, stage="gru_h"), h1)
 
         # The three projections use exactly the same [.., 400] @ [400, 1200]
         # contractions as the layer-by-layer form (no stacking/concat, whose
@@ -419,9 +423,9 @@ def apply_streaming(
         def step(carry, xs_i):
             gi1_i, rx_i = xs_i if rider is not None else (xs_i, None)
             h1, h2 = carry  # h1 = h1[i-1], h2 = h2[i-2]
-            gh1 = _dense(h1, g1.wh, g1.bh)
-            gi2 = _dense(h1, g2.wi, g2.bi)
-            gh2 = _dense(h2, g2.wh, g2.bh)
+            gh1 = _dense(h1, g1.wh, g1.bh, stage="gru_h")
+            gi2 = _dense(h1, g2.wi, g2.bi, stage="gru_i")
+            gh2 = _dense(h2, g2.wh, g2.bh, stage="gru_h")
             h1n = _gates_lbr(gi1_i, gh1, h1)
             h2n = _gates_lbr(gi2, gh2, h2)  # = h2[i-1]
             out = h2n if rider is None else (h2n, rider_fn(rx_i))
@@ -437,7 +441,9 @@ def apply_streaming(
             (h1, h2), ys = jax.lax.scan(step, (h1, h2), gi1_t[1:])
         # Epilogue: layer-2 step T-1 (+ the rider's final slice).
         h2 = _gates_lbr(
-            _dense(h1, g2.wi, g2.bi), _dense(h2, g2.wh, g2.bh), h2
+            _dense(h1, g2.wi, g2.bi, stage="gru_i"),
+            _dense(h2, g2.wh, g2.bh, stage="gru_h"),
+            h2,
         )
         ys = jnp.concatenate([ys, h2[None]], axis=0)  # [T, ..., 400]
         if rider is not None:
@@ -489,9 +495,9 @@ def apply_head(params: NSNet2Params, y: jnp.ndarray) -> jnp.ndarray:
     immediate path and the deferred/ridden path, so both compute the exact
     same ops. Callers deferring the head must pass the SAME (possibly
     io_cast) params and ys dtype apply_streaming would have used."""
-    y = jax.nn.relu(_dense(y, params.ff1_w, params.ff1_b))
-    y = jax.nn.relu(_dense(y, params.ff2_w, params.ff2_b))
-    return jax.nn.sigmoid(_dense(y, params.out_w, params.out_b))
+    y = jax.nn.relu(_dense(y, params.ff1_w, params.ff1_b, stage="ff"))
+    y = jax.nn.relu(_dense(y, params.ff2_w, params.ff2_b, stage="ff"))
+    return jax.nn.sigmoid(_dense(y, params.out_w, params.out_b, stage="ff"))
 
 
 def apply(

@@ -48,6 +48,17 @@ if _quant not in _QUANT_MODES:
     raise ValueError(f"FVAD_QUANT must be one of {_QUANT_MODES}, got {_quant!r}")
 
 
+# Named matmul stages of the scoring path (VERDICT r3 next-#4: per-stage
+# precision audit). Call sites pass their stage so an override map can run
+# individual stages at a different pass count than the global tier —
+# the `parity-fast` lever: stages whose HIGH (3-pass) output is proven
+# bitwise- or decision-identical to HIGHEST on chip drop half their MXU
+# passes while the parity claim is preserved (the predecim select matmul
+# already does this ad hoc — PARITY.md dev. 13).
+STAGES = ("stft", "istft", "band", "fc_in", "gru_i", "gru_h", "ff")
+_stage_overrides: dict[str, str] = {}
+
+
 def set_matmul_precision(level: str) -> None:
     global _current
     if level not in _LEVELS:
@@ -55,8 +66,37 @@ def set_matmul_precision(level: str) -> None:
     _current = level
 
 
-def matmul_precision() -> jax.lax.Precision:
+def matmul_precision(stage: str | None = None) -> jax.lax.Precision:
+    if stage is not None and stage in _stage_overrides:
+        return _LEVELS[_stage_overrides[stage]]
     return _LEVELS[_current]
+
+
+def set_stage_precision(stage: str, level: str | None) -> None:
+    """Override one stage's matmul precision (None clears the override).
+
+    Overrides are trace-time state like the global level: re-jit (a fresh
+    function object) after changing them."""
+    if stage not in STAGES:
+        raise ValueError(f"stage must be one of {STAGES}, got {stage!r}")
+    if level is None:
+        _stage_overrides.pop(stage, None)
+        return
+    if level not in _LEVELS:
+        raise ValueError(f"precision must be one of {sorted(_LEVELS)}, got {level!r}")
+    _stage_overrides[stage] = level
+
+
+def set_stage_overrides(overrides: dict[str, str] | None) -> None:
+    """Replace the whole stage-override map (None/{} clears)."""
+    for stage in list(_stage_overrides):
+        set_stage_precision(stage, None)
+    for stage, level in (overrides or {}).items():
+        set_stage_precision(stage, level)
+
+
+def stage_overrides() -> dict[str, str]:
+    return dict(_stage_overrides)
 
 
 def set_io_dtype(name: str) -> None:

@@ -206,7 +206,7 @@ def stft_segmat(
     hop = n_fft // 2
     basis = segmat_basis_arr(window, n_fft, decimate)
     segs = segmat_segments(x, hop * decimate, initial_segment)
-    prod = jnp.matmul(io_cast(segs), io_cast(basis), precision=matmul_precision())
+    prod = jnp.matmul(io_cast(segs), io_cast(basis), precision=matmul_precision("stft"))
     return segmat_spectra(prod, n_fft)
 
 
@@ -284,11 +284,11 @@ def istft_segmat(
             z = jnp.concatenate(
                 [z, jnp.zeros(z.shape[:-1] + (kpad,), z.dtype)], axis=-1
             )
-        prod = jnp.matmul(z, io_cast(inv), precision=matmul_precision())
+        prod = jnp.matmul(z, io_cast(inv), precision=matmul_precision("istft"))
         prod = prod[..., :n_fft]  # drop the zero N lanes
     else:
         inv = jnp.asarray(_inv_segmat_basis(key, n_fft))
-        prod = jnp.matmul(z, io_cast(inv), precision=matmul_precision())
+        prod = jnp.matmul(z, io_cast(inv), precision=matmul_precision("istft"))
     top = prod[..., :hop]
     bot = prod[..., hop:]
     lead = prod.shape[:-2]
@@ -466,7 +466,7 @@ def band_volume_16k(
     )  # [..., nsw]: sample before each superframe
     basis = io_cast(basis)
     prod = (
-        jnp.matmul(main, basis[1:], precision=matmul_precision())
+        jnp.matmul(main, basis[1:], precision=matmul_precision("band"))
         + prevs[..., None] * basis[0]
     # FSM decisions compare band sums against thresholds: the reduction math
     # stays f32 even when activations are stored bf16 (precision.io_dtype).
@@ -681,7 +681,7 @@ def band_volume_spec(
             window_strides=(fpb,),
             padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),
-            precision=matmul_precision(),
+            precision=matmul_precision("band"),
         )
 
     if variant == "split":
@@ -700,7 +700,7 @@ def band_volume_spec(
     band_ri = out.astype(jnp.float32).reshape(lead + out.shape[-2:])  # [.., nblk, ncols]
 
     # ---- exact edge corrections (all indices static under jit) ----------
-    prec = matmul_precision()
+    prec = matmul_precision("band")
     # (1) carry-in: sample -1 is prev16; samples [0, hop) additionally get
     # the previous slab's OLA tail.
     row_prev = jnp.asarray(band_blk[0].astype(np.float32))
@@ -762,7 +762,7 @@ def band_volume_windows(
     basis = jnp.asarray(_band_basis(key, n_fft, min_bin, max_bin))
     n_band = max_bin - min_bin + 1
     prod = jnp.matmul(
-        io_cast(frames), io_cast(basis), precision=matmul_precision()
+        io_cast(frames), io_cast(basis), precision=matmul_precision("band")
     ).astype(jnp.float32)  # decision-feeding reduction stays f32 (see band_volume_16k)
     mags = jnp.sqrt(prod[..., :n_band] ** 2 + prod[..., n_band:] ** 2)
     return jnp.sum(mags, axis=-1) * np.float32(norm_factor)

@@ -175,7 +175,7 @@ def segmat_prod(
         basis = io_cast(stft.segmat_basis_padded_arr(den_mod._WINDOW, NSNET2_N_FFT))
         t = audio.shape[-1]
         segs48 = audio.reshape(audio.shape[:-1] + (t // seg48, seg48))
-        prec = matmul_precision()
+        prec = matmul_precision("stft")
         # The select matmul is exact at HIGH already: 1.0 is exact in bf16
         # and the 3-way operand split of x sums back to exactly x*1.0, so
         # the 6-pass HIGHEST spend is pure waste on a 0/1 operand. Lower
@@ -195,7 +195,9 @@ def segmat_prod(
         return jnp.matmul(io_cast(segs), basis, precision=prec)
     basis = stft.segmat_basis_arr(den_mod._WINDOW, NSNET2_N_FFT, downsample_rate)
     segs = stft.segmat_segments(audio, seg48, raw_tail)
-    return jnp.matmul(io_cast(segs), io_cast(basis), precision=matmul_precision())
+    return jnp.matmul(
+        io_cast(segs), io_cast(basis), precision=matmul_precision("stft")
+    )
 
 
 def _model_input(feats: jnp.ndarray, feat_ctx: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -335,7 +337,7 @@ def band_boundary_carry(re_g: jnp.ndarray, im_g: jnp.ndarray):
     z_prev = jnp.concatenate(
         [re_g[..., -2, :], im_g[..., -2, :]], axis=-1
     ).astype(jnp.float32)
-    prec = matmul_precision()
+    prec = matmul_precision("istft")
     out_tail = jnp.matmul(z_last, inv[:, hop:], precision=prec)  # [..., hop]
     last_sample = jnp.matmul(z_last, inv[:, hop - 1], precision=prec) + jnp.matmul(
         z_prev, inv[:, 2 * hop - 1], precision=prec
@@ -604,7 +606,7 @@ def next_slab_rider(
     pad = T_SCAN * per - rows
     if pad:
         segs = jnp.pad(segs, [(0, 0)] * (segs.ndim - 2) + [(0, pad), (0, 0)])
-    prec = matmul_precision()
+    prec = matmul_precision("stft")
 
     def fn(t):
         rows_t = jax.lax.dynamic_slice_in_dim(segs, t * per, per, axis=-2)
