@@ -973,8 +973,12 @@ def measure() -> None:
             else:
                 ladder = [(27648, 3), (13824, 3), (4608, 1)]
             attempts, row = [], None
-            for bb, mm in ladder:
-                if attempts and time.monotonic() >= extra_deadline:
+            for i, (bb, mm) in enumerate(ladder):
+                last = i == len(ladder) - 1
+                # Past the deadline, skip middle rungs but ALWAYS attempt
+                # the final (smallest) rung: a degraded capture should
+                # still publish a measured point, like the old fixed-B row.
+                if attempts and time.monotonic() >= extra_deadline and not last:
                     attempts.append(
                         {"streams": bb, "microbatch": mm, "skipped": "deadline"}
                     )
@@ -998,10 +1002,11 @@ def measure() -> None:
                     row["fallback_from"] = attempts
                 modes["serve_dense"] = row
             elif attempts:
-                # Every rung failed: record the boundary explicitly rather
-                # than dropping the row.
+                # Nothing measured: record the boundary explicitly rather
+                # than dropping the row (distinguishing failed rungs from
+                # deadline-skipped ones via the per-rung entries).
                 modes["serve_dense"] = {
-                    "streams": 0, "error": "all ladder rungs failed",
+                    "streams": 0, "error": "no ladder rung completed",
                     "fallback_from": attempts,
                 }
             precision.set_io_dtype("f32")

@@ -48,7 +48,16 @@ def main() -> int:
     b = int(os.environ.get("SPA_STREAMS", "8"))
     n_chunks = int(os.environ.get("SPA_CHUNKS", "20"))
     reps = int(os.environ.get("SPA_REPS", "3"))
-    params = nsnet2.load(None)
+    # Bitwise 3-vs-6-pass equality depends on the ACTUAL weight values, so
+    # the admission decision must be made on the shipping weights — the
+    # packaged demo weights (the production neural path), like
+    # benchmarks/tier_fuzz.py. SPA_WEIGHTS=random for the fuzz-seed set.
+    if os.environ.get("SPA_WEIGHTS", "demo") == "random":
+        params = nsnet2.load(None)
+    else:
+        from formula_vad_tpu.models.registry import load_denoiser
+
+        params = load_denoiser("demo")
     st = vad.statics_from_config(VADConfig())
     audio = jax.jit(
         lambda key: 0.02
@@ -71,7 +80,8 @@ def main() -> int:
         finally:
             precision.set_stage_overrides(None)
 
-    print(f"platform={jax.devices()[0].platform} B={b} chunks={n_chunks}")
+    print(f"platform={jax.devices()[0].platform} B={b} chunks={n_chunks} "
+          f"weights={os.environ.get('SPA_WEIGHTS', 'demo')}")
     fe_base, base = outputs({})
     bitwise_stages = []
     rows = []

@@ -25,13 +25,16 @@ def sniff_container(path: str) -> str:
     fail loudly and actionably instead of with a WAV-parser error)."""
     try:
         with open(path, "rb") as f:
-            magic = f.read(4)
+            head = f.read(128)
     except OSError as e:
         raise ValueError(f"cannot read {path}: {e}") from e
+    magic = head[:4]
     if magic == b"RIFF":
         return "wav"
     if magic == b"OggS":
-        return "ogg"
+        # Ogg is a container: FLAC-mapped streams (0x7f"FLAC" in the first
+        # page) go to the FLAC codec, everything else to Vorbis.
+        return "flac" if b"\x7fFLAC" in head else "ogg"
     if magic == b"fLaC":
         return "flac"
     raise ValueError(

@@ -14,8 +14,10 @@ Library discovery: the loader exports ``FVAD_LIBFLAC`` pointing at a
 vendored copy when no system soname resolves — this image ships one inside
 ``pygame.libs`` (``libFLAC-*.so.8``); a real deployment has the system
 library. Decode handles 16/24-bit (any bits-per-sample 4..32), mono+
-multichannel, streaming read and sample-exact seek. The writer exists for
-round-trip tests; the reference itself never writes FLAC.
+multichannel, streaming read, sample-exact seek, and BOTH containers —
+native FLAC ('fLaC') and Ogg-embedded FLAC ('OggS' + 0x7f"FLAC" mapping,
+when the loaded libFLAC was built with Ogg support). The writer exists
+for round-trip tests; the reference itself never writes FLAC.
 """
 
 from __future__ import annotations
@@ -88,10 +90,10 @@ def _load():
                 lib = ctypes.CDLL(_LIB_PATH)
             except OSError:
                 return None
-        if lib.fvad_flac_abi_version() != 1 or lib.fvad_flac_available() != 1:
+        if lib.fvad_flac_abi_version() != 2 or lib.fvad_flac_available() != 1:
             return None
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        lib.fvad_flac_open.argtypes = [ctypes.c_char_p]
+        lib.fvad_flac_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
         lib.fvad_flac_open.restype = ctypes.c_void_p
         lib.fvad_flac_rate.argtypes = [ctypes.c_void_p]
         lib.fvad_flac_rate.restype = ctypes.c_long
@@ -110,6 +112,7 @@ def _load():
             ctypes.c_int,
             ctypes.c_longlong,
             ctypes.c_long,
+            ctypes.c_int,
             ctypes.c_int,
         ]
         _lib = lib
@@ -130,6 +133,17 @@ def is_flac_file(path: str) -> bool:
         return False
 
 
+def is_ogg_flac_file(path: str) -> bool:
+    """Ogg-embedded FLAC: an Ogg page whose first packet starts with the
+    0x7f"FLAC" mapping signature (within the first page's ~80 bytes)."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(128)
+    except OSError:
+        return False
+    return head[:4] == b"OggS" and b"\x7fFLAC" in head
+
+
 class FlacStream:
     """Streaming FLAC reader with planar output — interface-identical to
     ``wav.WavStream`` / ``ogg.OggStream`` (the AudioFileStream.zig
@@ -143,8 +157,14 @@ class FlacStream:
                 "to a libFLAC shared library, or install the system package)"
             )
         self._lib = lib
-        self._h = lib.fvad_flac_open(os.fsencode(path))
+        use_ogg = 1 if is_ogg_flac_file(path) else 0
+        self._h = lib.fvad_flac_open(os.fsencode(path), use_ogg)
         if not self._h:
+            if use_ogg:
+                raise ValueError(
+                    f"cannot open Ogg-FLAC file (the loaded libFLAC may "
+                    f"lack Ogg support): {path}"
+                )
             raise ValueError(f"cannot open FLAC file: {path}")
         self._rate = int(lib.fvad_flac_rate(self._h))
         self._channels = int(lib.fvad_flac_channels(self._h))
@@ -202,18 +222,36 @@ class FlacStream:
 
 
 def read_flac(path: str) -> tuple[np.ndarray, int]:
-    """Read a whole file -> (planar float32 [n_channels, n_frames], rate)."""
+    """Read a whole file -> (planar float32 [n_channels, n_frames], rate).
+
+    Chunked (4M frames per native call) into a preallocated array so peak
+    memory is one copy of the decoded audio, not two (a single whole-file
+    ``read`` would hold the full stream in the native FIFO AND the numpy
+    output simultaneously)."""
+    chunk = 1 << 22
     with FlacStream(path) as s:
-        data = s.read(s.n_frames)
-        return data, s.sample_rate
+        out = np.empty((s.n_channels, s.n_frames), np.float32)
+        at = 0
+        while at < s.n_frames:
+            got = s.read(min(chunk, s.n_frames - at))
+            if got.shape[1] == 0:
+                break  # short stream (STREAMINFO total overstated)
+            out[:, at : at + got.shape[1]] = got
+            at += got.shape[1]
+        return (out if at == s.n_frames else
+                np.ascontiguousarray(out[:, :at])), s.sample_rate
 
 
 def write_flac(
-    path: str, data: np.ndarray, sample_rate: int, bits: int = 16
+    path: str, data: np.ndarray, sample_rate: int, bits: int = 16,
+    container: str = "flac",
 ) -> None:
-    """Write planar [n_channels, n_frames] float audio as FLAC (16/24-bit).
+    """Write planar [n_channels, n_frames] float audio as FLAC (16/24-bit),
+    in the native container or Ogg-embedded (``container="ogg"``).
 
     Round-trip/test helper; the reference writes WAV/OGG only."""
+    if container not in ("flac", "ogg"):
+        raise ValueError(f"container must be 'flac' or 'ogg', got {container!r}")
     lib = _load()
     if lib is None:
         raise RuntimeError("FLAC codec unavailable (no libFLAC found)")
@@ -221,7 +259,8 @@ def write_flac(
     if data.ndim != 2:
         raise ValueError(f"expected planar [n_channels, n_frames], got {data.shape}")
     rc = lib.fvad_flac_encode_file(
-        os.fsencode(path), data, data.shape[0], data.shape[1], sample_rate, bits
+        os.fsencode(path), data, data.shape[0], data.shape[1], sample_rate,
+        bits, 1 if container == "ogg" else 0,
     )
     if rc != 0:
         raise IOError(f"FLAC encode failed (rc={rc})")

@@ -86,6 +86,11 @@ struct Api {
   void (*decoder_delete)(FLAC_Decoder *);
   int (*decoder_init_file)(FLAC_Decoder *, const char *, flac_write_cb,
                            flac_metadata_cb, flac_error_cb, void *);
+  // Ogg-embedded FLAC (the 'OggS' + 0x7f"FLAC" mapping libsndfile also
+  // accepts). Optional: null when the loaded libFLAC was built without
+  // Ogg support.
+  int (*decoder_init_ogg_file)(FLAC_Decoder *, const char *, flac_write_cb,
+                               flac_metadata_cb, flac_error_cb, void *);
   int (*decoder_process_until_end_of_metadata)(FLAC_Decoder *);
   int (*decoder_process_single)(FLAC_Decoder *);
   int (*decoder_seek_absolute)(FLAC_Decoder *, uint64_t);
@@ -103,6 +108,7 @@ struct Api {
   int (*encoder_set_sample_rate)(FLAC_Encoder *, unsigned);
   int (*encoder_set_compression_level)(FLAC_Encoder *, unsigned);
   int (*encoder_init_file)(FLAC_Encoder *, const char *, void *, void *);
+  int (*encoder_init_ogg_file)(FLAC_Encoder *, const char *, void *, void *);
   int (*encoder_process_interleaved)(FLAC_Encoder *, const int32_t *, unsigned);
   int (*encoder_finish)(FLAC_Encoder *);
 };
@@ -164,6 +170,9 @@ bool ensure_loaded() {
     dlclose(lib);
     return false;
   }
+  // Optional (Ogg-FLAC): absence just disables that container.
+  sym(lib, "FLAC__stream_decoder_init_ogg_file", &g_api.decoder_init_ogg_file);
+  sym(lib, "FLAC__stream_encoder_init_ogg_file", &g_api.encoder_init_ogg_file);
   g_loaded = true;
   return true;
 }
@@ -230,21 +239,27 @@ void error_cb(const FLAC_Decoder *, int, void *client) {
 
 extern "C" {
 
-int fvad_flac_abi_version() { return 1; }
+int fvad_flac_abi_version() { return 2; }
 
 int fvad_flac_available() { return ensure_loaded() ? 1 : 0; }
 
-void *fvad_flac_open(const char *path) {
+// use_ogg != 0 decodes the Ogg-FLAC container mapping (caller sniffs).
+void *fvad_flac_open(const char *path, int use_ogg) {
   const bool dbg = getenv("FVAD_FLAC_DEBUG") != nullptr;
   if (!ensure_loaded()) return nullptr;
+  if (use_ogg && !g_api.decoder_init_ogg_file) {
+    if (dbg) fprintf(stderr, "fvadflac: libFLAC lacks Ogg support\n");
+    return nullptr;
+  }
   Decoder *d = new Decoder();
   d->dec = g_api.decoder_new();
   if (!d->dec) {
     delete d;
     return nullptr;
   }
-  int init_rc = g_api.decoder_init_file(d->dec, path, write_cb, nullptr,
-                                        error_cb, d);
+  int init_rc = (use_ogg ? g_api.decoder_init_ogg_file
+                         : g_api.decoder_init_file)(
+      d->dec, path, write_cb, nullptr, error_cb, d);
   if (init_rc != kInitOk) {
     if (dbg) fprintf(stderr, "fvadflac: init_file rc=%d\n", init_rc);
     g_api.decoder_delete(d->dec);
@@ -356,11 +371,13 @@ void fvad_flac_close(void *h) {
 
 // Encode float planar PCM -> FLAC (16- or 24-bit). Mainly for tests and
 // round-trips; the reference never writes FLAC. Returns 0 on success.
+// use_ogg != 0 writes the Ogg-FLAC container (round-trip tests).
 int fvad_flac_encode_file(const char *path, const float *planar,
                           int n_channels, long long n_frames, long rate,
-                          int bits) {
+                          int bits, int use_ogg) {
   if (!ensure_loaded()) return -1;
   if (bits != 16 && bits != 24) return -2;
+  if (use_ogg && !g_api.encoder_init_ogg_file) return -8;
   FLAC_Encoder *enc = g_api.encoder_new();
   if (!enc) return -3;
   int rc = 0;
@@ -370,7 +387,9 @@ int fvad_flac_encode_file(const char *path, const float *planar,
       !g_api.encoder_set_compression_level(enc, 5))
     rc = -4;
   if (rc == 0 &&
-      g_api.encoder_init_file(enc, path, nullptr, nullptr) != kInitOk)
+      (use_ogg ? g_api.encoder_init_ogg_file
+               : g_api.encoder_init_file)(enc, path, nullptr, nullptr) !=
+          kInitOk)
     rc = -5;
   if (rc == 0) {
     const double scale = static_cast<double>(1u << (bits - 1));

@@ -30,9 +30,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TIER_KEYS = ("highest", "high", "bf16", "bf16_io")
-# Claims: integers with comma/space thousands separators, optionally ~ or
-# ranges; we take each number directly suffixed (possibly via space) by x.
-NUM_X = re.compile(r"([0-9][0-9,   ]*[0-9]|[0-9])\s*(?:x\b|×)")
+TIER_KEYS = ("highest", "high", "bf16", "bf16_io")
+# Claims: a number directly suffixed (possibly via a space) by x/×, in any
+# of the forms used for real-time factors — grouped thousands ("13,725" /
+# "13 725", strict 3-digit groups so unrelated digit runs never join),
+# plain/decimal ("44246", "2.75"), or k-suffixed ("44.3k", "50k").
+NUM_X = re.compile(
+    r"(\d{1,3}(?:[,\s  ]\d{3})+"  # grouped thousands (comma/space/nbsp)
+    r"|\d+(?:\.\d+)?)"             # or plain / decimal
+    r"\s*(k?)\s*(?:x\b|×)",       # optional k multiplier, then x/×
+    re.IGNORECASE,
+)
 TAG = re.compile(r"\[(driver BENCH_r\d+|local[^\]]*)\]")
 
 
@@ -60,8 +68,10 @@ def load_driver_records() -> dict[str, dict[str, float]]:
     return out
 
 
-def parse_num(s: str) -> float:
-    return float(re.sub(r"[,   ]", "", s))
+def parse_num(m) -> float:
+    """(number, k-flag) match tuple -> value (k multiplies by 1000)."""
+    num, k = m
+    return float(re.sub(r"[,   ]", "", num)) * (1000.0 if k else 1.0)
 
 
 def check(readme_path: str) -> list[str]:
@@ -128,7 +138,7 @@ def check(readme_path: str) -> list[str]:
             n = parse_num(s)
             if n > ceiling:
                 errors.append(
-                    f"README:{i + 1}: untagged claim {s.strip()}x exceeds the best "
+                    f"README:{i + 1}: untagged claim {s[0].strip()}{s[1]}x exceeds the best "
                     f"driver-captured value ({best_driver:.0f}x) by >15% — tag it "
                     f"[driver BENCH_rNN] or [local YYYY-MM-DD]: {line.strip()[:90]}"
                 )

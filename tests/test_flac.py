@@ -134,6 +134,69 @@ def test_truncated_flac_fails_cleanly(tmp_path):
         flac.read_flac(q)
 
 
+def test_ogg_flac_container(tmp_path):
+    """Ogg-embedded FLAC (the 'OggS' + 0x7f'FLAC' mapping libsndfile also
+    accepts): sniffed as FLAC and either decoded (libFLAC built with Ogg
+    support) or rejected with an actionable error naming the cause (the
+    vendored libFLAC in this image lacks Ogg support — both paths are the
+    contract)."""
+    sig = _sig()
+    p = str(tmp_path / "a.oga")
+    try:
+        flac.write_flac(p, sig, 48000, bits=16, container="ogg")
+    except IOError:
+        # Encoder lacks Ogg support => decoder does too. Handcraft the
+        # container head to pin the sniff + rejection posture.
+        with open(p, "wb") as f:
+            f.write(b"OggS" + bytes(22) + b"\x01\x2f" + b"\x7fFLAC" + bytes(64))
+        assert flac.is_ogg_flac_file(p)
+        assert sniff_container(p) == "flac"
+        with pytest.raises(ValueError, match="Ogg-FLAC.*lack Ogg support"):
+            flac.FlacStream(p)
+        return
+    assert flac.is_ogg_flac_file(p)
+    assert sniff_container(p) == "flac"
+    data, rate = flac.read_flac(p)
+    assert rate == 48000
+    np.testing.assert_array_equal(data, _quant16(sig))
+
+
+def test_plain_ogg_vorbis_still_sniffs_ogg(tmp_path):
+    """A normal Ogg Vorbis file must keep routing to the Vorbis codec."""
+    from formula_vad_tpu.io_ import ogg
+
+    if not ogg.available():
+        pytest.skip("Vorbis codec unavailable")
+    p = str(tmp_path / "v.ogg")
+    ogg.write_ogg(p, _sig(0.5), 48000, quality=0.5)
+    assert sniff_container(p) == "ogg"
+    assert not flac.is_ogg_flac_file(p)
+
+
+def test_whole_file_read_is_chunked(tmp_path, monkeypatch):
+    """read_flac fills a preallocated buffer in BOUNDED native reads (peak
+    memory = one decoded copy, not file-sized FIFO + file-sized output —
+    review finding on the 1-hour-preload path). A >4M-frame file must
+    arrive in multiple reads, each <= the 4M-frame chunk, bit-exactly."""
+    seconds = (1 << 22) / 48000 + 2.0  # just past one chunk
+    sig = _sig(seconds)
+    p = str(tmp_path / "c.flac")
+    flac.write_flac(p, sig, 48000, bits=16)
+
+    calls = []
+    orig = flac.FlacStream.read
+
+    def spy(self, n):
+        calls.append(n)
+        return orig(self, n)
+
+    monkeypatch.setattr(flac.FlacStream, "read", spy)
+    data, rate = flac.read_flac(p)
+    assert rate == 48000
+    np.testing.assert_array_equal(data, _quant16(sig))
+    assert len(calls) >= 2 and max(calls) <= 1 << 22
+
+
 def test_simulator_runs_flac_corpus(tmp_path):
     """End-to-end: a plan whose audio is FLAC decodes through the
     streaming path (AudioSource.open_stream -> FlacStream) and scores —

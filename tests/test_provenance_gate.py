@@ -76,6 +76,18 @@ def test_untagged_inflated_claim_outside_table_fails(tmp_path):
         extra="\nwe now reach ~50,000× real-time [local 2026-08-20]\n")) == []
 
 
+def test_k_suffixed_and_spaced_claims_are_caught(tmp_path):
+    """The round-3 failure written as '~44.3k×' or '50 000×' must not
+    evade the gate (review finding: the first regex only matched plain
+    digit runs)."""
+    for claim in ("~44.3k× real-time", "50k× faster", "50 000× real-time"):
+        errs = pg.check(_readme(tmp_path, GOOD_ROWS, extra=f"\nnow {claim}!\n"))
+        assert any("exceeds the best driver-captured" in e for e in errs), claim
+    # ...and unrelated digit runs never join into a phantom claim.
+    assert pg.check(_readme(
+        tmp_path, GOOD_ROWS, extra="\nin 2026 8x mode shipped\n")) == []
+
+
 def test_missing_markers_fail(tmp_path):
     p = tmp_path / "README.md"
     p.write_text("# x\nno table here\n")
