@@ -135,9 +135,10 @@ def test_measure_default_extras_gating(bench, monkeypatch, capsys):
         "BENCH_WIDE_STREAMS": "4",
         "BENCH_SERVE_STREAMS": "8",
         # Ladder exercise: the first rung (9 streams, microbatch 2) is
-        # invalid (9 % 2 != 0) and must fall back gracefully to the 8:1
-        # rung, recording the failed rung in the row.
-        "BENCH_SERVE_DENSE_LADDER": "9:2,8:1",
+        # invalid (9 % 2 != 0) and must fall back gracefully to the 8:2
+        # rung — which also exercises the microbatched (m>1) tick
+        # measurement path on CPU — recording the failed rung in the row.
+        "BENCH_SERVE_DENSE_LADDER": "9:2,8:2",
         "BENCH_SENTINEL_DIM": "64",
         "BENCH_SENTINEL_DEPTH": "2",
         "FVAD_BENCH_CPU": "1",
@@ -161,9 +162,10 @@ def test_measure_default_extras_gating(bench, monkeypatch, capsys):
         assert name in modes, f"missing live mode row {name}"
     for name in ("bf16_flat", "bf16_io_flat", "bf16_deep", "highest_deep"):
         assert name not in modes, f"dead-end row {name} ran without opt-in"
-    # Ladder fallback landed on the valid rung and recorded the failed one.
+    # Ladder fallback landed on the valid rung and recorded the failed one;
+    # the published rung ran the m=2 microbatched tick.
     sd = modes["serve_dense"]
-    assert sd["streams"] == 8 and sd["microbatch"] == 1
+    assert sd["streams"] == 8 and sd["microbatch"] == 2
     assert sd["fallback_from"][0]["streams"] == 9
     assert "error" in sd["fallback_from"][0]
 
