@@ -836,9 +836,18 @@ def measure() -> None:
 
     def emit() -> None:
         head = modes.get("highest") or next(iter(modes.values()))
+        try:  # artifact self-identification (BENCH_rNN -> commit)
+            rev = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=5,
+            ).stdout.strip() or None
+        except (subprocess.SubprocessError, OSError):
+            rev = None
         out = {
             "metric": "realtime_factor",
             "value": head["realtime_factor"],
+            "rev": rev,
             "unit": "audio_sec/sec/chip",
             "vs_baseline": round(head["realtime_factor"] / 5000.0, 3),
             "tflops_achieved": head["tflops_achieved"],
