@@ -12,17 +12,17 @@ from typing import Optional, Union
 
 import numpy as np
 
-from . import flac, ogg, wav
+from . import aiff, flac, ogg, wav
 
 
 def sniff_container(path: str) -> str:
     """Container kind by file magic — the libsndfile-style format sniff the
     reference relies on (AudioFileStream.zig:22-83 via sf_open).
 
-    Returns "wav" | "ogg" | "flac", or raises ValueError naming the magic
-    and the supported set for anything else (the reference would accept
-    whatever libsndfile decodes — e.g. AIFF; here unsupported containers
-    fail loudly and actionably instead of with a WAV-parser error)."""
+    Returns "wav" | "ogg" | "flac" | "aiff", or raises ValueError naming
+    the magic and the supported set for anything else (the reference would
+    accept whatever libsndfile decodes; here unsupported containers fail
+    loudly and actionably instead of with a WAV-parser error)."""
     try:
         with open(path, "rb") as f:
             head = f.read(128)
@@ -37,9 +37,11 @@ def sniff_container(path: str) -> str:
         return "flac" if b"\x7fFLAC" in head else "ogg"
     if magic == b"fLaC":
         return "flac"
+    if magic == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
+        return "aiff"
     raise ValueError(
         f"unsupported audio container (magic {magic!r}) in {path}: "
-        "supported containers are WAV (RIFF), Ogg Vorbis, and FLAC"
+        "supported containers are WAV (RIFF), Ogg Vorbis, FLAC, and AIFF"
     )
 
 
@@ -63,13 +65,16 @@ class AudioBuffer:
 
     @classmethod
     def load_from_file(cls, path: str) -> "AudioBuffer":
-        """Load WAV, Ogg Vorbis or FLAC (sniffed by container magic, like
-        libsndfile's format detection in the reference's loadFromFile)."""
+        """Load WAV, Ogg Vorbis, FLAC or AIFF (sniffed by container magic,
+        like libsndfile's format detection in the reference's
+        loadFromFile)."""
         kind = sniff_container(path)
         if kind == "ogg":
             data, rate = ogg.read_ogg(path)
         elif kind == "flac":
             data, rate = flac.read_flac(path)
+        elif kind == "aiff":
+            data, rate = aiff.read_aiff(path)
         else:
             data, rate = wav.read_wav(path)
         return cls(channel_pcm=data, sample_rate=rate)
@@ -96,6 +101,8 @@ class AudioSource:
             return cls(ogg.OggStream(path))
         if kind == "flac":
             return cls(flac.FlacStream(path))
+        if kind == "aiff":
+            return cls(aiff.AiffStream(path))
         return cls(wav.WavStream(path))
 
     @classmethod

@@ -111,10 +111,10 @@ def test_unsupported_container_actionable_error(tmp_path):
     """An AIFF-style (or any unknown-magic) input fails with an error that
     names the magic and the supported container set — the documented
     posture where the reference would have accepted it via libsndfile."""
-    p = str(tmp_path / "weird.aiff")
+    p = str(tmp_path / "weird.mid")
     with open(p, "wb") as f:
-        f.write(b"FORM\x00\x00\x00\x2eAIFF" + b"\x00" * 64)
-    with pytest.raises(ValueError, match="unsupported audio container.*FORM.*WAV.*FLAC"):
+        f.write(b"MThd\x00\x00\x00\x06" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="unsupported audio container.*MThd.*WAV.*FLAC"):
         sniff_container(p)
     with pytest.raises(ValueError, match="unsupported audio container"):
         AudioBuffer.load_from_file(p)
