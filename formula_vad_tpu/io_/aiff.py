@@ -100,7 +100,7 @@ class AiffStream:
                     raise ValueError(f"truncated SSND chunk in {path}")
                 offset, _block = struct.unpack(">II", hdr)
                 self._data_at = at + 8 + offset
-                self._data_bytes = size - 8 - offset
+                self._data_bytes = max(size - 8 - offset, 0)  # corrupt offset
             f.seek(at + size + (size & 1))
         if comm is None or self._data_at is None:
             raise ValueError(f"AIFF missing COMM or SSND chunk: {path}")
