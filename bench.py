@@ -504,7 +504,14 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
         _sync(outs[-1])
         return time.perf_counter() - t0
 
-    tick = _slope(run, n_short, n_long)
+    # Same rep/median discipline as the precision tiers (the serve claims
+    # were the other round-3 single-shot casualty: driver 18.88 ms vs
+    # local 13.4-14.6 ms with nothing to arbitrate).
+    run(1)  # compile + warm-up
+    n_reps = max(1, int(os.environ.get("BENCH_SERVE_REPS", "3")))
+    ticks = [_slope_sample(run, n_short, n_long) for _ in range(n_reps)]
+    tick = _median(ticks)
+    tick_min, tick_max = min(ticks), max(ticks)
 
     decode_ms = 0.0
     if host_fsm:
@@ -526,6 +533,9 @@ def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
     return {
         "streams": b,
         "tick_ms": round(tick * 1e3, 2),
+        "tick_ms_min": round(tick_min * 1e3 + decode_ms, 2),
+        "tick_ms_max": round(tick_max * 1e3 + decode_ms, 2),
+        "reps": n_reps,
         "decode_ms": round(decode_ms, 2),
         "fsm": "host" if host_fsm else "pallas",
         "events_only": not collect_denoised,

@@ -166,13 +166,13 @@ def main(argv=None) -> int:
     ap.add_argument("--streams", type=int, default=3)
     ap.add_argument("--minutes", type=float, default=2.0)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--format", choices=("wav", "pcm16", "ogg", "flac"),
+    ap.add_argument("--format", choices=("wav", "pcm16", "ogg", "flac", "aiff"),
                     default="wav",
                     help="Audio container: 'wav' = float32 WAV, 'pcm16' = 16-bit "
                          "WAV (half the disk; enables the raw-int16 H2D fast "
                          "path in slab scoring), 'ogg' requires the system "
                          "Vorbis codec, 'flac' a loadable libFLAC "
-                         "(io_/flac.py)")
+                         "(io_/flac.py), 'aiff' big-endian PCM (io_/aiff.py)")
     ap.add_argument("--denoiser", default="spectral_gate",
                     help="Denoiser spec written into the plan (default: the "
                          "weights-free spectral gate)")
@@ -185,7 +185,7 @@ def main(argv=None) -> int:
                          "constructs so scores are meaningfully below 100%%")
     args = ap.parse_args(argv)
 
-    from formula_vad_tpu.io_ import flac, ogg
+    from formula_vad_tpu.io_ import aiff, flac, ogg
     from formula_vad_tpu.io_.wav import write_wav
 
     os.makedirs(args.out, exist_ok=True)
@@ -198,13 +198,15 @@ def main(argv=None) -> int:
             audio, labels = synth_hard_stream(rng, HARD_SCRIPTS[i])
         else:
             audio, labels = synth_stream(rng, args.minutes * 60.0)
-        ext = args.format if args.format in ("ogg", "flac") else "wav"
+        ext = args.format if args.format in ("ogg", "flac", "aiff") else "wav"
         audio_file = f"{name}.{ext}"
         path = os.path.join(args.out, audio_file)
         if args.format == "ogg":
             ogg.write_ogg(path, audio, SR, quality=0.8)
         elif args.format == "flac":
             flac.write_flac(path, audio, SR, bits=16)
+        elif args.format == "aiff":
+            aiff.write_aiff(path, audio, SR, bits=16)
         else:
             write_wav(path, audio, SR,
                       fmt="pcm16" if args.format == "pcm16" else "float32")

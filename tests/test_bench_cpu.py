@@ -107,9 +107,13 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
     assert isinstance(modes["bf16_deep"]["gate_bitwise"], bool)
     assert isinstance(modes["highest_deep"]["gate_bitwise"], bool)
     assert modes["highest_wide"]["streams"] == 4
-    # Serving tick row (the driver-visible serving-scale record).
+    # Serving tick row (the driver-visible serving-scale record) — since
+    # round 4 with the same rep/median+spread discipline as the tiers.
     assert modes["serve"]["streams"] == 8
     assert modes["serve"]["tick_ms"] > 0
+    assert (0 < modes["serve"]["tick_ms_min"]
+            <= modes["serve"]["tick_ms_max"])
+    assert modes["serve"]["reps"] >= 1
     assert modes["serve"]["events_only"] is False
     assert isinstance(modes["serve"]["fits_500ms_budget"], bool)
     assert modes["serve"]["streams_per_chip_est"] > 0

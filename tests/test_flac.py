@@ -197,11 +197,12 @@ def test_whole_file_read_is_chunked(tmp_path, monkeypatch):
     assert len(calls) >= 2 and max(calls) <= 1 << 22
 
 
-def test_simulator_runs_flac_corpus(tmp_path):
-    """End-to-end: a plan whose audio is FLAC decodes through the
-    streaming path (AudioSource.open_stream -> FlacStream) and scores —
-    the exact scenario VERDICT r3 missing-#4 called out ('a plan pointing
-    at FLAC would work there and fail here')."""
+@pytest.mark.parametrize("fmt", ["flac", "aiff"])
+def test_simulator_runs_container_corpus(tmp_path, fmt):
+    """End-to-end: a plan whose audio is FLAC/AIFF decodes through the
+    streaming path (AudioSource.open_stream -> Flac/AiffStream) and scores
+    — the exact scenario VERDICT r3 missing-#4 called out ('a plan
+    pointing at FLAC would work there and fail here')."""
     import os
     import sys
 
@@ -213,8 +214,8 @@ def test_simulator_runs_flac_corpus(tmp_path):
 
     out = str(tmp_path / "corpus")
     assert mc.main(["--out", out, "--streams", "1", "--minutes", "0.25",
-                    "--format", "flac", "--denoiser", "spectral_gate"]) == 0
-    assert any(f.endswith(".flac") for f in os.listdir(out))
+                    "--format", fmt, "--denoiser", "spectral_gate"]) == 0
+    assert any(f.endswith("." + fmt) for f in os.listdir(out))
     rc = simulator.main(["-i", os.path.join(out, "plan.json")])
     assert rc == 0
     run_dirs = [d for d in os.listdir(os.path.join(out, "out"))]
