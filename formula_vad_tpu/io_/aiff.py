@@ -116,7 +116,9 @@ class AiffStream:
             )
         if bits not in (8, 16, 24, 32):
             raise ValueError(f"unsupported AIFF sample size {bits} in {path}")
-        if n_ch < 1 or rate <= 0:
+        if n_ch < 1 or rate < 1.0:
+            # rate < 1 would round to a 0 sample_rate and surface later as
+            # a ZeroDivisionError instead of a parse error.
             raise ValueError(f"bad AIFF COMM (channels={n_ch}, rate={rate})")
         self._channels = n_ch
         self._bits = bits
@@ -125,8 +127,10 @@ class AiffStream:
         self._rate = int(round(rate))
         frame_bytes = self._bps * n_ch
         in_data = self._data_bytes // frame_bytes if frame_bytes else 0
-        # Trust the smaller of COMM's count and what SSND actually holds.
-        self._total = min(int(n_frames), in_data) if n_frames else in_data
+        # Trust the smaller of COMM's count and what SSND actually holds —
+        # including numSampleFrames == 0 (an aborted writer's unpatched
+        # placeholder decodes as an empty stream, not as garbage frames).
+        self._total = min(int(n_frames), in_data)
 
     @property
     def sample_rate(self) -> int:

@@ -139,6 +139,38 @@ def test_dispatch_through_audiosource(tmp_path):
     np.testing.assert_array_equal(src.read(256), _quant(sig, 16)[:, :256])
 
 
+def _hand_file(tmp_path, name, comm, payload):
+    ssnd = struct.pack(">II", 0, 0) + payload
+    chunks = b"COMM" + struct.pack(">I", len(comm)) + comm
+    chunks += b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    if len(ssnd) & 1:
+        chunks += b"\x00"
+    p = str(tmp_path / name)
+    with open(p, "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", 4 + len(chunks)) + b"AIFF" + chunks)
+    return p
+
+
+def test_sub_1hz_rate_is_a_parse_error(tmp_path):
+    """A COMM rate in (0, 1) must fail at parse time, not round to a zero
+    sample_rate that divides-by-zero later (review finding)."""
+    # 0.3 Hz ~= 0x3FFD 999999999999999A
+    comm = struct.pack(">HIH", 1, 10, 16) + bytes.fromhex("3ffd999999999999999a")
+    p = _hand_file(tmp_path, "slow.aiff", comm, bytes(20))
+    with pytest.raises(ValueError, match="bad AIFF COMM"):
+        aiff.AiffStream(p)
+
+
+def test_zero_framecount_placeholder_is_empty(tmp_path):
+    """COMM numSampleFrames=0 (an aborted writer's unpatched placeholder)
+    decodes as an EMPTY stream, never as whatever bytes SSND declares."""
+    comm = struct.pack(">HIH", 1, 0, 16) + bytes.fromhex("400ebb800000000000000000")[:10]
+    p = _hand_file(tmp_path, "ph.aiff", comm, bytes(200))
+    with aiff.AiffStream(p) as s:
+        assert s.n_frames == 0
+        assert s.read(100).shape == (1, 0)
+
+
 def test_truncated_aiff_fails_cleanly(tmp_path):
     sig = _sig(0.1)
     p = str(tmp_path / "t.aiff")
