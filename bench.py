@@ -407,6 +407,21 @@ def _sentinel_ms(run) -> float:
     return _slope_sample(run, 2, 8) * 1e3
 
 
+def _throttle_kept_rounds(sent_series, n_rounds: int, tol: float) -> list:
+    """Indices of rep rounds whose BOTH bracketing sentinel samples are
+    within `tol` of the capture's best sample. A round adjacent to an
+    inflated sample ran (at least partly) in a throttled window and is
+    excluded from the published median; with a missing/misaligned series
+    every round is kept (filtering disabled, raw stats only)."""
+    if len(sent_series) != n_rounds + 1:
+        return list(range(n_rounds))
+    best = min(sent_series)
+    return [
+        r for r in range(n_rounds)
+        if max(sent_series[r], sent_series[r + 1]) <= tol * best
+    ]
+
+
 def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
                           collect_denoised: bool = True, microbatch: int = 1,
                           pcm16: bool = False, input_sets: int = 2) -> dict:
@@ -823,29 +838,116 @@ def measure() -> None:
         if os.environ.get("BENCH_SENTINEL", "0" if wanted else "1") != "0":
             try:
                 sent_run = _make_sentinel_run()
-                sentinel = {"start_ms": round(_sentinel_ms(sent_run), 3)}
             except Exception as e:
                 print(f"sentinel probe failed: {e!r}", file=sys.stderr, flush=True)
 
-        # Phase 2 — k interleaved reps, round-robin over tiers (NOT blocked
-        # per tier): a throttled window or drift hits every tier's rep r
-        # alike instead of silently halving whichever tier ran last.
-        samples = {name: [] for name, _ in runs}
-        for _rep in range(n_reps):
+        # Phase 2 — k interleaved rep ROUNDS, round-robin over tiers (NOT
+        # blocked per tier): a throttled window or drift hits every tier's
+        # rep r alike instead of silently halving whichever tier ran last.
+        # Each round is BRACKETED by a fixed-work sentinel sample (one
+        # before round 0, one after every round): BENCH_r04's block-level
+        # bracket (ratio 1.066) co-existed with 2.2x per-rep tier spreads
+        # because the throttle hit *between* the brackets — per-round
+        # samples label exactly which rounds ran throttled (VERDICT r4
+        # next-#1a).
+        samples: dict = {name: [] for name, _ in runs}
+        sent_series: list = []
+
+        def _sent_sample() -> None:
+            nonlocal sent_run
+            if sent_run is None:
+                return
+            try:
+                sent_series.append(round(_sentinel_ms(sent_run), 3))
+            except Exception as e:
+                # A failed sample would misalign the round<->bracket
+                # mapping; disable filtering, publish raw stats only.
+                print(f"sentinel sample failed: {e!r}", file=sys.stderr, flush=True)
+                sent_run = None
+                sent_series.clear()
+
+        def _do_round() -> None:
             for name, run in runs:
                 samples[name].append(_slope_sample(run, n_short, n_long))
+            _sent_sample()
 
-        if sent_run is not None:
-            sentinel["end_ms"] = round(_sentinel_ms(sent_run), 3)
-            sentinel["ratio"] = round(
-                sentinel["end_ms"] / max(sentinel["start_ms"], 1e-9), 3
-            )
+        def _n_rounds() -> int:
+            return len(next(iter(samples.values())))
 
+        _sent_sample()
+        for _rep in range(n_reps):
+            _do_round()
+
+        # Throttle-aware statistic (VERDICT r4 next-#1b): a rep round is
+        # KEPT iff both adjacent sentinel samples are within
+        # BENCH_SENTINEL_TOL of the capture's best sample; the published
+        # realtime_factor is the median over kept rounds, with the raw
+        # (all-round) median alongside so nothing is hidden.
+        sent_tol = float(os.environ.get("BENCH_SENTINEL_TOL", "1.10"))
+
+        def _kept_rounds() -> list:
+            return _throttle_kept_rounds(sent_series, _n_rounds(), sent_tol)
+
+        # Adaptive escalation (VERDICT r4 next-#1c): add rounds (up to
+        # BENCH_REPS_MAX) while any tier's kept-round spread exceeds
+        # BENCH_SPREAD_TOL or filtering leaves <2 usable rounds — a
+        # median of 3 under a 2x spread cannot rank tiers ~10% apart.
+        reps_max = max(n_reps, int(os.environ.get("BENCH_REPS_MAX", "7")))
+        spread_tol = float(os.environ.get("BENCH_SPREAD_TOL", "1.15"))
+
+        def _needs_more() -> bool:
+            kept = _kept_rounds()
+            if len(kept) < 2:
+                return True
+            for vals in samples.values():
+                kv = [vals[r] for r in kept]
+                if max(kv) / max(min(kv), 1e-12) > spread_tol:
+                    return True
+            return False
+
+        while _n_rounds() < reps_max and _needs_more():
+            _do_round()
+
+        kept = _kept_rounds()
+        total = _n_rounds()
         for name, _run in runs:
-            modes[name] = _mode_row([audio_sec / pc for pc in samples[name]])
+            rtf_all = [audio_sec / pc for pc in samples[name]]
+            row = _mode_row(rtf_all)  # raw stats over every round
+            if kept and len(kept) < total:
+                # Filtered headline + raw median side by side; rtf_min/max
+                # stay raw so the full spread is always visible.
+                row["rtf_median_raw"] = row["realtime_factor"]
+                filt = _mode_row([rtf_all[r] for r in kept])
+                row["realtime_factor"] = filt["realtime_factor"]
+                row["tflops_achieved"] = filt["tflops_achieved"]
+                row["mfu"] = filt["mfu"]
+            row["reps_kept"] = len(kept)
+            modes[name] = row
+
+        if sent_series:
+            sentinel = {
+                # start/end/ratio kept for artifact-shape continuity with
+                # BENCH_r03/r04; samples_ms is the per-round series.
+                "start_ms": sent_series[0],
+                "end_ms": sent_series[-1],
+                "ratio": round(sent_series[-1] / max(sent_series[0], 1e-9), 3),
+                "samples_ms": sent_series,
+                "best_ms": min(sent_series),
+                "spread": round(
+                    max(sent_series) / max(min(sent_series), 1e-9), 3
+                ),
+                "tol": sent_tol,
+                "rounds_kept": len(kept),
+                "rounds_total": total,
+            }
 
     def emit() -> None:
-        head = modes.get("highest") or next(iter(modes.values()))
+        # Headline comes from the 'highest' tier; under a BENCH_MODES
+        # subset the fallback row's tier is recorded as value_tier so the
+        # artifact can never silently carry an unnamed tier's number
+        # (ADVICE r4).
+        head_tier = "highest" if "highest" in modes else next(iter(modes))
+        head = modes[head_tier]
         try:  # artifact self-identification (BENCH_rNN -> commit)
             rev = subprocess.run(
                 ["git", "rev-parse", "--short", "HEAD"],
@@ -866,6 +968,8 @@ def measure() -> None:
             "pipelined": pipe_mode if use_pipeline else False,
             "modes": modes,
         }
+        if head_tier != "highest":
+            out["value_tier"] = head_tier
         if sentinel is not None:
             out["sentinel"] = sentinel
         print(json.dumps(out), flush=True)

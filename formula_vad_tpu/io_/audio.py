@@ -25,16 +25,17 @@ def sniff_container(path: str) -> str:
     loudly and actionably instead of with a WAV-parser error)."""
     try:
         with open(path, "rb") as f:
-            head = f.read(128)
+            head = f.read(512)
     except OSError as e:
         raise ValueError(f"cannot read {path}: {e}") from e
     magic = head[:4]
     if magic == b"RIFF":
         return "wav"
     if magic == b"OggS":
-        # Ogg is a container: FLAC-mapped streams (0x7f"FLAC" in the first
-        # page) go to the FLAC codec, everything else to Vorbis.
-        return "flac" if b"\x7fFLAC" in head else "ogg"
+        # Ogg is a container: streams whose first packet carries the
+        # 0x7f"FLAC" mapping signature (at its exact RFC 3533 offset) go
+        # to the FLAC codec, everything else to Vorbis.
+        return "flac" if flac.ogg_first_packet_is_flac(head) else "ogg"
     if magic == b"fLaC":
         return "flac"
     if magic == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):

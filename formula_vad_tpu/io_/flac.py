@@ -10,10 +10,11 @@ libFLAC, bound here via ctypes. ``available()`` is False when no libFLAC
 can be found, in which case readers raise an actionable RuntimeError (the
 daemon reports it as a non-fatal decode error, like any unreadable input).
 
-Library discovery: the loader exports ``FVAD_LIBFLAC`` pointing at a
-vendored copy when no system soname resolves — this image ships one inside
-``pygame.libs`` (``libFLAC-*.so.8``); a real deployment has the system
-library. Decode handles 16/24-bit (any bits-per-sample 4..32), mono+
+Library discovery: the loader hands the driver the path of a vendored copy
+from the interpreter's site-packages (this image ships one inside
+``pygame.libs``, ``libFLAC-*.so.8``) via ``fvad_flac_set_libpath``; a real
+deployment has the system library, and an explicit ``FVAD_LIBFLAC`` env
+override is honoured by the driver itself. Decode handles 16/24-bit (any bits-per-sample 4..32), mono+
 multichannel, streaming read, sample-exact seek, and BOTH containers —
 native FLAC ('fLaC') and Ogg-embedded FLAC ('OggS' + 0x7f"FLAC" mapping,
 when the loaded libFLAC was built with Ogg support). The writer exists
@@ -26,7 +27,6 @@ import ctypes
 import glob
 import os
 import subprocess
-import sys
 import threading
 
 import numpy as np
@@ -42,19 +42,35 @@ _lib = None
 _tried = False
 
 
-def _export_vendored_libflac() -> None:
-    """If no FVAD_LIBFLAC is set, point the native driver at a vendored
-    libFLAC when one is discoverable (dlopen of the plain sonames is still
-    tried first inside the driver)."""
-    if os.environ.get("FVAD_LIBFLAC"):
-        return
-    for sp in sys.path:
-        if not sp or not os.path.isdir(sp):
+def _vendored_libflac_path():
+    """Path of a vendored libFLAC from the interpreter's site-packages dirs
+    ONLY — scanning every sys.path entry let any writable path directory
+    supply the .so that gets dlopen'd (ADVICE r4). The hit is handed to
+    the native driver via fvad_flac_set_libpath instead of mutating
+    os.environ (which leaked into all child processes). An explicit
+    $FVAD_LIBFLAC remains honoured by the driver itself."""
+    dirs = []
+    try:
+        import site
+
+        dirs += site.getsitepackages()
+    except Exception:
+        pass
+    try:
+        import sysconfig
+
+        p = sysconfig.get_paths().get("purelib")
+        if p:
+            dirs.append(p)
+    except Exception:
+        pass
+    for d in dict.fromkeys(dirs):
+        if not os.path.isdir(d):
             continue
-        hits = glob.glob(os.path.join(sp, "pygame.libs", "libFLAC*.so*"))
+        hits = glob.glob(os.path.join(d, "pygame.libs", "libFLAC*.so*"))
         if hits:
-            os.environ["FVAD_LIBFLAC"] = sorted(hits)[0]
-            return
+            return sorted(hits)[0]
+    return None
 
 
 def _build(force: bool = False) -> bool:
@@ -79,7 +95,6 @@ def _load():
         _tried = True
         if not os.path.isdir(_NATIVE_DIR):
             return None
-        _export_vendored_libflac()
         _build()
         try:
             lib = ctypes.CDLL(_LIB_PATH)
@@ -90,7 +105,15 @@ def _load():
                 lib = ctypes.CDLL(_LIB_PATH)
             except OSError:
                 return None
-        if lib.fvad_flac_abi_version() != 2 or lib.fvad_flac_available() != 1:
+        if lib.fvad_flac_abi_version() != 3:
+            return None
+        lib.fvad_flac_set_libpath.argtypes = [ctypes.c_char_p]
+        lib.fvad_flac_set_libpath.restype = None
+        if not os.environ.get("FVAD_LIBFLAC"):
+            vendored = _vendored_libflac_path()
+            if vendored:
+                lib.fvad_flac_set_libpath(vendored.encode())
+        if lib.fvad_flac_available() != 1:
             return None
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         lib.fvad_flac_open.argtypes = [ctypes.c_char_p, ctypes.c_int]
@@ -133,15 +156,27 @@ def is_flac_file(path: str) -> bool:
         return False
 
 
+def ogg_first_packet_is_flac(head: bytes) -> bool:
+    """True iff an Ogg capture page's FIRST PACKET starts with the
+    0x7f"FLAC" mapping signature, located at its exact RFC 3533 offset
+    (27 + page_segments). A substring scan was wrong (ADVICE r4): a
+    Vorbis page's random serial/CRC/segment-table bytes could contain
+    the sequence and misroute the file to the FLAC decoder."""
+    if len(head) < 28 or head[:4] != b"OggS":
+        return False
+    off = 27 + head[26]
+    return head[off:off + 5] == b"\x7fFLAC"
+
+
 def is_ogg_flac_file(path: str) -> bool:
-    """Ogg-embedded FLAC: an Ogg page whose first packet starts with the
-    0x7f"FLAC" mapping signature (within the first page's ~80 bytes)."""
+    """Ogg-embedded FLAC: the first page's first packet carries the
+    0x7f"FLAC" mapping signature (see ogg_first_packet_is_flac)."""
     try:
         with open(path, "rb") as f:
-            head = f.read(128)
+            head = f.read(512)
     except OSError:
         return False
-    return head[:4] == b"OggS" and b"\x7fFLAC" in head
+    return ogg_first_packet_is_flac(head)
 
 
 class FlacStream:

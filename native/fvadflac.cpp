@@ -116,6 +116,10 @@ struct Api {
 Api g_api;
 bool g_loaded = false;
 bool g_tried = false;
+// Explicit library path supplied by the host (fvad_flac_set_libpath) —
+// preferred over $FVAD_LIBFLAC so discovery does not have to mutate the
+// process environment (which leaks into children; ADVICE r4).
+char g_libpath[4096] = {0};
 
 template <typename T>
 bool sym(void *lib, const char *name, T *out) {
@@ -127,8 +131,9 @@ bool ensure_loaded() {
   if (g_tried) return g_loaded;
   g_tried = true;
   void *lib = nullptr;
+  if (g_libpath[0]) lib = dlopen(g_libpath, RTLD_NOW | RTLD_LOCAL);
   const char *env = getenv("FVAD_LIBFLAC");
-  if (env && env[0]) lib = dlopen(env, RTLD_NOW | RTLD_LOCAL);
+  if (!lib && env && env[0]) lib = dlopen(env, RTLD_NOW | RTLD_LOCAL);
   const char *names[] = {"libFLAC.so.12", "libFLAC.so.8", "libFLAC.so"};
   for (int i = 0; !lib && i < 3; ++i) lib = dlopen(names[i], RTLD_NOW | RTLD_LOCAL);
   if (!lib) return false;
@@ -239,7 +244,19 @@ void error_cb(const FLAC_Decoder *, int, void *client) {
 
 extern "C" {
 
-int fvad_flac_abi_version() { return 2; }
+int fvad_flac_abi_version() { return 3; }
+
+// Must be called before the first open/available (i.e. before dlopen is
+// attempted); a call after that is a silent no-op. NULL clears the path.
+void fvad_flac_set_libpath(const char *path) {
+  if (g_tried) return;
+  if (path && path[0]) {
+    strncpy(g_libpath, path, sizeof(g_libpath) - 1);
+    g_libpath[sizeof(g_libpath) - 1] = '\0';
+  } else {
+    g_libpath[0] = '\0';
+  }
+}
 
 int fvad_flac_available() { return ensure_loaded() ? 1 : 0; }
 
@@ -311,10 +328,18 @@ long long fvad_flac_total_frames(void *h) {
 long long fvad_flac_read_planar(void *h, float *out, long long max_frames) {
   Decoder *d = static_cast<Decoder *>(h);
   while (static_cast<long long>(d->avail()) < max_frames) {
-    if (d->error) return -1;
+    // On a mid-stream decode error, deliver the already-decoded frames in
+    // the FIFO first and report -1 on the FOLLOWING call — libsndfile
+    // (the reference's decoder) returns the valid prefix before erroring,
+    // so a corrupt tail must not discard buffered good audio (ADVICE r4).
+    if (d->error) break;
     if (g_api.decoder_get_state(d->dec) == kStateEndOfStream) break;
-    if (!g_api.decoder_process_single(d->dec)) return -1;
+    if (!g_api.decoder_process_single(d->dec)) {
+      d->error = true;
+      break;
+    }
   }
+  if (d->error && d->avail() == 0) return -1;
   long long got = static_cast<long long>(d->avail());
   if (got > max_frames) got = max_frames;
   for (unsigned c = 0; c < d->channels; ++c) {

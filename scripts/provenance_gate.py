@@ -30,7 +30,6 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TIER_KEYS = ("highest", "high", "bf16", "bf16_io")
-TIER_KEYS = ("highest", "high", "bf16", "bf16_io")
 # Claims: a number directly suffixed (possibly via a space) by x/×, in any
 # of the forms used for real-time factors — grouped thousands ("13,725" /
 # "13 725", strict 3-digit groups so unrelated digit runs never join),

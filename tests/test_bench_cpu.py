@@ -32,6 +32,26 @@ def bench(monkeypatch):
     return importlib.reload(bench_mod)
 
 
+def test_throttle_kept_rounds(bench):
+    """The per-round sentinel filter (VERDICT r4 next-#1b): a round is
+    kept iff both bracketing samples sit within tol of the best sample."""
+    kept = bench._throttle_kept_rounds
+    # Clean capture: everything kept.
+    assert kept([4.0, 4.1, 4.0, 4.05], 3, 1.10) == [0, 1, 2]
+    # Throttle hits between brackets 1 and 2: rounds 1 AND 2 (both adjacent
+    # to the inflated sample) are dropped — exactly the BENCH_r04 failure
+    # mode the block-level bracket missed.
+    assert kept([4.0, 4.1, 9.0, 4.05], 3, 1.10) == [0]
+    # Throttled from the start: only the post-recovery round survives.
+    assert kept([9.0, 8.5, 4.0, 4.1], 3, 1.10) == [2]
+    # Persistent throttle with one lucky sample: nothing survives — the
+    # caller publishes raw stats with reps_kept=0 rather than a fiction.
+    assert kept([9.0, 4.0, 9.0, 9.1], 3, 1.10) == []
+    # Misaligned / missing series: filtering disabled, all rounds kept.
+    assert kept([], 3, 1.10) == [0, 1, 2]
+    assert kept([4.0, 4.0], 3, 1.10) == [0, 1, 2]
+
+
 def test_measure_json_contract(bench, monkeypatch, capsys):
     """One in-process child run at tiny shapes: every mode row present,
     extras included, headline positive and derived from mode 'highest'."""
@@ -41,6 +61,7 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
         "BENCH_ITERS_SHORT": "1",
         "BENCH_ITERS_LONG": "2",
         "BENCH_REPS": "2",
+        "BENCH_REPS_MAX": "3",
         "BENCH_WIDE_STREAMS": "4",
         "BENCH_SERVE_STREAMS": "8",
         "BENCH_SERVE_DENSE_STREAMS": "8",
@@ -81,18 +102,32 @@ def test_measure_json_contract(bench, monkeypatch, capsys):
         # tflops rounds to 2 decimals; at the tiny CPU shapes a slow row
         # can legitimately round to 0.0 — non-negative is the contract.
         assert modes[name]["tflops_achieved"] >= 0
-    # Round-4 variance contract: the interleaved standard tiers publish the
-    # median with min/max spread over BENCH_REPS samples.
+    # Round-5 variance contract: the interleaved standard tiers publish the
+    # median with min/max spread over BENCH_REPS..BENCH_REPS_MAX rounds
+    # (adaptive escalation under spread/throttle) plus the count of rounds
+    # the per-round sentinel filter kept.
     for name in ("highest", "bf16", "bf16_io", "high"):
         row = modes[name]
-        assert row["reps"] == 2
+        assert 2 <= row["reps"] <= 3
         assert 0 < row["rtf_min"] <= row["realtime_factor"] <= row["rtf_max"]
-    # Sentinel probe: fixed-work capture-environment evidence.
+        assert 0 <= row["reps_kept"] <= row["reps"]
+        if "rtf_median_raw" in row:  # filtered headline: raw kept alongside
+            assert row["rtf_min"] <= row["rtf_median_raw"] <= row["rtf_max"]
+    # Sentinel probe: fixed-work capture-environment evidence, one sample
+    # bracketing every rep round (series length = rounds + 1).
     sent = got["sentinel"]
     assert sent["start_ms"] > 0 and sent["end_ms"] > 0
     assert sent["ratio"] == pytest.approx(
         sent["end_ms"] / sent["start_ms"], rel=0.01
     )
+    n_rounds = modes["highest"]["reps"]
+    assert sent["rounds_total"] == n_rounds
+    assert len(sent["samples_ms"]) == n_rounds + 1
+    assert sent["samples_ms"][0] == sent["start_ms"]
+    assert sent["samples_ms"][-1] == sent["end_ms"]
+    assert sent["best_ms"] == min(sent["samples_ms"])
+    assert sent["spread"] >= 1.0
+    assert sent["rounds_kept"] == modes["highest"]["reps_kept"]
     # Flat-overlap gates: at f32-highest the flat path is exactly equal on
     # CPU too (tests/test_flat_overlap.py), but these rows run at bf16
     # matmul precision, where XLA:CPU's bf16 lowering differs per program
