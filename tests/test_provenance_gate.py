@@ -23,6 +23,10 @@ def test_real_readme_passes():
     assert pg.check(os.path.join(REPO, "README.md")) == []
 
 
+def test_real_roofline_passes():
+    assert pg.check_roofline(os.path.join(REPO, "ROOFLINE.md")) == []
+
+
 def test_driver_records_load():
     recs = pg.load_driver_records()
     assert "BENCH_r03" in recs
@@ -43,9 +47,9 @@ def _readme(tmp_path, table_rows, extra=""):
 
 
 GOOD_ROWS = [
-    "| `highest` | 13,725× | [driver BENCH_r03] |",
-    "| `high` | 22,815× | [driver BENCH_r03] |",
-    "| `bf16` | 36,051× | [driver BENCH_r03] |",
+    "| `highest` | 14,108× | [driver BENCH_r04] |",
+    "| `high` | 21,712× | [driver BENCH_r04] |",
+    "| `bf16` | 35,058× | [driver BENCH_r04] |",
     "| `bf16_io` | 44,246× | [local 2026-08-20] |",
 ]
 
@@ -93,3 +97,49 @@ def test_missing_markers_fail(tmp_path):
     p.write_text("# x\nno table here\n")
     errs = pg.check(str(p))
     assert errs and "markers" in errs[0]
+
+
+def test_stale_driver_tag_in_table_fails(tmp_path):
+    """Rule 4 (VERDICT r4 next-#6): a perf-table tag >=2 rounds older than
+    the newest artifact must be refreshed or marked (superseded)."""
+    rows = GOOD_ROWS[:3] + ["| `bf16_io` | 22,977× | [driver BENCH_r01] |"]
+    errs = pg.check(_readme(tmp_path, rows))
+    assert any("rounds older" in e for e in errs), errs
+    # The same tag marked (superseded) is allowed...
+    rows_ok = GOOD_ROWS[:3] + [
+        "| `bf16_io` | 22,977× | [driver BENCH_r01] (superseded) |"
+    ]
+    errs_ok = [e for e in pg.check(_readme(tmp_path, rows_ok))
+               if "rounds older" in e]
+    assert errs_ok == []
+    # ...and a 1-round-old tag is not stale (BENCH_r04 rows vs newest r04+).
+
+
+def test_roofline_staleness_and_ceiling(tmp_path):
+    """ROOFLINE's MFU-summary section is a summary surface: stale driver
+    tags fail there but are tolerated in narrative sections below; the
+    rule-3 ceiling scan covers the whole file."""
+    p = tmp_path / "ROOFLINE.md"
+    p.write_text(
+        "# roofline\n\n## MFU summary (bench)\n\n"
+        "| bf16 | 19,900× [driver BENCH_r01] |\n\n"
+        "## History\n\nround 1 was 19,900× [driver BENCH_r01].\n"
+        "untagged 90,000× here.\n"
+    )
+    errs = pg.check_roofline(str(p))
+    stale = [e for e in errs if "rounds older" in e]
+    assert len(stale) == 1 and ":5:" in stale[0]  # summary row only
+    assert any("exceeds the best driver-captured" in e for e in errs)
+    # Marked (superseded), the summary row passes.
+    p.write_text(
+        "# roofline\n\n## MFU summary (bench)\n\n"
+        "| bf16 | 19,900× [driver BENCH_r01] (superseded) |\n"
+    )
+    assert [e for e in pg.check_roofline(str(p)) if "rounds older" in e] == []
+
+
+def test_roofline_missing_summary_section(tmp_path):
+    p = tmp_path / "ROOFLINE.md"
+    p.write_text("# roofline\nnothing\n")
+    errs = pg.check_roofline(str(p))
+    assert any("MFU summary" in e for e in errs)
