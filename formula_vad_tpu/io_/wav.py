@@ -24,7 +24,38 @@ import numpy as np
 
 WAVE_FORMAT_PCM = 0x0001
 WAVE_FORMAT_IEEE_FLOAT = 0x0003
+WAVE_FORMAT_ALAW = 0x0006
+WAVE_FORMAT_MULAW = 0x0007
 WAVE_FORMAT_EXTENSIBLE = 0xFFFE
+
+
+def _g711_mulaw_table() -> np.ndarray:
+    """256-entry µ-law byte -> float32 decode table (ITU-T G.711; the
+    CCITT reference ulaw2linear, vectorized). Radio archives commonly
+    store telephony captures as WAVE_FORMAT_MULAW; the reference decodes
+    them via libsndfile's sf_open (AudioFileStream.zig:22-83). Values are
+    on the 16-bit scale (max magnitude 32124), normalized by 32768."""
+    u = (~np.arange(256, dtype=np.int32)) & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u & 0x70) >> 4)
+    lin = np.where(u & 0x80, 0x84 - t, t - 0x84)
+    return (lin / 32768.0).astype(np.float32)
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """256-entry A-law byte -> float32 decode table (G.711 alaw2linear,
+    vectorized; max magnitude 32256, normalized by 32768)."""
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108,
+                 (t + 0x108) << np.maximum(seg - 1, 0)))
+    lin = np.where(a & 0x80, t, -t)
+    return (lin / 32768.0).astype(np.float32)
+
+
+_MULAW_TABLE = _g711_mulaw_table()
+_ALAW_TABLE = _g711_alaw_table()
 
 
 @dataclasses.dataclass
@@ -71,12 +102,15 @@ def _parse_header(f: BinaryIO) -> WavInfo:
     if fmt is None or data_offset is None:
         raise ValueError("missing fmt or data chunk")
     tag, n_ch, rate, block_align, bits = fmt
-    if tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT):
+    if tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT,
+                   WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
         raise ValueError(f"unsupported WAV format tag {tag:#x}")
     if tag == WAVE_FORMAT_IEEE_FLOAT and bits not in (32, 64):
         raise ValueError(f"unsupported float bit depth {bits}")
     if tag == WAVE_FORMAT_PCM and bits not in (8, 16, 24, 32):
         raise ValueError(f"unsupported PCM bit depth {bits}")
+    if tag in (WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW) and bits != 8:
+        raise ValueError(f"G.711 WAV must be 8 bits/sample, got {bits}")
     bytes_per_frame = n_ch * (bits // 8)
     if bytes_per_frame == 0 or rate == 0:
         raise ValueError(
@@ -99,6 +133,10 @@ def _decode_frames(raw: bytes, info: WavInfo) -> np.ndarray:
     if tag == WAVE_FORMAT_IEEE_FLOAT:
         dt = np.float32 if bits == 32 else np.float64
         x = np.frombuffer(raw, dtype=dt).astype(np.float32)
+    elif tag == WAVE_FORMAT_MULAW:
+        x = _MULAW_TABLE[np.frombuffer(raw, dtype=np.uint8)]
+    elif tag == WAVE_FORMAT_ALAW:
+        x = _ALAW_TABLE[np.frombuffer(raw, dtype=np.uint8)]
     elif bits == 16:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif bits == 32:
