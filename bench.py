@@ -44,6 +44,7 @@ Measurement notes (axon relay — see .claude/skills/verify/SKILL.md):
 
 import json
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -420,6 +421,61 @@ def _throttle_kept_rounds(sent_series, n_rounds: int, tol: float) -> list:
         r for r in range(n_rounds)
         if max(sent_series[r], sent_series[r + 1]) <= tol * best
     ]
+
+
+_OOM_PAT = re.compile(
+    r"RESOURCE_EXHAUSTED|out of memory|OOM|Allocat", re.IGNORECASE
+)
+
+
+def _walk_dense_ladder(ladder, measure_rung, past_deadline):
+    """Descend the serve_dense ladder and bracket the per-chip ceiling
+    with measurements (VERDICT r4 next-#4).
+
+    ladder: [(streams, microbatch), ...] largest-capacity first.
+    measure_rung(b, m) -> row dict (raises on OOM/config error).
+    past_deadline() -> bool (middle rungs are skipped past it; the final,
+    smallest rung is always attempted so a degraded capture still
+    publishes a measured point).
+
+    Returns (row, first_fail, attempts): `row` is the largest rung that
+    measured IN budget (or, if none fit, the smallest measured rung —
+    over budget — as a degraded fallback); `first_fail` is the tightest
+    capacity failure above the pass — a measured over-budget tick or an
+    OOM'd rung (non-capacity errors like bad configs are recorded in
+    `attempts` but never bracket); `attempts` lists every non-published
+    rung outcome in descent order."""
+    attempts, row, first_fail = [], None, None
+    for i, (bb, mm) in enumerate(ladder):
+        last = i == len(ladder) - 1
+        if attempts and past_deadline() and not last:
+            attempts.append(
+                {"streams": bb, "microbatch": mm, "skipped": "deadline"}
+            )
+            continue
+        try:
+            cand = measure_rung(bb, mm)
+        except Exception as e:
+            att = {"streams": bb, "microbatch": mm, "error": repr(e)[:160]}
+            attempts.append(att)
+            if _OOM_PAT.search(repr(e)):
+                first_fail = att  # capacity failure: OOM'd rung
+            print(f"serve_dense rung B={bb} m={mm} failed: {e!r}",
+                  file=sys.stderr, flush=True)
+            continue
+        if cand.get("fits_500ms_budget"):
+            row = cand
+            break
+        # Measured but over budget: the real failure mode the bracket
+        # wants — keep its tick and continue downward. (Descending order
+        # means the LAST such rung before the pass is the tightest
+        # measured bound on the ceiling.)
+        att = {"streams": bb, "microbatch": mm,
+               "tick_ms": cand["tick_ms"], "over_budget": True}
+        attempts.append(att)
+        first_fail = att
+        row = cand  # degraded fallback: published if nothing fits
+    return row, first_fail, attempts
 
 
 def _measure_serving_tick(b: int, params, st, n_short: int, n_long: int,
@@ -1094,33 +1150,36 @@ def measure() -> None:
             elif db:  # explicit single point (tests / chip_gate tuning)
                 ladder = [(int(db), 1)]
             else:
-                ladder = [(27648, 3), (13824, 3), (4608, 1)]
-            attempts, row = [], None
-            for i, (bb, mm) in enumerate(ladder):
-                last = i == len(ladder) - 1
-                # Past the deadline, skip middle rungs but ALWAYS attempt
-                # the final (smallest) rung: a degraded capture should
-                # still publish a measured point, like the old fixed-B row.
-                if attempts and time.monotonic() >= extra_deadline and not last:
-                    attempts.append(
-                        {"streams": bb, "microbatch": mm, "skipped": "deadline"}
-                    )
-                    continue
-                try:
-                    row = _measure_serving_tick(
-                        bb, params, st, n_short, n_long,
-                        collect_denoised=False, microbatch=mm,
-                        pcm16=True, input_sets=1,
-                    )
-                    break
-                except Exception as e:
-                    attempts.append(
-                        {"streams": bb, "microbatch": mm, "error": repr(e)[:160]}
-                    )
-                    print(f"serve_dense rung B={bb} m={mm} failed: {e!r}",
-                          file=sys.stderr, flush=True)
+                # Round 5 (VERDICT r4 next-#4): start ABOVE the r04-measured
+                # 27,648 so the official record brackets the per-chip
+                # ceiling with measurements — largest in-budget rung
+                # published + the adjacent capacity failure (over-budget
+                # tick or OOM) recorded as `first_fail` — instead of a
+                # streams_per_chip_est extrapolation (est was 37,661).
+                ladder = [(43008, 4), (36864, 3), (36864, 4), (32256, 3),
+                          (27648, 3), (13824, 3), (4608, 1)]
+            def _rung(bb, mm):
+                return _measure_serving_tick(
+                    bb, params, st, n_short, n_long,
+                    collect_denoised=False, microbatch=mm,
+                    pcm16=True, input_sets=1,
+                )
+
+            row, first_fail, attempts = _walk_dense_ladder(
+                ladder, _rung, lambda: time.monotonic() >= extra_deadline
+            )
             if row is not None:
                 row["io_dtype"] = "bf16"
+                # Attach the bracketing failure unless the published row IS
+                # that over-budget measurement (nothing smaller fit).
+                row_is_the_fail = (
+                    first_fail is not None
+                    and first_fail.get("streams") == row["streams"]
+                    and first_fail.get("microbatch") == row["microbatch"]
+                    and not row.get("fits_500ms_budget", True)
+                )
+                if first_fail is not None and not row_is_the_fail:
+                    row["first_fail"] = first_fail
                 if attempts:
                     row["fallback_from"] = attempts
                 modes["serve_dense"] = row

@@ -286,6 +286,168 @@ def gru_stack_kernel_p(params, gi_z, gi_r, gi_n, dtype=jnp.float32):
     return jnp.swapaxes(out, 0, 1)[:n]
 
 
+def _kernel_f(
+    gi_hbm,   # [R, T, 3, TILE, H] per-gate layer-1 projections, HBM-resident
+    w_ref,    # [9, H, H] VMEM (dtype): wh1_z..n  wi2_z..n  wh2_z..n
+    b_ref,    # [8, H] VMEM f32: bh1_n b2_z b2_r bi2_n bh2_n pad pad pad
+    out_hbm,  # [R, T, TILE, H] HBM-resident h2 sequence (out dtype)
+    h1,       # VMEM scratch [TILE, H] f32 — RESIDENT across all T steps
+    h2,       # VMEM scratch [TILE, H] f32
+    gi_st,    # VMEM staging [2, 3, TILE, H] (dtype) — double-buffered gi
+    out_st,   # VMEM staging [2, TILE, H] (out dtype) — double-buffered out
+    sem_gi,   # DMA semaphores (2,)
+    sem_out,  # DMA semaphores (2,)
+):
+    """Full-residency GRU-stack recurrence (VERDICT r4 next-#5): ONE kernel
+    runs all T=54 steps with h1/h2 never leaving VMEM; per-step gi operands
+    are DMA'd HBM->VMEM double-buffered (prefetch t+1 during step t's
+    MXU/VPU work), per-step h2 DMA'd back VMEM->HBM double-buffered. No
+    per-step HBM round-trip for the carries and no per-step kernel launch
+    — the two costs the lax.scan schedule pays 54 times."""
+    r = pl.program_id(0)
+    T_ = gi_hbm.shape[1]
+
+    def gi_dma(slot, t):
+        return pltpu.make_async_copy(
+            gi_hbm.at[r, t], gi_st.at[slot], sem_gi.at[slot]
+        )
+
+    def out_dma(slot, t):
+        return pltpu.make_async_copy(
+            out_st.at[slot], out_hbm.at[r, t], sem_out.at[slot]
+        )
+
+    h1[:, :] = jnp.zeros_like(h1)
+    h2[:, :] = jnp.zeros_like(h2)
+    gi_dma(0, 0).start()
+
+    prec = matmul_precision()
+
+    def dot(a, k):
+        return jax.lax.dot_general(
+            a, w_ref[k], (((1,), (0,)), ((), ())),
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
+    def step(t, _):
+        slot = jax.lax.rem(t, 2)
+        nslot = jax.lax.rem(t + 1, 2)
+
+        @pl.when(t + 1 < T_)
+        def _():
+            gi_dma(nslot, t + 1).start()
+
+        gi_dma(slot, t).wait()
+
+        m1 = jnp.float32(1.0)
+        h1v = h1[:, :]
+        z1 = jax.nn.sigmoid(gi_st[slot, 0].astype(jnp.float32) + dot(h1v.astype(w_ref.dtype), 0))
+        r1 = jax.nn.sigmoid(gi_st[slot, 1].astype(jnp.float32) + dot(h1v.astype(w_ref.dtype), 1))
+        n1 = jnp.tanh(
+            gi_st[slot, 2].astype(jnp.float32)
+            + r1 * (dot(h1v.astype(w_ref.dtype), 2) + b_ref[0])
+        )
+        h1n = (m1 - z1) * n1 + z1 * h1v
+        h1[:, :] = h1n
+
+        h2v = h2[:, :]
+        h1d = h1n.astype(w_ref.dtype)
+        h2d = h2v.astype(w_ref.dtype)
+        z2 = jax.nn.sigmoid(dot(h1d, 3) + dot(h2d, 6) + b_ref[1])
+        r2 = jax.nn.sigmoid(dot(h1d, 4) + dot(h2d, 7) + b_ref[2])
+        n2 = jnp.tanh((dot(h1d, 5) + b_ref[3]) + r2 * (dot(h2d, 8) + b_ref[4]))
+        h2n = (m1 - z2) * n2 + z2 * h2v
+        h2[:, :] = h2n
+
+        # Reuse of this out slot: its previous DMA (step t-2) must land
+        # before we overwrite the staging buffer.
+        @pl.when(t >= 2)
+        def _():
+            out_dma(slot, t - 2).wait()
+
+        out_st[slot, :, :] = h2n.astype(out_st.dtype)
+        out_dma(slot, t).start()
+        return 0
+
+    jax.lax.fori_loop(0, T_, step, 0)
+    # Drain the last two in-flight output DMAs before the program ends.
+    out_dma(jax.lax.rem(T_ - 2, 2), T_ - 2).wait()
+    out_dma(jax.lax.rem(T_ - 1, 2), T_ - 1).wait()
+
+
+def gru_stack_kernel_f(params, gi_z, gi_r, gi_n, dtype=jnp.float32,
+                       tile=None, out_dtype=None):
+    """Full-residency launcher: [N, T, H] per-gate projections -> [N, T, H]
+    h2 sequence. tile = rows per program (defaults to all rows, padded to
+    the f32 sublane multiple); out_dtype defaults to dtype."""
+    out_dtype = out_dtype or dtype
+    g1, g2 = params.gru1, params.gru2
+    n, t, _ = gi_z.shape
+    tile = tile or ((n + 7) // 8 * 8)
+    n_pad = ((n + tile - 1) // tile) * tile
+    n_r = n_pad // tile
+
+    def prep(a):
+        if n_pad != n:
+            a = jnp.pad(a, ((0, n_pad - n), (0, 0), (0, 0)))
+        # [N, T, H] -> [R, T, TILE, H] row-tiled, time-major inside a tile
+        return (
+            a.reshape(n_r, tile, t, H).swapaxes(1, 2).astype(dtype)
+        )
+
+    gi = jnp.stack([prep(gi_z), prep(gi_r), prep(gi_n)], axis=2)  # [R,T,3,TILE,H]
+
+    def slab(w):
+        return [w[:, :H], w[:, H : 2 * H], w[:, 2 * H :]]
+
+    w9 = jnp.stack(slab(g1.wh) + slab(g2.wi) + slab(g2.wh)).astype(dtype)
+    bz2 = g2.bi[:H] + g2.bh[:H]
+    br2 = g2.bi[H : 2 * H] + g2.bh[H : 2 * H]
+    b8 = jnp.stack(
+        [g1.bh[2 * H :], bz2, br2, g2.bi[2 * H :], g2.bh[2 * H :]]
+        + [jnp.zeros((H,), jnp.float32)] * 3
+    )
+
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda r: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        _kernel_f,
+        grid=(n_r,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # gi stays in HBM
+            const((9, H, H)),
+            const((8, H)),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # manual out DMA
+        out_shape=jax.ShapeDtypeStruct((n_r, t, tile, H), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile, H), jnp.float32),
+            pltpu.VMEM((tile, H), jnp.float32),
+            pltpu.VMEM((2, 3, tile, H), dtype),
+            pltpu.VMEM((2, tile, H), out_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                os.environ.get("BENCH_VMEM_LIMIT", str(100 * 1024 * 1024))
+            ),
+        ),
+        interpret=INTERPRET,
+    )(gi, w9, b8)
+    # [R, T, TILE, H] -> [N, T, H]
+    return out.swapaxes(1, 2).reshape(n_pad, t, H)[:n].astype(jnp.float32)
+
+
+def apply_vf(params, features, dtype=jnp.float32, tile=None, out_dtype=None):
+    gi_z, gi_r, gi_n = _gi_gates(params, features)
+    y = gru_stack_kernel_f(
+        params, gi_z, gi_r, gi_n, dtype=dtype, tile=tile, out_dtype=out_dtype
+    )
+    return _ff_head(params, y)
+
+
 def _gi_gates(params, features):
     """Per-gate layer-1 input projections with step-invariant biases folded:
     z/r gates see gi + gh = x@wi + bi + h@wh + bh -> fold bi+bh here; the
@@ -362,6 +524,24 @@ def main():
         "vkpb": (
             f"VKpb 2-dot bf16 tile={ROW_TILE}",
             lambda f: apply_vkp(params, f, dtype=jnp.bfloat16),
+        ),
+        # Full-residency manual-DMA variants (VERDICT r4 next-#5): h in
+        # VMEM across all 54 steps, gi prefetched, no per-step launches.
+        "vf": (
+            "VF full-res f32 (whole batch)",
+            lambda f: apply_vf(params, f),
+        ),
+        "vfb": (
+            "VFb full-res bf16 (whole batch)",
+            lambda f: apply_vf(params, f, dtype=jnp.bfloat16),
+        ),
+        "vfb840": (
+            "VFb full-res bf16 tile=840",
+            lambda f: apply_vf(params, f, dtype=jnp.bfloat16, tile=840),
+        ),
+        "vfb420": (
+            "VFb full-res bf16 tile=420",
+            lambda f: apply_vf(params, f, dtype=jnp.bfloat16, tile=420),
         ),
     }
     for v in variants:

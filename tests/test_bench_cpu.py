@@ -52,6 +52,65 @@ def test_throttle_kept_rounds(bench):
     assert kept([4.0, 4.0], 3, 1.10) == [0, 1, 2]
 
 
+def test_walk_dense_ladder_brackets_ceiling(bench):
+    """VERDICT r4 next-#4: the serve_dense ladder must publish the largest
+    in-budget rung AND the adjacent measured capacity failure."""
+    def mk(b, m, tick, fits):
+        return {"streams": b, "microbatch": m, "tick_ms": tick,
+                "fits_500ms_budget": fits}
+
+    # Over-budget rung above, pass below: bracket = (pass, that fail).
+    def meas(b, m):
+        if b >= 36000:
+            return mk(b, m, 620.0, False)
+        return mk(b, m, 380.0, True)
+
+    row, fail, att = bench._walk_dense_ladder(
+        [(43008, 4), (36864, 3), (27648, 3)], meas, lambda: False)
+    assert row["streams"] == 27648 and row["fits_500ms_budget"]
+    assert fail == {"streams": 36864, "microbatch": 3,
+                    "tick_ms": 620.0, "over_budget": True}
+    assert [a["streams"] for a in att] == [43008, 36864]
+
+    # OOM above, pass below: the OOM rung is the capacity failure.
+    def meas_oom(b, m):
+        if b > 30000:
+            raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory")
+        return mk(b, m, 400.0, True)
+
+    row, fail, att = bench._walk_dense_ladder(
+        [(36864, 3), (27648, 3)], meas_oom, lambda: False)
+    assert row["streams"] == 27648
+    assert fail["streams"] == 36864 and "RESOURCE_EXHAUSTED" in fail["error"]
+
+    # Config errors (not OOM) never bracket.
+    def meas_cfg(b, m):
+        if b % m:
+            raise ValueError(f"{b} streams not divisible by microbatch {m}")
+        return mk(b, m, 400.0, True)
+
+    row, fail, att = bench._walk_dense_ladder(
+        [(9, 2), (8, 2)], meas_cfg, lambda: False)
+    assert row["streams"] == 8 and fail is None
+    assert "error" in att[0]
+
+    # Nothing fits: smallest measured rung published over budget, and it
+    # IS the failure (caller suppresses a self-referential first_fail).
+    def meas_slow(b, m):
+        return mk(b, m, 900.0, False)
+
+    row, fail, att = bench._walk_dense_ladder(
+        [(16, 1), (8, 1)], meas_slow, lambda: False)
+    assert row["streams"] == 8 and not row["fits_500ms_budget"]
+    assert fail["streams"] == 8 and fail["over_budget"]
+
+    # Past-deadline: middle rungs skipped, final always attempted.
+    row, fail, att = bench._walk_dense_ladder(
+        [(32, 1), (16, 1), (8, 1)], meas_cfg, lambda: True)
+    assert row["streams"] == 32  # first rung measured before deadline check
+    # (attempts empty -> no skip on rung 0; break on its in-budget pass)
+
+
 def test_measure_json_contract(bench, monkeypatch, capsys):
     """One in-process child run at tiny shapes: every mode row present,
     extras included, headline positive and derived from mode 'highest'."""
