@@ -79,10 +79,11 @@ def _kernel(
         )
 
     h1v = h1[:, :]
+    h1w = h1v.astype(w_ref.dtype)  # Mosaic rejects mixed f32xbf16 dots
     m1 = jnp.float32(1.0)
-    z1 = jax.nn.sigmoid(giz_ref[0] + dot(h1v, 0))
-    r1 = jax.nn.sigmoid(gir_ref[0] + dot(h1v, 1))
-    n1 = jnp.tanh(gin_ref[0] + r1 * (dot(h1v, 2) + b_ref[0]))
+    z1 = jax.nn.sigmoid(giz_ref[0] + dot(h1w, 0))
+    r1 = jax.nn.sigmoid(gir_ref[0] + dot(h1w, 1))
+    n1 = jnp.tanh(gin_ref[0] + r1 * (dot(h1w, 2) + b_ref[0]))
     h1n = (m1 - z1) * n1 + z1 * h1v
     h1[:, :] = h1n
 

@@ -164,3 +164,47 @@ class TestLabelParsing:
         assert [(s.from_sec, s.to_sec) for s in segs] == [
             (0.5, 1.5), (3.0, 4.0), (5.0, 6.0),
         ]
+
+
+class TestOggFlacSniff:
+    """Exact-offset Ogg-FLAC mapping detection (ADVICE r4): the 0x7f"FLAC"
+    signature counts ONLY at the first packet's RFC 3533 position
+    (27 + page_segments) — a Vorbis page whose random serial/granule/CRC
+    bytes happen to contain the sequence must still route to Vorbis."""
+
+    @staticmethod
+    def _page(payload: bytes, granule: bytes = b"\x00" * 8,
+              serial: bytes = b"\x01\x02\x03\x04") -> bytes:
+        assert len(payload) < 255
+        return (b"OggS" + b"\x00" + b"\x02" + granule + serial
+                + b"\x00" * 4 + b"\x00" * 4  # page seq + crc
+                + bytes([1, len(payload)]) + payload)
+
+    def test_signature_in_granule_bytes_is_not_flac(self, tmp_path):
+        from formula_vad_tpu.io_ import flac
+        from formula_vad_tpu.io_.audio import sniff_container
+
+        # 0x7f"FLAC" inside the granule field; first packet is Vorbis-id.
+        page = self._page(b"\x01vorbis" + b"\x00" * 20,
+                          granule=b"\x7fFLAC\x00\x00\x00")
+        p = tmp_path / "tricky.ogg"
+        p.write_bytes(page)
+        assert not flac.is_ogg_flac_file(str(p))
+        assert sniff_container(str(p)) == "ogg"
+
+    def test_signature_at_first_packet_is_flac(self, tmp_path):
+        from formula_vad_tpu.io_ import flac
+        from formula_vad_tpu.io_.audio import sniff_container
+
+        page = self._page(b"\x7fFLAC\x01\x00" + b"\x00" * 20)
+        p = tmp_path / "real.oga"
+        p.write_bytes(page)
+        assert flac.is_ogg_flac_file(str(p))
+        assert sniff_container(str(p)) == "flac"
+
+    def test_truncated_ogg_header_routes_to_vorbis(self, tmp_path):
+        from formula_vad_tpu.io_ import flac
+
+        p = tmp_path / "trunc.ogg"
+        p.write_bytes(b"OggS\x00\x02")  # shorter than one page header
+        assert not flac.is_ogg_flac_file(str(p))
