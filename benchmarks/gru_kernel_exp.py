@@ -67,7 +67,10 @@ def _kernel(
         h1[:, :] = jnp.zeros_like(h1)
         h2[:, :] = jnp.zeros_like(h2)
 
-    prec = matmul_precision()
+    # bf16 operands must run at DEFAULT precision (Mosaic rejects a
+    # multi-pass HIGHEST contract on bf16 inputs: 'Bad lhs/rhs type').
+    prec = (jax.lax.Precision.DEFAULT if w_ref.dtype == jnp.bfloat16
+            else matmul_precision())
 
     def dot(a, k):
         return jax.lax.dot_general(
@@ -178,7 +181,10 @@ def _kernel_p(
     def _():
         hcat[:, :] = jnp.zeros_like(hcat)
 
-    prec = matmul_precision()
+    # bf16 operands must run at DEFAULT precision (Mosaic rejects a
+    # multi-pass HIGHEST contract on bf16 inputs: 'Bad lhs/rhs type').
+    prec = (jax.lax.Precision.DEFAULT if wp1_ref.dtype == jnp.bfloat16
+            else matmul_precision())
 
     def dot(a, w):
         return jax.lax.dot_general(
@@ -322,7 +328,10 @@ def _kernel_f(
     h2[:, :] = jnp.zeros_like(h2)
     gi_dma(0, 0).start()
 
-    prec = matmul_precision()
+    # bf16 operands must run at DEFAULT precision (Mosaic rejects a
+    # multi-pass HIGHEST contract on bf16 inputs: 'Bad lhs/rhs type').
+    prec = (jax.lax.Precision.DEFAULT if w_ref.dtype == jnp.bfloat16
+            else matmul_precision())
 
     def dot(a, k):
         return jax.lax.dot_general(
