@@ -293,15 +293,22 @@ def gru_stack_kernel_p(params, gi_z, gi_r, gi_n, dtype=jnp.float32):
     return jnp.swapaxes(out, 0, 1)[:n]
 
 
+HP = 512  # manual-DMA lane pad: Mosaic requires HBM memref slices to be
+          # 128-lane aligned ("Slice shape along dimension 4 must be
+          # aligned to tiling (128), but is 400" on chip), so the
+          # DMA'd arrays carry H=400 padded to 512 lanes (+28% DMA bytes
+          # — part of this design's measured cost)
+
+
 def _kernel_f(
-    gi_hbm,   # [R, T, 3, TILE, H] per-gate layer-1 projections, HBM-resident
+    gi_hbm,   # [R, T, 3, TILE, HP] per-gate layer-1 projections, HBM-resident
     w_ref,    # [9, H, H] VMEM (dtype): wh1_z..n  wi2_z..n  wh2_z..n
     b_ref,    # [8, H] VMEM f32: bh1_n b2_z b2_r bi2_n bh2_n pad pad pad
-    out_hbm,  # [R, T, TILE, H] HBM-resident h2 sequence (out dtype)
+    out_hbm,  # [R, T, TILE, HP] HBM-resident h2 sequence (out dtype)
     h1,       # VMEM scratch [TILE, H] f32 — RESIDENT across all T steps
     h2,       # VMEM scratch [TILE, H] f32
-    gi_st,    # VMEM staging [2, 3, TILE, H] (dtype) — double-buffered gi
-    out_st,   # VMEM staging [2, TILE, H] (out dtype) — double-buffered out
+    gi_st,    # VMEM staging [2, 3, TILE, HP] (dtype) — double-buffered gi
+    out_st,   # VMEM staging [2, TILE, HP] (out dtype) — double-buffered out
     sem_gi,   # DMA semaphores (2,)
     sem_out,  # DMA semaphores (2,)
 ):
@@ -351,10 +358,10 @@ def _kernel_f(
 
         m1 = jnp.float32(1.0)
         h1v = h1[:, :]
-        z1 = jax.nn.sigmoid(gi_st[slot, 0].astype(jnp.float32) + dot(h1v.astype(w_ref.dtype), 0))
-        r1 = jax.nn.sigmoid(gi_st[slot, 1].astype(jnp.float32) + dot(h1v.astype(w_ref.dtype), 1))
+        z1 = jax.nn.sigmoid(gi_st[slot, 0, :, :H].astype(jnp.float32) + dot(h1v.astype(w_ref.dtype), 0))
+        r1 = jax.nn.sigmoid(gi_st[slot, 1, :, :H].astype(jnp.float32) + dot(h1v.astype(w_ref.dtype), 1))
         n1 = jnp.tanh(
-            gi_st[slot, 2].astype(jnp.float32)
+            gi_st[slot, 2, :, :H].astype(jnp.float32)
             + r1 * (dot(h1v.astype(w_ref.dtype), 2) + b_ref[0])
         )
         h1n = (m1 - z1) * n1 + z1 * h1v
@@ -375,7 +382,7 @@ def _kernel_f(
         def _():
             out_dma(slot, t - 2).wait()
 
-        out_st[slot, :, :] = h2n.astype(out_st.dtype)
+        out_st[slot, :, :H] = h2n.astype(out_st.dtype)
         out_dma(slot, t).start()
         return 0
 
@@ -398,11 +405,10 @@ def gru_stack_kernel_f(params, gi_z, gi_r, gi_n, dtype=jnp.float32,
     n_r = n_pad // tile
 
     def prep(a):
-        if n_pad != n:
-            a = jnp.pad(a, ((0, n_pad - n), (0, 0), (0, 0)))
-        # [N, T, H] -> [R, T, TILE, H] row-tiled, time-major inside a tile
+        a = jnp.pad(a, ((0, n_pad - n), (0, 0), (0, HP - H)))
+        # [N, T, HP] -> [R, T, TILE, HP] row-tiled, time-major inside a tile
         return (
-            a.reshape(n_r, tile, t, H).swapaxes(1, 2).astype(dtype)
+            a.reshape(n_r, tile, t, HP).swapaxes(1, 2).astype(dtype)
         )
 
     gi = jnp.stack([prep(gi_z), prep(gi_r), prep(gi_n)], axis=2)  # [R,T,3,TILE,H]
@@ -430,12 +436,12 @@ def gru_stack_kernel_f(params, gi_z, gi_r, gi_n, dtype=jnp.float32,
             const((8, H)),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),  # manual out DMA
-        out_shape=jax.ShapeDtypeStruct((n_r, t, tile, H), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_r, t, tile, HP), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((tile, H), jnp.float32),
             pltpu.VMEM((tile, H), jnp.float32),
-            pltpu.VMEM((2, 3, tile, H), dtype),
-            pltpu.VMEM((2, tile, H), out_dtype),
+            pltpu.VMEM((2, 3, tile, HP), dtype),
+            pltpu.VMEM((2, tile, HP), out_dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -446,8 +452,10 @@ def gru_stack_kernel_f(params, gi_z, gi_r, gi_n, dtype=jnp.float32,
         ),
         interpret=INTERPRET,
     )(gi, w9, b8)
-    # [R, T, TILE, H] -> [N, T, H]
-    return out.swapaxes(1, 2).reshape(n_pad, t, H)[:n].astype(jnp.float32)
+    # [R, T, TILE, HP] -> [N, T, H]
+    return (
+        out.swapaxes(1, 2).reshape(n_pad, t, HP)[:n, :, :H].astype(jnp.float32)
+    )
 
 
 def apply_vf(params, features, dtype=jnp.float32, tile=None, out_dtype=None):
@@ -549,9 +557,11 @@ def main():
             "VFb full-res bf16 tile=840",
             lambda f: apply_vf(params, f, dtype=jnp.bfloat16, tile=840),
         ),
-        "vfb420": (
-            "VFb full-res bf16 tile=420",
-            lambda f: apply_vf(params, f, dtype=jnp.bfloat16, tile=420),
+        "vfb416": (
+            # tile must be a sublane multiple (Mosaic: "Slice shape along
+            # dimension 3 must be aligned to tiling (8), but is 420").
+            "VFb full-res bf16 tile=416",
+            lambda f: apply_vf(params, f, dtype=jnp.bfloat16, tile=416),
         ),
     }
     for v in variants:
