@@ -12,7 +12,7 @@ from typing import Optional, Union
 
 import numpy as np
 
-from . import aiff, flac, ogg, wav
+from . import aiff, caf, flac, ogg, wav
 
 
 def sniff_container(path: str) -> str:
@@ -31,6 +31,8 @@ def sniff_container(path: str) -> str:
     magic = head[:4]
     if magic == b"RIFF":
         return "wav"
+    if head[:16] == wav.W64_RIFF:  # Sony Wave64: RIFF grammar, GUID ids
+        return "wav"
     if magic == b"OggS":
         # Ogg is a container: streams whose first packet carries the
         # 0x7f"FLAC" mapping signature (at its exact RFC 3533 offset) go
@@ -40,9 +42,12 @@ def sniff_container(path: str) -> str:
         return "flac"
     if magic == b"FORM" and head[8:12] in (b"AIFF", b"AIFC"):
         return "aiff"
+    if magic == b"caff":
+        return "caf"
     raise ValueError(
         f"unsupported audio container (magic {magic!r}) in {path}: "
-        "supported containers are WAV (RIFF), Ogg Vorbis, FLAC, and AIFF"
+        "supported containers are WAV (RIFF), Wave64, Ogg Vorbis, FLAC, "
+        "AIFF, and CAF"
     )
 
 
@@ -76,6 +81,8 @@ class AudioBuffer:
             data, rate = flac.read_flac(path)
         elif kind == "aiff":
             data, rate = aiff.read_aiff(path)
+        elif kind == "caf":
+            data, rate = caf.read_caf(path)
         else:
             data, rate = wav.read_wav(path)
         return cls(channel_pcm=data, sample_rate=rate)
@@ -104,6 +111,8 @@ class AudioSource:
             return cls(flac.FlacStream(path))
         if kind == "aiff":
             return cls(aiff.AiffStream(path))
+        if kind == "caf":
+            return cls(caf.CafStream(path))
         return cls(wav.WavStream(path))
 
     @classmethod

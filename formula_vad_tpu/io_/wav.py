@@ -69,38 +69,97 @@ class WavInfo:
     data_size: int
 
 
+# Sony Wave64 (.w64): RIFF's chunk grammar with 16-byte GUID ids and
+# 64-bit sizes — libsndfile decodes it via the same sf_open the reference
+# relies on (AudioFileStream.zig:22-83). GUIDs are the RIFF fourcc +
+# this fixed 12-byte suffix ({xxxxxxxx-912E-11CF-A5D6-28DB04C10000},
+# little-endian fields).
+_W64_SUFFIX = bytes(
+    [0x2E, 0x91, 0xCF, 0x11, 0xA5, 0xD6, 0x28, 0xDB, 0x04, 0xC1, 0x00, 0x00]
+)
+W64_RIFF = b"riff" + _W64_SUFFIX
+W64_WAVE = b"wave" + _W64_SUFFIX
+W64_FMT = b"fmt " + _W64_SUFFIX
+W64_DATA = b"data" + _W64_SUFFIX
+
+
+def _parse_fmt_body(body: bytes) -> tuple:
+    """Shared WAVEFORMATEX parse (identical bytes in RIFF and W64)."""
+    if len(body) < 16:
+        raise ValueError("malformed fmt chunk (truncated)")
+    tag, n_ch, rate, _byte_rate, block_align, bits = struct.unpack(
+        "<HHIIHH", body[:16]
+    )
+    if tag == WAVE_FORMAT_EXTENSIBLE:
+        if len(body) < 26:
+            raise ValueError("malformed EXTENSIBLE fmt chunk (truncated)")
+        # SubFormat GUID: first two bytes are the real format tag
+        tag = struct.unpack("<H", body[24:26])[0]
+    return (tag, n_ch, rate, block_align, bits)
+
+
+def _parse_header_w64(f: BinaryIO):
+    """W64 chunk walk -> (fmt tuple, data_offset, data_size). Chunk sizes
+    INCLUDE the 24-byte chunk header; chunks align to 8 bytes."""
+    head = f.read(40)  # riff GUID + u64 size + wave GUID
+    if len(head) < 40 or head[24:40] != W64_WAVE:
+        raise ValueError("not a Wave64 (riff/wave GUID) file")
+    fmt = data_offset = data_size = None
+    while True:
+        hdr = f.read(24)
+        if len(hdr) < 24:
+            break
+        guid, size = hdr[:16], struct.unpack("<Q", hdr[16:])[0]
+        if size < 24:
+            raise ValueError("malformed W64 chunk (size below header size)")
+        body_size = size - 24
+        padded = (size + 7) & ~7
+        if guid == W64_FMT:
+            fmt = _parse_fmt_body(f.read(body_size))
+            f.seek(padded - 24 - body_size, io.SEEK_CUR)
+        elif guid == W64_DATA:
+            data_offset = f.tell()
+            data_size = body_size
+            f.seek(padded - 24, io.SEEK_CUR)
+        else:
+            f.seek(padded - 24, io.SEEK_CUR)
+    return fmt, data_offset, data_size
+
+
 def _parse_header(f: BinaryIO) -> WavInfo:
     riff = f.read(12)
-    if len(riff) < 12 or riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE file")
-    fmt: Optional[tuple] = None
-    data_offset = data_size = None
+    if len(riff) >= 12 and riff[:4] == b"RIFF" and riff[8:12] == b"WAVE":
+        fmt, data_offset, data_size = _parse_header_riff(f)
+    elif riff[:12] == W64_RIFF[:12]:
+        f.seek(0)
+        fmt, data_offset, data_size = _parse_header_w64(f)
+    else:
+        raise ValueError("not a RIFF/WAVE or Wave64 file")
+    if fmt is None or data_offset is None:
+        raise ValueError("missing fmt or data chunk")
+    return _validate_info(fmt, data_offset, data_size)
+
+
+def _parse_header_riff(f: BinaryIO):
+    """Classic RIFF chunk walk -> (fmt tuple, data_offset, data_size)."""
+    fmt = data_offset = data_size = None
     while True:
         hdr = f.read(8)
         if len(hdr) < 8:
             break
         cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
         if cid == b"fmt ":
-            body = f.read(size + (size & 1))
-            if len(body) < 16:
-                raise ValueError("malformed fmt chunk (truncated)")
-            tag, n_ch, rate, _byte_rate, block_align, bits = struct.unpack(
-                "<HHIIHH", body[:16]
-            )
-            if tag == WAVE_FORMAT_EXTENSIBLE:
-                if len(body) < 26:
-                    raise ValueError("malformed EXTENSIBLE fmt chunk (truncated)")
-                # SubFormat GUID: first two bytes are the real format tag
-                tag = struct.unpack("<H", body[24:26])[0]
-            fmt = (tag, n_ch, rate, block_align, bits)
+            fmt = _parse_fmt_body(f.read(size + (size & 1)))
         elif cid == b"data":
             data_offset = f.tell()
             data_size = size
             f.seek(size + (size & 1), io.SEEK_CUR)
         else:
             f.seek(size + (size & 1), io.SEEK_CUR)
-    if fmt is None or data_offset is None:
-        raise ValueError("missing fmt or data chunk")
+    return fmt, data_offset, data_size
+
+
+def _validate_info(fmt: tuple, data_offset: int, data_size: int) -> WavInfo:
     tag, n_ch, rate, block_align, bits = fmt
     if tag not in (WAVE_FORMAT_PCM, WAVE_FORMAT_IEEE_FLOAT,
                    WAVE_FORMAT_MULAW, WAVE_FORMAT_ALAW):
