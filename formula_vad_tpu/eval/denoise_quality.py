@@ -96,11 +96,19 @@ def pipeline_denoise(params: Any, audio48: np.ndarray,
 
 
 def held_out_pairs(n_pairs: int, seconds: float, seed: int = HELD_OUT_SEED):
-    """(noisy, clean) stereo 48 kHz pairs from held-out corpus seeds."""
+    """(noisy, clean) stereo 48 kHz pairs from held-out corpus seeds.
+
+    Seeds whose draw lands no speech burst inside a short window (the
+    generator needs pos+dur to fit before seconds-2) are redrawn: an
+    all-zero clean reference has no defined SI-SDR."""
     pairs = []
-    for i in range(n_pairs):
-        rng = np.random.default_rng(seed + i)
+    s = seed
+    while len(pairs) < n_pairs:
+        rng = np.random.default_rng(s)
+        s += 1
         noisy, _labels, clean = synth.synth_stream(rng, seconds, components=True)
+        if not np.any(clean):
+            continue
         pairs.append((noisy, clean))
     return pairs
 

@@ -45,9 +45,8 @@ def test_si_sdr_metric_properties():
 def test_identity_pipeline_is_transparent():
     """The unity-gain pipeline reconstructs its (decimated) input — the
     aligned-reference trick in evaluate() relies on this."""
-    noisy, _, clean = __import__(
-        "formula_vad_tpu.testing.synth", fromlist=["synth_stream"]
-    ).synth_stream(np.random.default_rng(dq.HELD_OUT_SEED), 8.0, components=True)
+    ((noisy, clean),) = dq.held_out_pairs(1, 12.0)
+    assert np.any(clean)  # redraw guarantees a non-empty speech component
     out = dq.pipeline_denoise(dq.IdentityGains(), clean)
     # Compare against the clean signal itself over the overlapping span:
     # identical up to decimation/OLA-latency artifacts, so correlation with

@@ -42,6 +42,35 @@ class TestTrainCli:
         loaded = nsnet2.load(out)
         assert np.asarray(loaded.fc_in_w).shape == (161, 400)
 
+    def test_eval_flag_prints_quality_json(self, tmp_path, capsys):
+        """--eval scores the checkpoint's denoising quality (SI-SDR
+        improvement on held-out pairs) and prints one JSON line
+        (VERDICT r4 next-#3: any retrained checkpoint reports it)."""
+        import json
+
+        from formula_vad_tpu.apps import train
+
+        out = str(tmp_path / "w.npz")
+        assert (
+            train.main(
+                ["--synthetic", "4", "--steps", "2", "--batch", "2",
+                 "--frames", "8", "--out", out,
+                 "--eval", "--eval-pairs", "1", "--eval-seconds", "8"]
+            )
+            == 0
+        )
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        rec = json.loads(lines[-1])["denoise_quality"]
+        assert rec["n_pairs"] == 1 and len(rec["pairs"]) == 1
+        # A 2-step checkpoint has no quality bar — just a finite number
+        # with both sides of the improvement present.
+        row = rec["pairs"][0]
+        assert np.isfinite(row["si_sdr_impr_db"])
+        assert row["si_sdr_impr_db"] == pytest.approx(
+            row["si_sdr_denoised_db"] - row["si_sdr_noisy_db"], abs=0.02
+        )
+
     def test_onnx_output_round_trips(self, tmp_path):
         """--out model.onnx writes a real ONNX protobuf that the importer
         (and the original reference's ONNX Runtime path) can load."""
