@@ -65,6 +65,13 @@ class CafStream:
             if len(hdr) < 12:
                 break
             ctype, size = hdr[:4], struct.unpack(">q", hdr[4:])[0]
+            if size != -1 and f.tell() + size > file_size:
+                # Corrupt s64 sizes would become giant reads/seeks; reject
+                # anything the file cannot physically contain (-1 = the
+                # legal audio-to-EOF convention, handled below).
+                raise ValueError(
+                    f"malformed CAF chunk {ctype!r}: size {size} exceeds file"
+                )
             if ctype == b"desc":
                 if size != 32:
                     raise ValueError(f"malformed CAF desc chunk (size {size})")

@@ -104,6 +104,8 @@ def _parse_header_w64(f: BinaryIO):
     head = f.read(40)  # riff GUID + u64 size + wave GUID
     if len(head) < 40 or head[24:40] != W64_WAVE:
         raise ValueError("not a Wave64 (riff/wave GUID) file")
+    file_size = f.seek(0, io.SEEK_END)
+    f.seek(40)
     fmt = data_offset = data_size = None
     while True:
         hdr = f.read(24)
@@ -112,6 +114,13 @@ def _parse_header_w64(f: BinaryIO):
         guid, size = hdr[:16], struct.unpack("<Q", hdr[16:])[0]
         if size < 24:
             raise ValueError("malformed W64 chunk (size below header size)")
+        if f.tell() - 24 + size > file_size + 7:
+            # Corrupt u64 sizes reach 2^63+ and would otherwise become a
+            # giant read (MemoryError) or a seek overflow (OSError) —
+            # reject anything the file cannot physically contain.
+            raise ValueError(
+                f"malformed W64 chunk {guid[:4]!r}: size {size} exceeds file"
+            )
         body_size = size - 24
         padded = (size + 7) & ~7
         if guid == W64_FMT:

@@ -208,3 +208,59 @@ class TestOggFlacSniff:
         p = tmp_path / "trunc.ogg"
         p.write_bytes(b"OggS\x00\x02")  # shorter than one page header
         assert not flac.is_ogg_flac_file(str(p))
+
+
+class TestFuzzedNewContainers:
+    """Round-5 containers get the same single-byte header-corruption fuzz
+    contract as WAV: decode either succeeds with a sane shape or raises
+    ValueError — never another exception type, never a hang."""
+
+    def _fuzz(self, base: bytes, reader, path, header_span: int, n: int = 200):
+        rng = np.random.default_rng(11)
+        for _ in range(n):
+            raw = bytearray(base)
+            for _ in range(rng.integers(1, 4)):
+                raw[int(rng.integers(0, header_span))] = int(rng.integers(0, 256))
+            with open(path, "wb") as f:
+                f.write(bytes(raw))
+            try:
+                data, _rate = reader(path)
+                assert data.ndim == 2
+            except ValueError:
+                pass
+
+    def test_caf_fuzz(self, tmp_path):
+        from formula_vad_tpu.io_ import caf
+
+        x = np.zeros((2, 64), np.float32)
+        p = tmp_path / "f.caf"
+        caf.write_caf(str(p), x, 8000, "pcm16")
+        self._fuzz(p.read_bytes(), caf.read_caf, str(p), header_span=64)
+
+    def test_w64_fuzz(self, tmp_path):
+        from formula_vad_tpu.io_ import wav as wavmod
+
+        fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+        payload = np.zeros(128, "<i2").tobytes()
+
+        def chunk(guid, body):
+            size = 24 + len(body)
+            pad = (-size) % 8
+            return guid + struct.pack("<Q", size) + body + b"\x00" * pad
+
+        chunks = chunk(wavmod.W64_FMT, fmt) + chunk(wavmod.W64_DATA, payload)
+        blob = (wavmod.W64_RIFF + struct.pack("<Q", 40 + len(chunks))
+                + wavmod.W64_WAVE + chunks)
+        p = tmp_path / "f.w64"
+        self._fuzz(blob, read_wav, str(p), header_span=104)
+
+    def test_g711_truncated_payload(self, tmp_path):
+        """Truncated mu-law data: decode returns the whole frames present."""
+        fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+        payload = bytes(range(200)) * 2
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", 1000) + payload  # claims 1000
+        p = tmp_path / "trunc.wav"
+        p.write_bytes(b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks)
+        data, rate = read_wav(str(p))
+        assert data.shape == (1, 400)  # only the 400 bytes actually present
