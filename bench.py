@@ -1156,8 +1156,12 @@ def measure() -> None:
                 # published + the adjacent capacity failure (over-budget
                 # tick or OOM) recorded as `first_fail` — instead of a
                 # streams_per_chip_est extrapolation (est was 37,661).
-                ladder = [(43008, 4), (36864, 3), (36864, 4), (32256, 3),
-                          (27648, 3), (13824, 3), (4608, 1)]
+                # 39,936 sits between the reproduced 36,864 pass and the
+                # 43,008 fail (ticks 572/567/581 ms in three processes) —
+                # projected ~522 ms, so it tightens the bracket to ~8%
+                # whichever way it lands.
+                ladder = [(43008, 4), (39936, 4), (36864, 3), (36864, 4),
+                          (32256, 3), (27648, 3), (13824, 3), (4608, 1)]
             def _rung(bb, mm):
                 return _measure_serving_tick(
                     bb, params, st, n_short, n_long,
