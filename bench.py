@@ -428,7 +428,7 @@ _OOM_PAT = re.compile(
 )
 
 
-def _walk_dense_ladder(ladder, measure_rung, past_deadline):
+def _walk_dense_ladder(ladder, measure_rung, past_deadline, anchor=0):
     """Descend the serve_dense ladder and bracket the per-chip ceiling
     with measurements (VERDICT r4 next-#4).
 
@@ -444,11 +444,16 @@ def _walk_dense_ladder(ladder, measure_rung, past_deadline):
     capacity failure above the pass — a measured over-budget tick or an
     OOM'd rung (non-capacity errors like bad configs are recorded in
     `attempts` but never bracket); `attempts` lists every non-published
-    rung outcome in descent order."""
+    rung outcome in descent order.
+
+    anchor: past the deadline, rungs LARGER than this are skipped but the
+    anchor rung and everything below it are still attempted — a degraded
+    capture should fall back to the proven record rung (27,648 in the
+    default ladder), not to the smallest rung."""
     attempts, row, first_fail = [], None, None
     for i, (bb, mm) in enumerate(ladder):
         last = i == len(ladder) - 1
-        if attempts and past_deadline() and not last:
+        if attempts and past_deadline() and not last and bb > anchor:
             attempts.append(
                 {"streams": bb, "microbatch": mm, "skipped": "deadline"}
             )
@@ -1170,7 +1175,8 @@ def measure() -> None:
                 )
 
             row, first_fail, attempts = _walk_dense_ladder(
-                ladder, _rung, lambda: time.monotonic() >= extra_deadline
+                ladder, _rung, lambda: time.monotonic() >= extra_deadline,
+                anchor=int(os.environ.get("BENCH_SERVE_DENSE_ANCHOR", "27648")),
             )
             if row is not None:
                 row["io_dtype"] = "bf16"

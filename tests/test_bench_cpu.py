@@ -110,6 +110,24 @@ def test_walk_dense_ladder_brackets_ceiling(bench):
     assert row["streams"] == 32  # first rung measured before deadline check
     # (attempts empty -> no skip on rung 0; break on its in-budget pass)
 
+    # Anchor: past the deadline, rungs above the anchor are skipped but
+    # the anchor rung is still attempted — a degraded capture falls back
+    # to the proven record rung, not the smallest one.
+    calls = []
+
+    def meas_anchor(b, m):
+        calls.append(b)
+        if b > 40:
+            raise ValueError("fail high rung")
+        return mk(b, m, 400.0, True)
+
+    row, fail, att = bench._walk_dense_ladder(
+        [(64, 1), (48, 1), (32, 1), (8, 1)], meas_anchor,
+        lambda: True, anchor=32)
+    assert calls == [64, 32]  # 48 deadline-skipped, anchor attempted
+    assert row["streams"] == 32
+    assert att[1] == {"streams": 48, "microbatch": 1, "skipped": "deadline"}
+
 
 def test_measure_json_contract(bench, monkeypatch, capsys):
     """One in-process child run at tiny shapes: every mode row present,
