@@ -387,9 +387,15 @@ def _kernel_f(
         return 0
 
     jax.lax.fori_loop(0, T_, step, 0)
-    # Drain the last two in-flight output DMAs before the program ends.
-    out_dma(jax.lax.rem(T_ - 2, 2), T_ - 2).wait()
-    out_dma(jax.lax.rem(T_ - 1, 2), T_ - 1).wait()
+    # Drain the in-flight output DMAs before the program ends. T_ is a
+    # static shape, so plain-Python guards suffice; without them a T_<2
+    # sequence would wait on never-started copies at negative indices
+    # (caught in review; the bench shape is T=54 but the launcher accepts
+    # any [N, T, H]).
+    if T_ >= 2:
+        out_dma((T_ - 2) % 2, T_ - 2).wait()
+    if T_ >= 1:
+        out_dma((T_ - 1) % 2, T_ - 1).wait()
 
 
 def gru_stack_kernel_f(params, gi_z, gi_r, gi_n, dtype=jnp.float32,

@@ -103,9 +103,11 @@ def main(argv=None) -> int:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--tp", type=int, default=1, help="Tensor-parallel axis size")
     ap.add_argument(
-        "--out", default="nsnet2_weights.npz",
+        "--out", default=None,
         help="Output weights: .npz (native) or .onnx (ONNX-Runtime-ready, "
-        "loadable by the original reference)",
+        "loadable by the original reference). Default nsnet2_weights.npz; "
+        "an eval-only run (--eval with no training steps) skips the save "
+        "unless --out is given explicitly",
     )
     ap.add_argument("--ckpt-dir", default=None)
     ap.add_argument("--ckpt-every", type=int, default=100)
@@ -222,16 +224,22 @@ def main(argv=None) -> int:
             checkpoint.save_train_state(args.ckpt_dir, params, opt_state, i + 1)
 
     gathered = jax.tree_util.tree_map(np.asarray, jax.device_get(params))
-    if args.out.endswith(".onnx"):
-        # Round-trip to the reference's own consumption format
-        # (src/NSNet2.zig runs exactly this graph through ONNX Runtime).
-        from ..models import onnx_import
+    # An eval-only invocation (no training steps ran) is a read-only
+    # scoring run: never clobber the default weights path as a side
+    # effect; an explicit --out still saves.
+    eval_only = args.eval and args.steps <= start_step
+    out_path = args.out or (None if eval_only else "nsnet2_weights.npz")
+    if out_path is not None:
+        if out_path.endswith(".onnx"):
+            # Round-trip to the reference's own consumption format
+            # (src/NSNet2.zig runs exactly this graph through ONNX Runtime).
+            from ..models import onnx_import
 
-        with open(args.out, "wb") as f:
-            f.write(onnx_import.export_nsnet2_onnx(gathered))
-    else:
-        nsnet2.save_npz(args.out, gathered)
-    log.info("saved weights to %s", args.out)
+            with open(out_path, "wb") as f:
+                f.write(onnx_import.export_nsnet2_onnx(gathered))
+        else:
+            nsnet2.save_npz(out_path, gathered)
+        log.info("saved weights to %s", out_path)
 
     if args.eval:
         # Denoising-quality bar (VERDICT r4 next-#3): any checkpoint this

@@ -73,37 +73,64 @@ class IdentityGains:
         return jnp.ones(features.shape, features.dtype)
 
 
-def pipeline_denoise(params: Any, audio48: np.ndarray,
-                     downsample_rate: int = 3) -> np.ndarray:
-    """Run the shipping chunked denoiser over a whole [C, N] 48 kHz signal
-    (trimmed to whole 0.5 s chunks); returns the [C, N'] output."""
+def make_pipeline_runner(params: Any, downsample_rate: int = 3):
+    """One jitted chunked-denoise runner for ``params``: [C, N] 48 kHz in
+    (trimmed to whole 0.5 s chunks), [C, N'] out. Build ONCE per model and
+    reuse across signals — a fresh @jax.jit closure per call would defeat
+    JAX's identity-keyed trace cache and recompile the scan every time."""
     chunk = NSNET2_CHUNK_16K * downsample_rate
-    n_ch = audio48.shape[0]
-    n_chunks = audio48.shape[1] // chunk
-    x = jnp.asarray(audio48[:, : n_chunks * chunk], jnp.float32)
-    x = x.reshape(n_ch, n_chunks, chunk).transpose(1, 0, 2)
 
     @jax.jit
-    def run(chunks):
+    def run(chunks):  # [n_chunks, C, chunk]
+        n_ch = chunks.shape[1]
+
         def step(c, ch):
             return denoiser.denoise_chunk(params, c, ch, downsample_rate)
 
         _, outs = jax.lax.scan(step, denoiser.init_carry(n_ch), chunks)
         return outs
 
-    outs = run(x)  # [n_chunks, C, chunk]
-    return np.asarray(outs.transpose(1, 0, 2).reshape(n_ch, -1))
+    def denoise(audio48: np.ndarray) -> np.ndarray:
+        n_ch = audio48.shape[0]
+        n_chunks = audio48.shape[1] // chunk
+        x = jnp.asarray(audio48[:, : n_chunks * chunk], jnp.float32)
+        x = x.reshape(n_ch, n_chunks, chunk).transpose(1, 0, 2)
+        outs = run(x)  # [n_chunks, C, chunk]
+        return np.asarray(outs.transpose(1, 0, 2).reshape(n_ch, -1))
+
+    return denoise
+
+
+def pipeline_denoise(params: Any, audio48: np.ndarray,
+                     downsample_rate: int = 3) -> np.ndarray:
+    """One-shot convenience wrapper around make_pipeline_runner."""
+    return make_pipeline_runner(params, downsample_rate)(audio48)
 
 
 def held_out_pairs(n_pairs: int, seconds: float, seed: int = HELD_OUT_SEED):
     """(noisy, clean) stereo 48 kHz pairs from held-out corpus seeds.
 
     Seeds whose draw lands no speech burst inside a short window (the
-    generator needs pos+dur to fit before seconds-2) are redrawn: an
-    all-zero clean reference has no defined SI-SDR."""
+    generator needs pos+dur to fit before seconds-2) are redrawn — an
+    all-zero clean reference has no defined SI-SDR — with a bounded
+    attempt count: below ~6 s NO draw can place a burst (pos >= 3 and
+    pos+1 < seconds-2 is unsatisfiable), and an unbounded loop would hang
+    (caught in review)."""
+    if seconds <= 6.5:
+        raise ValueError(
+            f"seconds={seconds} is too short for the corpus generator to "
+            "place a speech burst (needs > ~6.5 s); use a longer window"
+        )
     pairs = []
     s = seed
+    attempts_left = 20 * n_pairs
     while len(pairs) < n_pairs:
+        if attempts_left <= 0:
+            raise RuntimeError(
+                f"could not draw {n_pairs} pairs with speech at "
+                f"seconds={seconds} (seed base {seed})"
+            )
+        attempts_left -= 1
         rng = np.random.default_rng(s)
         s += 1
         noisy, _labels, clean = synth.synth_stream(rng, seconds, components=True)
@@ -117,12 +144,13 @@ def evaluate(params: Any, *, n_pairs: int = 4, seconds: float = 20.0,
              seed: int = HELD_OUT_SEED) -> dict:
     """SI-SDR improvement of ``params`` over the unity-gain pipeline on
     held-out pairs. Returns per-pair and mean numbers (dB)."""
-    ident = IdentityGains()
+    run_model = make_pipeline_runner(params)
+    run_ident = make_pipeline_runner(IdentityGains())
     rows = []
     for noisy, clean in held_out_pairs(n_pairs, seconds, seed):
-        est = pipeline_denoise(params, noisy)
-        passthrough = pipeline_denoise(ident, noisy)
-        clean_ref = pipeline_denoise(ident, clean)
+        est = run_model(noisy)
+        passthrough = run_ident(noisy)
+        clean_ref = run_ident(clean)
         before = si_sdr(passthrough, clean_ref)
         after = si_sdr(est, clean_ref)
         rows.append(

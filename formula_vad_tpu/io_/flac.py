@@ -106,7 +106,18 @@ def _load():
             except OSError:
                 return None
         if lib.fvad_flac_abi_version() != 3:
-            return None
+            # Stale prebuilt .so (e.g. extracted with a newer mtime than
+            # the source, so the first `make` was a no-op): force a
+            # rebuild and retry once before giving up, same as the
+            # load-failure path above.
+            if not _build(force=True):
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+            except OSError:
+                return None
+            if lib.fvad_flac_abi_version() != 3:
+                return None
         lib.fvad_flac_set_libpath.argtypes = [ctypes.c_char_p]
         lib.fvad_flac_set_libpath.restype = None
         if not os.environ.get("FVAD_LIBFLAC"):
@@ -268,7 +279,17 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
         out = np.empty((s.n_channels, s.n_frames), np.float32)
         at = 0
         while at < s.n_frames:
-            got = s.read(min(chunk, s.n_frames - at))
+            try:
+                got = s.read(min(chunk, s.n_frames - at))
+            except IOError:
+                # Corrupt tail after a valid prefix: keep the decoded
+                # frames and stop, libsndfile-style (the native driver
+                # delivers the buffered prefix first and reports the
+                # error on the FOLLOWING call — ADVICE r4; a file that
+                # is broken from frame 0 still raises).
+                if at == 0:
+                    raise
+                break
             if got.shape[1] == 0:
                 break  # short stream (STREAMINFO total overstated)
             out[:, at : at + got.shape[1]] = got

@@ -71,16 +71,23 @@ class WavInfo:
 
 # Sony Wave64 (.w64): RIFF's chunk grammar with 16-byte GUID ids and
 # 64-bit sizes — libsndfile decodes it via the same sf_open the reference
-# relies on (AudioFileStream.zig:22-83). GUIDs are the RIFF fourcc +
-# this fixed 12-byte suffix ({xxxxxxxx-912E-11CF-A5D6-28DB04C10000},
-# little-endian fields).
-_W64_SUFFIX = bytes(
+# relies on (AudioFileStream.zig:22-83). GUIDs are the fourcc + a fixed
+# 12-byte suffix, and the spec uses TWO GUID families (libsndfile w64.c /
+# ffmpeg w64.c constants): the file-level 'riff' marker lives in
+# {66666972-912E-11CF-A5D6-28DB04C10000}, while wave/fmt/data chunk ids
+# live in {xxxxxxxx-ACF3-11D3-8CD1-00C04F8EDB8A}. (An earlier revision
+# reused the riff suffix for all four and thus rejected every real-world
+# .w64 while accepting only its own test files — caught in review.)
+_W64_RIFF_SUFFIX = bytes(
     [0x2E, 0x91, 0xCF, 0x11, 0xA5, 0xD6, 0x28, 0xDB, 0x04, 0xC1, 0x00, 0x00]
 )
-W64_RIFF = b"riff" + _W64_SUFFIX
-W64_WAVE = b"wave" + _W64_SUFFIX
-W64_FMT = b"fmt " + _W64_SUFFIX
-W64_DATA = b"data" + _W64_SUFFIX
+_W64_CHUNK_SUFFIX = bytes(
+    [0xF3, 0xAC, 0xD3, 0x11, 0x8C, 0xD1, 0x00, 0xC0, 0x4F, 0x8E, 0xDB, 0x8A]
+)
+W64_RIFF = b"riff" + _W64_RIFF_SUFFIX
+W64_WAVE = b"wave" + _W64_CHUNK_SUFFIX
+W64_FMT = b"fmt " + _W64_CHUNK_SUFFIX
+W64_DATA = b"data" + _W64_CHUNK_SUFFIX
 
 
 def _parse_fmt_body(body: bytes) -> tuple:
