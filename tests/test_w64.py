@@ -91,3 +91,21 @@ def test_w64_malformed(tmp_path):
     p.write_bytes(blob)
     with pytest.raises(ValueError, match="below header"):
         wav.read_wav(str(p))
+
+
+def test_w64_guid_constants_match_reference_implementations():
+    """The two GUID families are pinned byte-for-byte to the constants in
+    libsndfile w64.c / ffmpeg w64.c (ff_w64_guid_riff / ff_w64_guid_wave):
+    the file marker is fourcc+{2E91-11CF-A5D6-28DB04C10000} but wave/fmt/
+    data use fourcc+{ACF3-11D3-8CD1-00C04F8EDB8A}. An earlier revision
+    reused the riff suffix for all four — which decodes nothing written
+    by real encoders — so these bytes are pinned independently of the
+    writer helper in this file."""
+    assert wav.W64_RIFF == bytes(
+        [0x72, 0x69, 0x66, 0x66, 0x2E, 0x91, 0xCF, 0x11,
+         0xA5, 0xD6, 0x28, 0xDB, 0x04, 0xC1, 0x00, 0x00])
+    suffix = bytes([0xF3, 0xAC, 0xD3, 0x11, 0x8C, 0xD1,
+                    0x00, 0xC0, 0x4F, 0x8E, 0xDB, 0x8A])
+    assert wav.W64_WAVE == b"wave" + suffix
+    assert wav.W64_FMT == b"fmt " + suffix
+    assert wav.W64_DATA == b"data" + suffix
