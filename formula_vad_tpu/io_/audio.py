@@ -12,7 +12,7 @@ from typing import Optional, Union
 
 import numpy as np
 
-from . import aiff, caf, flac, ogg, wav
+from . import aiff, au, caf, flac, ogg, wav
 
 
 def sniff_container(path: str) -> str:
@@ -44,10 +44,12 @@ def sniff_container(path: str) -> str:
         return "aiff"
     if magic == b"caff":
         return "caf"
+    if magic == b".snd":
+        return "au"
     raise ValueError(
         f"unsupported audio container (magic {magic!r}) in {path}: "
         "supported containers are WAV (RIFF), Wave64, Ogg Vorbis, FLAC, "
-        "AIFF, and CAF"
+        "AIFF, CAF, and AU"
     )
 
 
@@ -83,6 +85,8 @@ class AudioBuffer:
             data, rate = aiff.read_aiff(path)
         elif kind == "caf":
             data, rate = caf.read_caf(path)
+        elif kind == "au":
+            data, rate = au.read_au(path)
         else:
             data, rate = wav.read_wav(path)
         return cls(channel_pcm=data, sample_rate=rate)
@@ -113,6 +117,8 @@ class AudioSource:
             return cls(aiff.AiffStream(path))
         if kind == "caf":
             return cls(caf.CafStream(path))
+        if kind == "au":
+            return cls(au.AuStream(path))
         return cls(wav.WavStream(path))
 
     @classmethod
