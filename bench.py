@@ -37,9 +37,15 @@ Measurement notes (axon relay — see .claude/skills/verify/SKILL.md):
   throttled window (round-3 postmortem: driver bf16_io 22,977x vs local
   44,315x, VERDICT r3 weak #1).
 * A fixed-work SENTINEL probe (bf16 matmul chain, same slope machinery)
-  runs before and after the tier reps; its ms/call is capture-environment
-  evidence — a throttled or drifting window self-labels via
-  sentinel.start_ms/end_ms without touching the tier numbers.
+  samples around EVERY rep round (sentinel.samples_ms, one per round
+  boundary). Rep rounds adjacent to a sample >BENCH_SENTINEL_TOL (1.10)
+  above the capture's best are EXCLUDED from the published tier median
+  (raw median kept alongside as rtf_median_raw; reps_kept per tier), and
+  reps escalate adaptively up to BENCH_REPS_MAX (7) while the kept-round
+  tier spread exceeds BENCH_SPREAD_TOL (15%) or <2 rounds survive —
+  round 4's block-level start/end bracket missed a mid-capture throttle
+  whose per-rep spread was 2.2x (BENCH_r04; VERDICT r4 next-#1).
+  reps_kept: 0 marks a window too unstable to rank tiers at all.
 """
 
 import json
